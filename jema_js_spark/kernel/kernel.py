@@ -1,0 +1,586 @@
+"""Plane-B row kernel: full draft 2020-12 evaluation semantics.
+
+A faithful Python mirror of the reference's lazy generator evaluator
+(/root/reference/schema.js:185-663), structured 1:1 so that the quirky
+behaviors the reference's own tests pin are reproduced exactly:
+
+- lazy first-error short-circuit: ``validate`` pulls one error
+  (schema.js:59-61); ``anyOf``/``oneOf``/``not``/``if``/``contains``
+  probe only the first generator step (schema.js:386,400,410,419,316)
+- the evaluated-set algorithm for ``unevaluated*``: a per-value set
+  shared across combinator branches (schema.js:182,191-227,280-282),
+  annotation suppression inside ``not`` via a flag
+  (schema.js:183,409-412), and the items-failure clear quirk
+  (schema.js:306)
+- keyword type-gating: a keyword whose ``affects`` mismatches the value
+  type passes vacuously (schema.js:199)
+- ``format`` is annotation-only in the shipped build (hard
+  ``return true`` at schema.js:499); assertion mode is opt-in here
+- error objects carry dual provenance (schemaStack/dataStack) and the
+  message template ``"<value> <message> <keyword>:<schemaValue>"``
+  (schema.js:665-674)
+
+One deliberate departure: ``$dynamicRef`` implements the *spec-correct*
+dynamic-scope resolution (outermost in-scope resource with a bookending
+``$dynamicAnchor``), where the reference resolves against the root
+schema only and its README flags the area as buggy
+(schema.js:355-362, README.md:60-62).  The dynamic scope is threaded as
+an immutable tuple through evaluation, so abandoned generators (the
+first-error probes) can never corrupt it.
+
+This kernel is used two ways (SURVEY.md §7.0): batch-wise inside
+Arrow-batched pandas UDFs for keyword subtrees the columnar compiler
+cannot vectorize, and as the local differential-test oracle for the
+Plane-A compiler.  It is pure Python with no Spark imports.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Tuple
+
+from jema_js_spark.kernel import formats as _formats
+from jema_js_spark.kernel.jstypes import (
+    UNEVALUATED_NAMES,
+    deep_equal,
+    get_type,
+    is_js_integer,
+    js_multiple_of,
+    js_to_string,
+    unique_value_ignore_key_order,
+)
+from jema_js_spark.kernel.regex_js import js_regex_search
+from jema_js_spark.schema.frontend import RefResolutionError, Schema
+
+__all__ = ["Validator", "ValidationError", "DepthLimitExceeded",
+           "validate", "iter_errors"]
+
+_Scope = Tuple[Schema, ...]
+
+# Evaluation recursion is ~7 Python frames per nesting level; this limit
+# admits documents ~2500 levels deep — far beyond real web-page JSON —
+# while still failing *cleanly* on adversarial inputs instead of
+# unwinding a 20k-frame traceback inside a Spark task.
+_RECURSION_LIMIT = 20000
+
+
+class DepthLimitExceeded(RecursionError):
+    """Document/schema nesting exceeded the kernel's evaluation depth —
+    raised instead of a raw RecursionError so batch executors (pandas
+    UDFs) can catch and report it as a per-row verdict."""
+
+
+@dataclass
+class ValidationError:
+    """Columnar-ready mirror of the reference's error object
+    (schema.js:665-674)."""
+
+    message: str
+    value: Any
+    schema_value: Any
+    schema_stack: List[Any] = field(default_factory=list)
+    data_stack: List[Any] = field(default_factory=list)
+
+
+def _safe_pop(stack: list) -> None:
+    # JS Array.pop on empty returns undefined; mirror (the reference's
+    # ``not``/``if`` handlers pop frames they did not push —
+    # schema.js:411,420 — which can hit an empty stack)
+    if stack:
+        stack.pop()
+
+
+class Validator:
+    """One evaluation context — owns the schema/data stacks, the
+    evaluated-set table, and the ``not``-suppression flag that the
+    reference keeps as module globals (schema.js:7-10,182-183)."""
+
+    def __init__(self, schema, format_assertion: bool = False) -> None:
+        if not isinstance(schema, Schema):
+            schema = Schema(schema)
+        self.root = schema
+        self.format_assertion = format_assertion
+        self.schema_stack: List[Any] = []
+        self.data_stack: List[Any] = []
+        # id(value) → set of evaluated keys/indices; the WeakMap analog
+        # (schema.js:182).  Values stay alive for the whole call (they
+        # are part of the root document), so id() keys are stable.
+        self.evaluated: Dict[int, set] = {}
+        self.stop_collecting = False  # schema.js:183
+
+    # -- public API (schema.js:59-73) ------------------------------------
+    def validate(self, value: Any) -> bool:
+        old = sys.getrecursionlimit()
+        try:
+            if old < _RECURSION_LIMIT:
+                sys.setrecursionlimit(_RECURSION_LIMIT)
+            return self._probe(value, self.root.schema, (self.root,))
+        except RecursionError:
+            raise DepthLimitExceeded(
+                "document/schema nesting exceeds kernel depth limit") from None
+        finally:
+            sys.setrecursionlimit(old)
+
+    def iter_errors(self, value: Any) -> Iterator[ValidationError]:
+        self.schema_stack = []
+        self.data_stack = []
+        gen = self._errors(value, self.root.schema, (self.root,))
+
+        def drive():
+            while True:
+                old = sys.getrecursionlimit()
+                try:
+                    if old < _RECURSION_LIMIT:
+                        sys.setrecursionlimit(_RECURSION_LIMIT)
+                    try:
+                        err = next(gen)
+                    except StopIteration:
+                        return
+                except RecursionError:
+                    raise DepthLimitExceeded(
+                        "document/schema nesting exceeds kernel depth limit"
+                    ) from None
+                finally:
+                    sys.setrecursionlimit(old)
+                yield err
+
+        return drive()
+
+    # -- helpers ----------------------------------------------------------
+    def _probe(self, value: Any, schema: Any, scope: _Scope) -> bool:
+        """First-error probe: True iff no errors — the
+        ``errors(...).next().done`` idiom (schema.js:60,386,400,410,419)."""
+        for _ in self._errors(value, schema, scope):
+            return False
+        return True
+
+    def _error(self, value: Any, schema_value: Any,
+               message: str = "does not match") -> ValidationError:
+        # mirror of schemaError (schema.js:665-674); JS typeof null is
+        # 'object', so null prints as 'object' too
+        if isinstance(value, list):
+            print_value = "array"
+        elif isinstance(value, dict) or value is None:
+            print_value = "object"
+        else:
+            print_value = '"' + js_to_string(value) + '"'
+        last = self.schema_stack[-1] if self.schema_stack else None
+        return ValidationError(
+            message=f"{print_value} {message} {js_to_string(last)}:{js_to_string(schema_value)}",
+            value=value,
+            schema_value=schema_value,
+            schema_stack=list(self.schema_stack),
+            data_stack=list(self.data_stack),
+        )
+
+    def _ref_target(self, node: dict) -> Any:
+        return self.root.registry.ref_targets.get(id(node))
+
+    def _enter_scope(self, schema: Any, scope: _Scope) -> _Scope:
+        resource = self.root.registry.node_resource.get(id(schema))
+        if resource is not None and (not scope or scope[-1] is not resource):
+            return scope + (resource,)
+        return scope
+
+    # -- the evaluation loop (schema.js:185-228) --------------------------
+    def _errors(self, value: Any, schema: Any,
+                scope: _Scope) -> Iterator[ValidationError]:
+        if schema is False:
+            yield self._error(value, False, "fails, false-schema at:")
+            return
+        if schema is True or not isinstance(schema, dict):
+            # boolean true schema (schema.js:187); a non-dict schema node
+            # has no keywords → vacuously valid
+            return
+
+        scope = self._enter_scope(schema, scope)
+        vtype = get_type(value)
+        unevaluated_name = UNEVALUATED_NAMES.get(vtype)
+
+        if unevaluated_name is not None and unevaluated_name in schema:
+            if id(value) not in self.evaluated:
+                self.evaluated[id(value)] = set()
+
+        for prop in list(schema.keys()):
+            vocal = _VOCABULARY.get(prop)
+            if vocal is None:
+                continue
+            affects, validator, is_gen = vocal
+            if affects is not None and affects != vtype:
+                continue  # type-gated: vacuously valid (schema.js:199)
+            if validator is None:
+                continue
+            self.schema_stack.append(prop)
+            if is_gen:
+                yield from validator(self, schema[prop], value, schema, scope)
+            else:
+                if not validator(self, schema[prop], value, schema, scope):
+                    yield self._error(value, schema[prop])
+            _safe_pop(self.schema_stack)
+
+        if vtype == "object":
+            yield from self._object_pass(schema, value, scope)
+        elif vtype == "array":
+            yield from self._array_pass(schema, value, scope)
+
+        if unevaluated_name is not None and unevaluated_name in schema:
+            evaluated = self.evaluated.get(id(value))
+            if evaluated is not None:
+                keys = list(value.keys()) if vtype == "object" else range(len(value))
+                for key in keys:
+                    if key in evaluated:
+                        continue
+                    yield from self._errors(value[key], schema[unevaluated_name], scope)
+                self.evaluated.pop(id(value), None)
+
+    # -- fused object pass (schema.js:231-288) ----------------------------
+    def _object_pass(self, schema: dict, value: dict,
+                     scope: _Scope) -> Iterator[ValidationError]:
+        properties = schema.get("properties")
+        pattern_properties = (
+            list(schema["patternProperties"].items())
+            if isinstance(schema.get("patternProperties"), dict)
+            else None
+        )
+        additional_properties = (
+            schema.get("additionalProperties")
+            if "additionalProperties" in schema
+            else None
+        )
+
+        for prop, item in list(value.items()):
+            self.data_stack.append(prop)
+            additional = True
+
+            prop_schema = properties.get(prop) if isinstance(properties, dict) else None
+            if prop_schema is not None:
+                self.schema_stack.append("properties")
+                self.schema_stack.append(prop)
+                yield from self._errors(item, prop_schema, scope)
+                _safe_pop(self.schema_stack)
+                _safe_pop(self.schema_stack)
+                additional = False
+
+            if pattern_properties:
+                self.schema_stack.append("patternProperties")
+                self.schema_stack.append(prop)
+                for pattern, sub in pattern_properties:
+                    if js_regex_search(pattern, prop):
+                        yield from self._errors(item, sub, scope)
+                        additional = False
+                _safe_pop(self.schema_stack)
+                _safe_pop(self.schema_stack)
+
+            if additional_properties is not None and additional:
+                self.schema_stack.append("additionalProperties")
+                yield from self._errors(item, additional_properties, scope)
+                _safe_pop(self.schema_stack)
+                additional = False
+
+            if not additional and not self.stop_collecting:
+                ev = self.evaluated.get(id(value))
+                if ev is not None:
+                    ev.add(prop)
+
+            _safe_pop(self.data_stack)
+
+    # -- fused array pass (schema.js:289-338) -----------------------------
+    def _array_pass(self, schema: dict, value: list,
+                    scope: _Scope) -> Iterator[ValidationError]:
+        num_contains = 0
+        prefix_items = schema.get("prefixItems")
+        has_items = "items" in schema and schema.get("items") is not None
+        items = schema.get("items")
+        has_contains = "contains" in schema and schema.get("contains") is not None
+        contains = schema.get("contains")
+
+        for i, item in enumerate(value):
+            self.data_stack.append(i)
+            additional = True
+
+            prefix = (
+                prefix_items[i]
+                if isinstance(prefix_items, list) and i < len(prefix_items)
+                and prefix_items[i] is not None
+                else None
+            )
+            if prefix is not None:
+                yield from self._errors(item, prefix, scope)
+                additional = False
+            elif has_items:
+                for error in self._errors(item, items, scope):
+                    # "if items fail, all items are unevaluated" quirk
+                    # (schema.js:306)
+                    ev = self.evaluated.get(id(value))
+                    if ev is not None:
+                        ev.clear()
+                    yield error
+                additional = False
+
+            if has_contains:
+                if self._probe(item, contains, scope):
+                    num_contains += 1
+                    additional = False
+
+            if not additional and not self.stop_collecting:
+                ev = self.evaluated.get(id(value))
+                if ev is not None:
+                    ev.add(i)
+
+            _safe_pop(self.data_stack)
+
+        if has_contains:
+            min_contains = schema.get("minContains", 1)
+            max_contains = schema.get("maxContains")
+            if num_contains < min_contains:
+                yield self._error(
+                    value, min_contains,
+                    'Array contains too few items that match "contains"')
+            if max_contains is not None and num_contains > max_contains:
+                yield self._error(
+                    value, max_contains,
+                    'Array contains too many items that match "contains"')
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary (schema.js:342-663).  Each entry: (affects, validator, is_gen).
+# Boolean validators return truthy/falsy; generator validators yield errors.
+# ---------------------------------------------------------------------------
+
+def _v_ref(v: Validator, url: str, value: Any, schema: dict, scope: _Scope):
+    target = v._ref_target(schema)
+    if target is None:
+        # mirror of the reference's missing-ref failure: console.error then
+        # a crash on the undefined schema (pinned by tests.html:583-595)
+        raise RefResolutionError(f"$ref-schema not found: {url}")
+    yield from v._errors(value, target, scope)
+
+
+def _v_dynamic_ref(v: Validator, url: str, value: Any, schema: dict, scope: _Scope):
+    target = v._ref_target(schema)
+    frag = url.split("#", 1)[1] if "#" in url else ""
+    name = frag if frag and "/" not in frag else None
+    if (
+        name is not None
+        and isinstance(target, dict)
+        and target.get("$dynamicAnchor") == name
+    ):
+        # bookended: hunt the OUTERMOST in-scope resource carrying the
+        # $dynamicAnchor (spec §8.2.3.2; improvement over schema.js:355-362)
+        for res in scope:
+            cand = res.dyn_anchors.get(name)
+            if cand is not None:
+                target = cand
+                break
+    if target is None:
+        raise RefResolutionError(f"$dynamicRef-schema not found: {url}")
+    yield from v._errors(value, target, scope)
+
+
+def _v_all_of(v: Validator, all_of: list, value: Any, schema: dict, scope: _Scope):
+    for i, sub in enumerate(all_of):
+        v.schema_stack.append(i)
+        yield from v._errors(value, sub, scope)
+        _safe_pop(v.schema_stack)
+
+
+def _v_any_of(v: Validator, any_of: list, value: Any, schema: dict,
+              scope: _Scope) -> bool:
+    # short-circuits on first pass unless collecting annotations for
+    # unevaluated* (schema.js:381-395)
+    collecting = id(value) in v.evaluated
+    any_ok = False
+    for sub in any_of:
+        if v._probe(value, sub, scope):
+            if not collecting:
+                return True
+            any_ok = True
+    return any_ok
+
+
+def _v_one_of(v: Validator, one_of: list, value: Any, schema: dict,
+              scope: _Scope) -> bool:
+    passed = 0
+    for sub in one_of:
+        passed += 1 if v._probe(value, sub, scope) else 0
+        if passed > 1:
+            return False
+    return passed == 1
+
+
+def _v_not(v: Validator, sub: Any, value: Any, schema: dict, scope: _Scope) -> bool:
+    v.stop_collecting = True
+    ok = v._probe(value, sub, scope)
+    _safe_pop(v.schema_stack)  # quirky extra pop, mirror of schema.js:411
+    v.stop_collecting = False  # plain reset, not restore (schema.js:412)
+    return not ok
+
+
+def _v_if(v: Validator, if_schema: Any, value: Any, schema: dict, scope: _Scope):
+    ok = v._probe(value, if_schema, scope)
+    _safe_pop(v.schema_stack)  # mirror of schema.js:420
+    if ok:
+        v.schema_stack.append("then")
+        if "then" in schema and schema["then"] is not None:
+            yield from v._errors(value, schema["then"], scope)
+    else:
+        v.schema_stack.append("else")
+        if "else" in schema and schema["else"] is not None:
+            yield from v._errors(value, schema["else"], scope)
+    _safe_pop(v.schema_stack)
+
+
+def _v_type(v: Validator, type_: Any, value: Any, schema: dict, scope: _Scope) -> bool:
+    if isinstance(type_, list):
+        return any(_v_type(v, t, value, schema, scope) for t in type_)
+    vtype = get_type(value)
+    if vtype == type_:
+        return True
+    if type_ == "integer" and vtype == "number" and is_js_integer(value):
+        return True
+    return False
+
+
+def _v_enum(v: Validator, allowed: list, value: Any, schema: dict,
+            scope: _Scope) -> bool:
+    return any(deep_equal(a, value) for a in allowed)
+
+
+def _v_const(v: Validator, constant: Any, value: Any, schema: dict,
+             scope: _Scope) -> bool:
+    return deep_equal(constant, value)
+
+
+def _v_format(v: Validator, fmt: str, value: Any, schema: dict,
+              scope: _Scope) -> bool:
+    # shipped reference: annotation-only, hard `return true` (schema.js:499);
+    # assertion mode (the dead-code branch, schema.js:500-523) is opt-in
+    if not v.format_assertion:
+        return True
+    return _formats.check_format(fmt, value)
+
+
+def _v_unique_items(v: Validator, unique: Any, value: list, schema: dict,
+                    scope: _Scope) -> bool:
+    if not unique:
+        return True
+    seen = set()
+    for item in value:
+        key = unique_value_ignore_key_order(item)
+        if key in seen:
+            return False
+        seen.add(key)
+    return True
+
+
+def _v_required(v: Validator, required: list, value: dict, schema: dict,
+                scope: _Scope):
+    for i, prop in enumerate(required):
+        if prop not in value:
+            v.schema_stack.append(i)
+            yield v._error(value, prop, "missing required property")
+            _safe_pop(v.schema_stack)
+
+
+def _v_dependent_required(v: Validator, deps: dict, value: dict, schema: dict,
+                          scope: _Scope) -> bool:
+    for prop, required in deps.items():
+        if prop in value:
+            for req in required:
+                if req not in value:
+                    return False
+    return True
+
+
+def _v_dependent_schemas(v: Validator, deps: dict, value: dict, schema: dict,
+                         scope: _Scope):
+    for prop, sub in deps.items():
+        if prop in value:
+            yield from v._errors(value, sub, scope)
+
+
+def _v_dependencies(v: Validator, deps: dict, value: Any, schema: dict,
+                    scope: _Scope):
+    # draft-4 legacy shim (schema.js:626-642) — no affects gate in the
+    # reference either, but Object.hasOwn on non-objects is false
+    if not isinstance(value, dict):
+        return
+    for prop, dep in deps.items():
+        if prop in value:
+            if isinstance(dep, list):
+                for req in dep:
+                    if req not in value:
+                        yield v._error(value, req, "missing required property")
+            else:
+                yield from v._errors(value, dep, scope)
+
+
+def _v_property_names(v: Validator, sub: Any, value: dict, schema: dict,
+                      scope: _Scope):
+    for prop in list(value.keys()):
+        yield from v._errors(prop, sub, scope)
+
+
+# (affects, validator, is_generator) — registration mirror of the
+# vocabulary table (schema.js:342-663).  Keywords with no validator are
+# traversal-only (subSchema markers live in schema/frontend.py).
+_VOCABULARY: Dict[str, tuple] = {
+    "$schema": (None, None, False),
+    "$vocabulary": (None, None, False),
+    "$id": (None, None, False),
+    "$anchor": (None, None, False),
+    "$dynamicAnchor": (None, None, False),
+    "$defs": (None, None, False),
+    "$ref": (None, _v_ref, True),
+    "$dynamicRef": (None, _v_dynamic_ref, True),
+    "allOf": (None, _v_all_of, True),
+    "anyOf": (None, _v_any_of, False),
+    "oneOf": (None, _v_one_of, False),
+    "not": (None, _v_not, False),
+    "if": (None, _v_if, True),
+    "then": (None, None, False),
+    "else": (None, None, False),
+    "type": (None, _v_type, False),
+    "enum": (None, _v_enum, False),
+    "const": (None, _v_const, False),
+    "multipleOf": ("number", lambda v, m, val, s, sc: js_multiple_of(val, m), False),
+    "maximum": ("number", lambda v, m, val, s, sc: val <= m, False),
+    "exclusiveMaximum": ("number", lambda v, m, val, s, sc: val < m, False),
+    "minimum": ("number", lambda v, m, val, s, sc: val >= m, False),
+    "exclusiveMinimum": ("number", lambda v, m, val, s, sc: val > m, False),
+    "maxLength": ("string", lambda v, m, val, s, sc: len(val) <= m, False),
+    "minLength": ("string", lambda v, m, val, s, sc: len(val) >= m, False),
+    "pattern": ("string", lambda v, p, val, s, sc: js_regex_search(p, val), False),
+    "format": ("string", _v_format, False),
+    "maxItems": ("array", lambda v, m, val, s, sc: len(val) <= m, False),
+    "minItems": ("array", lambda v, m, val, s, sc: len(val) >= m, False),
+    "uniqueItems": ("array", _v_unique_items, False),
+    "items": (None, None, False),
+    "additionalItems": (None, None, False),
+    "contains": (None, None, False),
+    "prefixItems": (None, None, False),
+    "unevaluatedItems": (None, None, False),
+    "properties": (None, None, False),
+    "additionalProperties": (None, None, False),
+    "unevaluatedProperties": (None, None, False),
+    "patternProperties": (None, None, False),
+    "maxProperties": ("object", lambda v, m, val, s, sc: len(val) <= m, False),
+    "minProperties": ("object", lambda v, m, val, s, sc: len(val) >= m, False),
+    "required": ("object", _v_required, True),
+    "dependentRequired": ("object", _v_dependent_required, False),
+    "dependentSchemas": ("object", _v_dependent_schemas, True),
+    "dependencies": (None, _v_dependencies, True),
+    "propertyNames": ("object", _v_property_names, True),
+}
+
+
+# -- module-level conveniences ------------------------------------------------
+
+def validate(schema, value: Any, format_assertion: bool = False) -> bool:
+    """One-shot validate — compiles ``schema`` if it is a raw dict."""
+    return Validator(schema, format_assertion=format_assertion).validate(value)
+
+
+def iter_errors(schema, value: Any, format_assertion: bool = False):
+    return Validator(schema, format_assertion=format_assertion).iter_errors(value)

@@ -1,0 +1,244 @@
+"""ECMAScript → Python/Java regex dialect translation.
+
+The reference evaluates ``pattern`` / ``patternProperties`` with
+``new RegExp(p, 'u')`` and *unanchored* ``.test()``
+(/root/reference/schema.js:260,493-496).  We must reproduce those
+semantics in two target dialects (SURVEY.md §7.4):
+
+- **Python ``re``** for the Plane-B kernel (and pandas-UDF execution);
+- **Java ``java.util.regex``** for Plane-A ``Column.rlike`` so the
+  predicate stays inside whole-stage codegen.
+
+Key dialect deltas handled here (ES2015+ 'u' flag semantics):
+
+- ``\\d``/``\\w`` are ASCII-only in JS; Python ``re`` defaults to
+  Unicode → substituted with explicit classes.
+- ``\\s`` in JS is the WhiteSpace+LineTerminator set (incl. NBSP, BOM,
+  U+2028/9) → explicit class.
+- ``$`` / ``^`` (no ``m`` flag): absolute string end/start; Python ``$``
+  also matches before a trailing newline, Java likewise → ``\\Z``/``\\A``
+  (Python) and ``\\z``/``\\A`` (Java).
+- ``.`` excludes ``\\n \\r \\u2028 \\u2029`` in JS; Python excludes only
+  ``\\n`` → explicit negated class (Java's default ``.`` already matches
+  JS, but the explicit class is emitted for both).
+- ``\\uXXXX`` / ``\\u{...}`` code-point escapes → ``\\uXXXX`` pairs /
+  ``\\U…`` (Python) or ``\\x{…}`` (Java).
+- ``\\cX`` control escapes → ``\\xNN``.
+- ``(?<name>…)`` / ``\\k<name>`` named groups → ``(?P<name>…)`` /
+  ``(?P=name)`` for Python (Java accepts JS syntax as-is).
+- ``[]`` never matches in JS (Python: syntax error) → ``(?!x)x``;
+  ``[^]`` matches anything → ``[\\s\\S]``.
+
+Constructs with no faithful mapping (``\\p{…}`` Unicode property
+escapes in Python, variable-length lookbehind in Python) raise
+:class:`UnsupportedRegexError`; the columnar compiler treats that as
+"not Java-safe / not Python-safe" and the keyword falls back to the
+next plane.  The official suite's non-optional ``pattern.json``
+material stays inside the supported subset (the reference itself
+excludes ``ecmascript-regex.json`` — tests/test-suite-init.js:54).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+__all__ = [
+    "UnsupportedRegexError",
+    "translate",
+    "compile_js_regex",
+    "js_regex_search",
+    "java_regex_or_none",
+]
+
+# JS \s under the 'u' flag: WhiteSpace ∪ LineTerminator
+_JS_WS = "\\t\\n\\x0b\\x0c\\r \\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
+_JS_DIGIT = "0-9"
+_JS_WORD = "A-Za-z0-9_"
+_JS_DOT = "[^\\n\\r\\u2028\\u2029]"
+
+
+class UnsupportedRegexError(ValueError):
+    """Pattern uses a construct with no faithful mapping in the target
+    dialect — callers fall back to another execution plane."""
+
+
+def _hex4(cp: int) -> str:
+    return f"\\u{cp:04x}"
+
+
+def _code_point_escape(cp: int, target: str) -> str:
+    if target == "java":
+        return f"\\x{{{cp:x}}}"
+    if cp <= 0xFFFF:
+        return _hex4(cp)
+    return f"\\U{cp:08x}"
+
+
+def translate(pattern: str, target: str = "python") -> str:
+    """Translate an ECMAScript 'u'-flag pattern into ``target`` dialect
+    ('python' or 'java').  Raises :class:`UnsupportedRegexError` for
+    untranslatable constructs."""
+    out: list = []
+    i = 0
+    n = len(pattern)
+    in_class = False
+
+    while i < n:
+        c = pattern[i]
+
+        if c == "\\":
+            if i + 1 >= n:
+                raise UnsupportedRegexError("trailing backslash")
+            e = pattern[i + 1]
+            i += 2
+            if e == "d":
+                out.append(f"[{_JS_DIGIT}]" if not in_class else _JS_DIGIT)
+            elif e == "D":
+                if in_class:
+                    raise UnsupportedRegexError(r"\D inside character class")
+                out.append(f"[^{_JS_DIGIT}]")
+            elif e == "w":
+                out.append(f"[{_JS_WORD}]" if not in_class else _JS_WORD)
+            elif e == "W":
+                if in_class:
+                    raise UnsupportedRegexError(r"\W inside character class")
+                out.append(f"[^{_JS_WORD}]")
+            elif e == "s":
+                out.append(f"[{_JS_WS}]" if not in_class else _JS_WS)
+            elif e == "S":
+                if in_class:
+                    raise UnsupportedRegexError(r"\S inside character class")
+                out.append(f"[^{_JS_WS}]")
+            elif e == "c":
+                if i < n and pattern[i].isalpha():
+                    out.append(f"\\x{ord(pattern[i].upper()) % 32:02x}")
+                    i += 1
+                else:
+                    raise UnsupportedRegexError(r"bare \c")
+            elif e == "u":
+                if i < n and pattern[i] == "{":
+                    j = pattern.find("}", i)
+                    if j == -1:
+                        raise UnsupportedRegexError(r"unterminated \u{...}")
+                    cp = int(pattern[i + 1:j], 16)
+                    out.append(_code_point_escape(cp, target))
+                    i = j + 1
+                elif i + 4 <= n and re.fullmatch(r"[0-9a-fA-F]{4}", pattern[i:i + 4]):
+                    out.append("\\u" + pattern[i:i + 4])
+                    i += 4
+                else:
+                    raise UnsupportedRegexError(r"malformed \uXXXX")
+            elif e in ("p", "P"):
+                if target == "java" and i < n and pattern[i] == "{":
+                    # Java supports \p{...} natively with compatible names
+                    # for the common script/category classes
+                    j = pattern.find("}", i)
+                    if j == -1:
+                        raise UnsupportedRegexError(r"unterminated \p{...}")
+                    out.append("\\" + e + pattern[i:j + 1])
+                    i = j + 1
+                else:
+                    raise UnsupportedRegexError(
+                        r"\p{...} property escapes unsupported in Python re")
+            elif e == "k":
+                if i < n and pattern[i] == "<":
+                    j = pattern.find(">", i)
+                    if j == -1:
+                        raise UnsupportedRegexError(r"unterminated \k<...>")
+                    name = pattern[i + 1:j]
+                    out.append(f"(?P={name})" if target == "python" else f"\\k<{name}>")
+                    i = j + 1
+                else:
+                    raise UnsupportedRegexError(r"bare \k")
+            elif e == "b" and in_class:
+                out.append("\\x08")  # [\b] is backspace in JS classes
+            elif e == "0" and (i >= n or not pattern[i].isdigit()):
+                out.append("\\x00")
+            else:
+                # pass through identity escapes, backrefs \1.., \b \B \n
+                # \r \t \f \v \xNN, escaped metachars, etc.
+                out.append("\\" + e)
+            continue
+
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+
+        if c == "[":
+            # handle empty-class idioms before entering class mode
+            if pattern.startswith("[]", i):
+                out.append("(?!x)x")  # JS []: matches nothing
+                i += 2
+                continue
+            if pattern.startswith("[^]", i):
+                out.append("[\\s\\S]")  # JS [^]: matches anything
+                i += 3
+                continue
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+
+        if c == ".":
+            out.append(_JS_DOT)
+        elif c == "$":
+            out.append("\\Z" if target == "python" else "\\z")
+        elif c == "^":
+            out.append("\\A")
+        elif c == "(":
+            if pattern.startswith("(?<", i) and i + 3 < n and pattern[i + 3] not in "=!":
+                j = pattern.find(">", i)
+                if j == -1:
+                    raise UnsupportedRegexError("unterminated (?<name>")
+                name = pattern[i + 3:j]
+                out.append(f"(?P<{name}>" if target == "python" else f"(?<{name}>")
+                i = j + 1
+                continue
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+
+    if in_class:
+        raise UnsupportedRegexError("unterminated character class")
+    return "".join(out)
+
+
+@lru_cache(maxsize=4096)
+def compile_js_regex(pattern: str):
+    """Compile an ECMAScript pattern for Python execution.  Cached —
+    unlike the reference, which recompiles per call (schema.js:260,494);
+    SURVEY.md §4 marks that as a deliberate improvement."""
+    translated = translate(pattern, target="python")
+    try:
+        return re.compile(translated)
+    except re.error as exc:
+        raise UnsupportedRegexError(f"untranslatable pattern {pattern!r}: {exc}") from exc
+
+
+def js_regex_search(pattern: str, value: str) -> bool:
+    """Unanchored test — mirror of ``new RegExp(p,'u').test(v)``."""
+    return compile_js_regex(pattern).search(value) is not None
+
+
+@lru_cache(maxsize=4096)
+def java_regex_or_none(pattern: str):
+    """Java-dialect translation for ``Column.rlike``, or ``None`` when the
+    pattern is outside the verified-safe subset (caller falls back to the
+    kernel plane).  Cross-checked against the Python translation by the
+    differential tests."""
+    try:
+        translated = translate(pattern, target="java")
+    except UnsupportedRegexError:
+        return None
+    # conservative: require the Python twin to compile too, so the two
+    # planes can be differentially tested against each other
+    try:
+        compile_js_regex(pattern)
+    except UnsupportedRegexError:
+        return None
+    return translated

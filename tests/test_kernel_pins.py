@@ -1,0 +1,155 @@
+"""Hand-pinned semantic edge cases replicated from the reference's own
+unit tests (/root/reference/tests/tests.html) — FIXTURES.md §3."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jema_js_spark.kernel.kernel import Validator, validate
+from jema_js_spark.kernel.jstypes import (
+    deep_equal,
+    get_type,
+    js_math_round,
+    js_multiple_of,
+)
+from jema_js_spark.schema.frontend import RefResolutionError, Schema
+
+
+class TestNumbers:
+    def test_infinity_matches_no_type(self):
+        # tests.html:52,74-76 — non-finite numbers are 'not supported'
+        for bad in (float("inf"), float("-inf"), float("nan")):
+            assert get_type(bad) == "not supported"
+            assert not validate({"type": "number"}, bad)
+            assert not validate({"type": "integer"}, bad)
+        # ... and numeric bound keywords gate on 'number', so they pass
+        # vacuously on non-finite values (affects mismatch, schema.js:199)
+        assert validate({"minimum": 5}, float("inf"))
+
+    def test_float_with_zero_fraction_is_integer(self):
+        # schema.js:449
+        assert validate({"type": "integer"}, 1.0)
+        assert not validate({"type": "integer"}, 1.5)
+
+    def test_multiple_of_float_pins(self):
+        # tests.html:60-68
+        assert js_multiple_of(-8599.3, 0.01)
+        assert not js_multiple_of(1.0000000000000002, 0.5)
+        assert js_multiple_of(9, 3)
+        assert not js_multiple_of(9, 2)
+
+    def test_js_math_round_exact(self):
+        assert js_math_round(2.5) == 3
+        assert js_math_round(-2.5) == -2  # ties toward +inf, unlike Python
+        assert js_math_round(0.49999999999999994) == 0  # floor(x+.5) would say 1
+
+    def test_multiple_of_zero_divisor(self):
+        # JS x/0 → Infinity → isFinite guard → invalid
+        assert not js_multiple_of(10, 0)
+
+
+class TestStrings:
+    def test_code_point_lengths(self):
+        # schema.js:486,490 — [...v].length counts code points; astral
+        # chars count once
+        assert validate({"minLength": 2, "maxLength": 2}, "\U0001F600\U0001F600")
+        assert not validate({"minLength": 2}, "\U0001F600")
+
+
+class TestNull:
+    def test_null_and_missing_required(self):
+        # missing key != null value for required (schema.js:591)
+        schema = {"required": ["a"]}
+        assert validate(schema, {"a": None})
+        assert not validate(schema, {})
+
+    def test_none_is_null_type(self):
+        assert validate({"type": "null"}, None)
+
+
+class TestDeepEquality:
+    def test_key_order_insensitive(self):
+        # schema.js:831-875
+        assert deep_equal({"a": 1, "b": [1, {"c": 2}]},
+                          {"b": [1, {"c": 2}], "a": 1})
+        assert not deep_equal({"a": 1}, {"a": 1, "b": 2})
+
+    def test_js_strict_typing(self):
+        assert not deep_equal(True, 1)
+        assert not deep_equal("1", 1)
+        assert deep_equal(1, 1.0)  # one JS number type
+        assert not deep_equal(float("nan"), float("nan"))  # NaN !== NaN
+
+    def test_unique_items_reordered_objects(self):
+        assert not validate({"uniqueItems": True},
+                            [{"a": 1, "b": 2}, {"b": 2, "a": 1}])
+
+
+class TestRefs:
+    def test_recursive_ref(self):
+        # tests.html:596-606
+        schema = {
+            "type": "object",
+            "properties": {"name": {"type": "string"},
+                           "child": {"$ref": "#"}},
+        }
+        s = Schema(schema)
+        assert s.validate({"name": "a", "child": {"name": "b", "child": {}}})
+        assert not s.validate({"name": "a", "child": {"name": 1}})
+
+    def test_missing_ref_target_raises(self):
+        # tests.html:583-595 — the reference crashes on a missing target
+        s = Schema({"$ref": "#/$defs/nope"})
+        with pytest.raises(RefResolutionError):
+            s.validate(1)
+
+
+class TestErrorSurface:
+    def test_message_template(self):
+        # README.md:43-45: '"Li" does not match minLength:3'
+        errors = Schema({"minLength": 3}).errors("Li")
+        assert len(errors) == 1
+        assert errors[0].message == '"Li" does not match minLength:3'
+        assert errors[0].schema_stack == ["minLength"]
+        assert errors[0].data_stack == []
+
+    def test_nested_paths(self):
+        schema = {"properties": {"name": {"minLength": 3}}}
+        errors = Schema(schema).errors({"name": "Li"})
+        assert len(errors) == 1
+        assert errors[0].message == '"Li" does not match minLength:3'
+        assert errors[0].schema_stack == ["properties", "name", "minLength"]
+        assert errors[0].data_stack == ["name"]
+
+    def test_false_schema_message(self):
+        errors = Schema({"properties": {"x": False}}).errors({"x": 1})
+        assert len(errors) == 1
+        assert "fails, false-schema at:" in errors[0].message
+
+    def test_required_message(self):
+        errors = Schema({"required": ["foo"]}).errors({})
+        assert len(errors) == 1
+        assert "missing required property" in errors[0].message
+
+    def test_first_error_short_circuit(self):
+        # validate() pulls one generator step (schema.js:59-61): a
+        # multi-violation document still answers False without
+        # materializing every error
+        schema = {"properties": {"a": {"type": "integer"},
+                                 "b": {"type": "integer"}}}
+        v = Validator(Schema(schema))
+        assert not v.validate({"a": "x", "b": "y"})
+        errs = Schema(schema).errors({"a": "x", "b": "y"})
+        assert len(errs) == 2  # errors() materializes all
+
+
+class TestTypeGating:
+    def test_vacuous_keywords(self):
+        # a keyword whose affects mismatches passes (schema.js:199)
+        assert validate({"minLength": 5}, 42)
+        assert validate({"minimum": 100}, "tiny")
+        assert validate({"maxItems": 0}, {"a": 1})
+        assert validate({"required": ["x"]}, "not-an-object")
+        assert validate({"minProperties": 3}, [1])

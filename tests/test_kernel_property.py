@@ -1,0 +1,101 @@
+"""Property-based differential test: random JSON x random schema ⇒
+kernel verdict == jsonschema (spec oracle) verdict — SURVEY.md §5.
+
+Restricted to the spec-aligned keyword subset: regex-dialect-divergent
+``pattern``s, legacy ``dependencies``, and float ``multipleOf`` cases
+(where the reference deliberately diverges) are generated in dialect-
+neutral form or excluded; those divergences are pinned explicitly in
+``suite_cases.py`` instead.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import jsonschema
+from hypothesis import given, settings, strategies as st
+
+from jema_js_spark.kernel.kernel import validate
+
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(10**6), max_value=10**6)
+    | st.floats(allow_nan=False, allow_infinity=False, width=64)
+    | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=4), children, max_size=4),
+    max_leaves=12,
+)
+
+_type_names = st.sampled_from(
+    ["null", "boolean", "number", "integer", "string", "array", "object"])
+
+simple_schemas = st.recursive(
+    st.one_of(
+        st.booleans(),
+        st.fixed_dictionaries({"type": _type_names}),
+        st.fixed_dictionaries({"type": st.lists(_type_names, min_size=1,
+                                                max_size=3, unique=True)}),
+        st.fixed_dictionaries({"minimum": st.integers(-100, 100)}),
+        st.fixed_dictionaries({"maximum": st.integers(-100, 100)}),
+        st.fixed_dictionaries({"exclusiveMinimum": st.integers(-100, 100)}),
+        st.fixed_dictionaries({"exclusiveMaximum": st.integers(-100, 100)}),
+        st.fixed_dictionaries({"multipleOf": st.integers(1, 10)}),
+        st.fixed_dictionaries({"minLength": st.integers(0, 5)}),
+        st.fixed_dictionaries({"maxLength": st.integers(0, 5)}),
+        st.fixed_dictionaries({"minItems": st.integers(0, 4)}),
+        st.fixed_dictionaries({"maxItems": st.integers(0, 4)}),
+        st.fixed_dictionaries({"minProperties": st.integers(0, 3)}),
+        st.fixed_dictionaries({"maxProperties": st.integers(0, 3)}),
+        st.fixed_dictionaries({"uniqueItems": st.booleans()}),
+        st.fixed_dictionaries({"required": st.lists(st.text(max_size=3),
+                                                    max_size=3, unique=True)}),
+        st.fixed_dictionaries({"const": json_values}),
+        st.fixed_dictionaries({"enum": st.lists(json_values, min_size=1,
+                                                max_size=4)}),
+        st.fixed_dictionaries({"pattern": st.sampled_from(
+            ["^a", "b$", "^[0-9]+$", "x", "^$", "a+b*"])}),
+    ),
+    lambda children: st.one_of(
+        st.fixed_dictionaries({"items": children}),
+        st.fixed_dictionaries({"prefixItems": st.lists(children, min_size=1,
+                                                       max_size=3)}),
+        st.fixed_dictionaries({"contains": children}),
+        st.fixed_dictionaries(
+            {"contains": children, "minContains": st.integers(0, 3)}),
+        st.fixed_dictionaries({"properties": st.dictionaries(
+            st.text(max_size=3), children, max_size=3)}),
+        st.fixed_dictionaries({"additionalProperties": children}),
+        st.fixed_dictionaries({"propertyNames": children}),
+        st.fixed_dictionaries({"allOf": st.lists(children, min_size=1,
+                                                 max_size=3)}),
+        st.fixed_dictionaries({"anyOf": st.lists(children, min_size=1,
+                                                 max_size=3)}),
+        st.fixed_dictionaries({"oneOf": st.lists(children, min_size=1,
+                                                 max_size=3)}),
+        st.fixed_dictionaries({"not": children}),
+        st.fixed_dictionaries({"if": children, "then": children,
+                               "else": children}),
+        st.fixed_dictionaries({"dependentRequired": st.dictionaries(
+            st.text(max_size=3),
+            st.lists(st.text(max_size=3), max_size=2), max_size=2)}),
+        st.fixed_dictionaries({"properties": st.dictionaries(
+            st.text(max_size=3), children, max_size=2),
+            "unevaluatedProperties": children}),
+        st.fixed_dictionaries({"prefixItems": st.lists(children, min_size=1,
+                                                       max_size=2),
+                               "unevaluatedItems": children}),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(schema=simple_schemas, value=json_values)
+def test_kernel_matches_spec_oracle(schema, value):
+    expected = jsonschema.Draft202012Validator(
+        copy.deepcopy(schema) if isinstance(schema, dict) else schema
+    ).is_valid(copy.deepcopy(value))
+    got = validate(copy.deepcopy(schema), copy.deepcopy(value))
+    assert got == expected, f"schema={schema} value={value!r}"
