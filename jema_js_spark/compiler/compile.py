@@ -1,0 +1,930 @@
+"""Plane-A columnar compiler: JSON Schema → Catalyst ``Column``
+predicate DAG (SURVEY.md §7.0/§7.3).
+
+Where the reference interprets the schema per document with a recursive
+generator (/root/reference/schema.js:185-338), this compiler runs once
+on the driver and flattens the schema into named boolean ``Column``
+expressions over a typed DataFrame — pure JVM whole-stage-codegen
+predicates, zero Python at runtime.  Keyword subtrees outside the
+vectorizable subset fall back to Plane B: the row kernel executed
+batch-wise inside an Arrow ``pandas_udf`` (never per-row Python UDFs,
+per the input contract).
+
+Typed-column semantics (the relational bridge, SURVEY.md §1.1/§7.4):
+
+- SQL ``NULL`` ⇔ JSON ``null`` *and* "missing" — a flat table cannot
+  distinguish them, and the reference itself treats ``undefined`` as
+  null (schema.js:678).  Hence ``required`` compiles to ``IS NOT
+  NULL`` and ``type: 'null'`` to ``IS NULL``.
+- a keyword whose ``affects`` type cannot match the column's static
+  type is folded to ``TRUE`` at compile time (the columnar analog of
+  the vacuous type-gate at schema.js:199) — constant-folding erases it
+  from the physical plan.
+- non-finite doubles match no JSON type (schema.js:680), so ``type:
+  'number'`` on a double column carries an ``isnan``/infinity guard.
+- ``TimestampType`` columns stand for ``{type: 'string', format:
+  'date-time'}`` strings (the reference's own storage bridge,
+  tools/toSql.js:39-41,105-107).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jema_js_spark.kernel.jstypes import js_to_string
+from jema_js_spark.kernel.regex_js import (
+    UnsupportedRegexError,
+    compile_js_regex,
+    java_regex_or_none,
+)
+from jema_js_spark.schema.frontend import Schema
+
+__all__ = ["SchemaCompiler", "CompiledPlan", "CheckSpec", "ColumnarUnsupported"]
+
+_DOUBLE_INF = float("inf")
+
+
+class ColumnarUnsupported(Exception):
+    """Keyword subtree has no faithful columnar form → Plane B."""
+
+
+@dataclass
+class CheckSpec:
+    """One named constraint — the columnar analog of one reference
+    error site (schema.js:665-674)."""
+
+    name: str                 # e.g. 'properties.url.pattern'
+    keyword: str
+    schema_path: Tuple[Any, ...]
+    data_path: Tuple[Any, ...]
+    schema_value: Any
+    predicate: Column         # True (never NULL) == row passes
+    plane: str                # 'A' (pure Catalyst) or 'B' (Arrow kernel)
+    value_col: Optional[Column] = None  # offending value for messages
+
+    @property
+    def message(self) -> str:
+        # static part of the reference message template (value prefix is
+        # appended columnar-side in the violations projection)
+        return f"does not match {self.keyword}:{js_to_string(self.schema_value)}"
+
+
+@dataclass
+class _TExpr:
+    """A typed value expression during compilation: either the row
+    itself (``is_row``) or a column/lambda expression with its Spark
+    type."""
+
+    col: Optional[Column]
+    dtype: Optional[T.DataType]
+    is_row: bool = False
+    row_fields: Optional[List[T.StructField]] = None
+
+    def json_type(self) -> Optional[str]:
+        """Static JSON type when non-null, per the bridge table
+        (SURVEY.md §1.1)."""
+        if self.is_row:
+            return "object"
+        d = self.dtype
+        if isinstance(d, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType, T.DecimalType)):
+            return "number"
+        if isinstance(d, (T.StringType, T.BinaryType, T.TimestampType,
+                          T.TimestampNTZType, T.DateType)):
+            return "string"
+        if isinstance(d, T.BooleanType):
+            return "boolean"
+        if isinstance(d, T.ArrayType):
+            return "array"
+        if isinstance(d, (T.StructType, T.MapType)):
+            return "object"
+        if isinstance(d, T.NullType):
+            return "null"
+        return None
+
+    def is_integral_type(self) -> bool:
+        return isinstance(self.dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                                       T.LongType))
+
+    def is_float_type(self) -> bool:
+        return isinstance(self.dtype, (T.FloatType, T.DoubleType))
+
+    def null_col(self) -> Column:
+        if self.is_row:
+            return F.lit(False)
+        return self.col.isNull()
+
+    def string_col(self) -> Column:
+        """The value as a JSON-string-semantics column (code points)."""
+        d = self.dtype
+        if isinstance(d, T.BinaryType):
+            return F.decode(self.col, "UTF-8")
+        if isinstance(d, (T.TimestampType, T.TimestampNTZType)):
+            # the storage bridge: timestamp ⇔ RFC3339 date-time string
+            return F.date_format(self.col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if isinstance(d, T.DateType):
+            return F.date_format(self.col, "yyyy-MM-dd")
+        return self.col
+
+    def field_names(self) -> List[str]:
+        if self.is_row:
+            return [f.name for f in self.row_fields]
+        if isinstance(self.dtype, T.StructType):
+            return [f.name for f in self.dtype.fields]
+        raise ColumnarUnsupported("dynamic object shape")
+
+    def field(self, name: str) -> "_TExpr":
+        if self.is_row:
+            for f in self.row_fields:
+                if f.name == name:
+                    return _TExpr(F.col(name), f.dataType)
+            raise KeyError(name)
+        if isinstance(self.dtype, T.StructType):
+            for f in self.dtype.fields:
+                if f.name == name:
+                    return _TExpr(self.col.getField(name), f.dataType)
+            raise KeyError(name)
+        raise ColumnarUnsupported("field access on non-struct")
+
+    def to_json_col(self) -> Column:
+        """JSON serialization for Plane-B handoff (Arrow batch of JSON
+        strings)."""
+        if self.is_row:
+            return F.to_json(F.struct(*[F.col(f.name) for f in self.row_fields]))
+        d = self.dtype
+        if isinstance(d, (T.StructType, T.ArrayType, T.MapType)):
+            return F.to_json(self.col)
+        # scalars: wrap via struct to get proper JSON literals, then strip
+        return F.get_json_object(F.to_json(F.struct(self.col.alias("v"))), "$.v")
+
+
+def _finite(col: Column) -> Column:
+    return (~F.isnan(col)) & (col != F.lit(_DOUBLE_INF)) & (col != F.lit(-_DOUBLE_INF))
+
+
+def _js_round_col(q: Column) -> Column:
+    """JS Math.round as a Column: floor(q), +1 when frac >= 0.5 — exact
+    mirror of jstypes.js_math_round for IEEE doubles."""
+    f = F.floor(q).cast("double")
+    return F.when(q - f < 0.5, f).otherwise(f + 1)
+
+
+class SchemaCompiler:
+    """Compiles one schema against one DataFrame shape.
+
+    ``compile_plan(df)`` returns a :class:`CompiledPlan` of named
+    checks.  Checks are emitted at the same granularity the reference
+    yields errors (one per boolean-validator keyword, composites for
+    combinators), so the violations DataFrame mirrors the reference's
+    error stream (§2.10).
+    """
+
+    def __init__(self, schema, format_assertion: bool = False) -> None:
+        if not isinstance(schema, Schema):
+            schema = Schema(schema)
+        self.schema = schema
+        self.format_assertion = format_assertion
+        self._kernel_fallbacks: List[CheckSpec] = []
+
+    # -- public -----------------------------------------------------------
+    def compile_plan(self, df: DataFrame) -> "CompiledPlan":
+        root = _TExpr(None, None, is_row=True, row_fields=list(df.schema.fields))
+        checks = self._compile_node(self.schema.schema, root, (), (), set())
+        return CompiledPlan(checks=checks, compiler=self)
+
+    # -- recursive compile ------------------------------------------------
+    def _compile_node(self, node: Any, texpr: _TExpr,
+                      spath: Tuple, dpath: Tuple,
+                      ref_stack: frozenset | set) -> List[CheckSpec]:
+        """Compile one schema node into checks; raises
+        ColumnarUnsupported to bubble a subtree to Plane B."""
+        if node is True:
+            return []
+        if node is False:
+            return [CheckSpec("/".join(map(str, spath)) or "$", "false-schema",
+                              spath, dpath, False, F.lit(False), "A")]
+        if not isinstance(node, dict):
+            return []
+
+        checks: List[CheckSpec] = []
+
+        def add(keyword: str, schema_value: Any, pred: Column,
+                extra_path: Tuple = ()) -> None:
+            sp = spath + (keyword,) + extra_path
+            vcol = None if texpr.is_row else texpr.col.cast("string")
+            checks.append(CheckSpec(
+                name=".".join(map(str, sp)),
+                keyword=keyword, schema_path=sp, data_path=dpath,
+                schema_value=schema_value, predicate=pred, plane="A",
+                value_col=vcol))
+
+        def descend_pred(sub: Any, sub_texpr: _TExpr) -> Column:
+            """Valid-predicate of a whole subtree (for combinators)."""
+            sub_checks = self._compile_node(sub, sub_texpr, spath, dpath, ref_stack)
+            return _and_all([c.predicate for c in sub_checks])
+
+        jt = texpr.json_type()
+        is_null = texpr.null_col()
+
+        for keyword, sval in node.items():
+            try:
+                handler = _HANDLERS.get(keyword)
+                if handler is None:
+                    continue
+                handler(self, keyword, sval, node, texpr, jt, is_null,
+                        add, descend_pred, checks, spath, dpath, ref_stack)
+            except ColumnarUnsupported:
+                # Plane-B fallback for this keyword's subtree only: run
+                # the row kernel on the JSON form via Arrow batches
+                checks.append(self._plane_b_check(
+                    {keyword: sval, **_carry_siblings(node, keyword)},
+                    texpr, spath + (keyword,), dpath, sval, keyword))
+        return checks
+
+    # -- Plane-B bridge ---------------------------------------------------
+    def _plane_b_check(self, sub_schema: dict, texpr: _TExpr,
+                       spath: Tuple, dpath: Tuple,
+                       schema_value: Any, keyword: str) -> CheckSpec:
+        from jema_js_spark.validation.kernel_udf import kernel_validate_udf
+
+        udf = kernel_validate_udf(sub_schema,
+                                  remotes=None,
+                                  format_assertion=self.format_assertion)
+        pred = udf(texpr.to_json_col())
+        return CheckSpec(
+            name=".".join(map(str, spath)),
+            keyword=keyword, schema_path=spath, data_path=dpath,
+            schema_value=schema_value,
+            predicate=F.coalesce(pred, F.lit(True)), plane="B")
+
+
+def _carry_siblings(node: dict, keyword: str) -> dict:
+    """Sibling keywords a fallback keyword depends on (e.g. contains
+    needs min/maxContains; if needs then/else; unevaluated* needs the
+    whole applicator context)."""
+    deps = {
+        "contains": ("minContains", "maxContains"),
+        "minContains": ("contains", "maxContains"),
+        "maxContains": ("contains", "minContains"),
+        "if": ("then", "else"),
+        "items": ("prefixItems",),
+        "unevaluatedProperties": ("properties", "patternProperties",
+                                   "additionalProperties", "allOf", "anyOf",
+                                   "oneOf", "not", "if", "then", "else",
+                                   "dependentSchemas", "$ref"),
+        "unevaluatedItems": ("prefixItems", "items", "contains", "allOf",
+                              "anyOf", "oneOf", "not", "if", "then", "else",
+                              "$ref"),
+    }
+    return {k: node[k] for k in deps.get(keyword, ()) if k in node}
+
+
+def _and_all(preds: List[Column]) -> Column:
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _or_all(preds: List[Column]) -> Column:
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# keyword handlers — each emits checks via add() or raises
+# ColumnarUnsupported.  Signature:
+# (compiler, keyword, sval, node, texpr, jt, is_null, add, descend_pred,
+#  checks, spath, dpath, ref_stack)
+# ---------------------------------------------------------------------------
+
+def _h_type(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+            spath, dpath, refs):
+    types = sval if isinstance(sval, list) else [sval]
+    if texpr.is_row:
+        add(kw, sval, F.lit("object" in types))
+        return
+    col = texpr.col
+    # non-null branch
+    ok_nonnull = F.lit(False)
+    matched = False
+    if jt in types:
+        if jt == "number" and texpr.is_float_type():
+            ok_nonnull = _finite(col)   # Infinity/NaN match no type
+        else:
+            ok_nonnull = F.lit(True)
+        matched = True
+    if not matched and "integer" in types and jt == "number":
+        if texpr.is_integral_type():
+            ok_nonnull = F.lit(True)
+        else:
+            ok_nonnull = _finite(col) & (col == F.floor(col))
+        matched = True
+    if not matched and "number" in types and jt == "number":
+        ok_nonnull = _finite(col) if texpr.is_float_type() else F.lit(True)
+    add(kw, sval, F.when(is_null, F.lit("null" in types)).otherwise(ok_nonnull))
+
+
+def _compatible_scalars(values: list, jt: str, texpr: _TExpr) -> Optional[list]:
+    """Enum/const values that could equal a non-null value of this
+    column type under JS strict equality; None → needs Plane B (deep
+    values against a complex column)."""
+    out = []
+    for v in values:
+        if isinstance(v, bool):
+            if jt == "boolean":
+                out.append(v)
+        elif isinstance(v, (int, float)):
+            if jt == "number":
+                out.append(v)
+        elif isinstance(v, str):
+            if jt == "string":
+                out.append(v)
+        elif v is None:
+            continue  # null handled via is_null branch
+        else:
+            if jt in ("object", "array"):
+                return None  # deep compare → Plane B
+            # complex value can never equal a scalar column: ignore
+    return out
+
+
+def _h_enum(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+            spath, dpath, refs):
+    if texpr.is_row:
+        raise ColumnarUnsupported("enum on row")
+    null_ok = any(v is None for v in sval)
+    compat = _compatible_scalars(sval, jt, texpr)
+    if compat is None:
+        raise ColumnarUnsupported("deep enum")
+    ok = texpr.string_col().isin(compat) if jt == "string" and compat else (
+        texpr.col.isin(compat) if compat else F.lit(False))
+    add(kw, sval, F.when(is_null, F.lit(null_ok)).otherwise(ok))
+
+
+def _h_const(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+             spath, dpath, refs):
+    if texpr.is_row:
+        raise ColumnarUnsupported("const on row")
+    if sval is None:
+        add(kw, sval, is_null)
+        return
+    compat = _compatible_scalars([sval], jt, texpr)
+    if compat is None:
+        raise ColumnarUnsupported("deep const")
+    if not compat:
+        add(kw, sval, F.lit(False) | is_null & F.lit(False))
+        return
+    col = texpr.string_col() if jt == "string" else texpr.col
+    add(kw, sval, F.when(is_null, F.lit(False)).otherwise(col == F.lit(compat[0])))
+
+
+def _numeric_gate(texpr, jt, is_null):
+    """Vacuous-pass gate for affects:'number' keywords: null, non-number
+    type, or non-finite double all pass (schema.js:199,680)."""
+    if jt != "number":
+        return None  # statically vacuous
+    gate = is_null
+    if texpr.is_float_type():
+        gate = gate | ~_finite(texpr.col)
+    return gate
+
+
+def _h_bound(op):
+    def h(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+          spath, dpath, refs):
+        if texpr.is_row or jt != "number":
+            add(kw, sval, F.lit(True))
+            return
+        gate = _numeric_gate(texpr, jt, is_null)
+        col = texpr.col.cast("double") if isinstance(texpr.dtype, T.DecimalType) else texpr.col
+        add(kw, sval, gate | op(col, F.lit(sval)))
+    return h
+
+
+def _h_multiple_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+                   spath, dpath, refs):
+    if texpr.is_row or jt != "number":
+        add(kw, sval, F.lit(True))
+        return
+    gate = _numeric_gate(texpr, jt, is_null)
+    v = texpr.col.cast("double")
+    q = v / F.lit(float(sval))
+    # exact columnar replica of schema.js:462-468 (JS Math.round, not
+    # banker's rounding — SURVEY.md §7.4)
+    ok = _finite(q) & (q * F.lit(float(sval)) == _js_round_col(q) * F.lit(float(sval)))
+    add(kw, sval, gate | ok)
+
+
+def _string_gate(texpr, jt, is_null):
+    if jt != "string":
+        return None
+    return is_null
+
+
+def _h_strlen(op):
+    def h(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+          spath, dpath, refs):
+        if texpr.is_row or jt != "string":
+            add(kw, sval, F.lit(True))
+            return
+        add(kw, sval, is_null | op(F.length(texpr.string_col()), F.lit(sval)))
+    return h
+
+
+def _h_pattern(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+               spath, dpath, refs):
+    if texpr.is_row or jt != "string":
+        add(kw, sval, F.lit(True))
+        return
+    jre = java_regex_or_none(sval)
+    if jre is None:
+        raise ColumnarUnsupported(f"regex outside Java-safe subset: {sval!r}")
+    add(kw, sval, is_null | texpr.string_col().rlike(jre))
+
+
+# regex-shaped format assertions reusable as rlike (schema.js:513,516-518)
+_FORMAT_REGEX = {
+    "uuid": r"^[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$",
+    "json-pointer": r"^(?:/(?:[^~/]|~0|~1)*)*$",
+    "relative-json-pointer": r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)$",
+    "uri-template": r"^(?:[^{}]|\{[^{}]+\})*$",
+    "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$",
+    "date": r"^\d{4}-\d{2}-\d{2}$",
+}
+
+
+def _h_format(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+              spath, dpath, refs):
+    if not c.format_assertion or texpr.is_row or jt != "string":
+        # annotation-only default — parity with the shipped reference
+        # (hard `return true`, schema.js:499)
+        add(kw, sval, F.lit(True))
+        return
+    if isinstance(texpr.dtype, (T.TimestampType, T.TimestampNTZType)) and \
+            sval == "date-time":
+        add(kw, sval, F.lit(True))  # typed storage is a valid date-time by construction
+        return
+    if sval in _FORMAT_REGEX:
+        add(kw, sval, is_null | texpr.string_col().rlike(_FORMAT_REGEX[sval]))
+        return
+    if sval == "date-time":
+        s = texpr.string_col()
+        add(kw, sval, is_null | (
+            s.rlike(r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$")
+            & F.to_timestamp(F.regexp_replace(s, r"[Zz]$", "+00:00"),
+                             "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX").isNotNull()))
+        return
+    raise ColumnarUnsupported(f"format {sval} needs the kernel")
+
+
+def _h_required(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+                spath, dpath, refs):
+    if jt != "object":
+        add(kw, sval, F.lit(True))
+        return
+    names = set(texpr.field_names())
+    for i, prop in enumerate(sval):
+        if prop in names:
+            # relational bridge: presence == NOT NULL (see module doc)
+            pred = texpr.field(prop).col.isNotNull()
+            if not texpr.is_row:
+                pred = is_null | pred
+        else:
+            pred = F.lit(False) if texpr.is_row else is_null
+        add(kw, prop, pred, extra_path=(i,))
+
+
+def _wrap_vacuous(sub_checks: List[CheckSpec], gate: Column) -> List[CheckSpec]:
+    """Gate child checks to pass vacuously (absent key / null parent —
+    the relational bridge, module docstring)."""
+    return [CheckSpec(s.name, s.keyword, s.schema_path, s.data_path,
+                      s.schema_value, gate | s.predicate, s.plane, s.value_col)
+            for s in sub_checks]
+
+
+def _child_gate(texpr: _TExpr, is_null, child: _TExpr) -> Column:
+    # NULL column ⇔ key absent ⇒ property subschema is never applied
+    # (mirror of the present-key loop, schema.js:237-254); a NULL parent
+    # struct likewise has no keys at all
+    gate = child.null_col()
+    if not texpr.is_row:
+        gate = gate | is_null
+    return gate
+
+
+def _h_properties(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+                  spath, dpath, refs):
+    if jt != "object":
+        return
+    names = set(texpr.field_names())
+    for prop, sub in sval.items():
+        if prop not in names:
+            continue  # key can never be present → vacuous
+        child = texpr.field(prop)
+        sub_checks = c._compile_node(sub, child,
+                                     spath + ("properties", prop),
+                                     dpath + (prop,), refs)
+        checks.extend(_wrap_vacuous(sub_checks, _child_gate(texpr, is_null, child)))
+
+
+def _h_pattern_properties(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                          checks, spath, dpath, refs):
+    if jt != "object":
+        return
+    # static key set: expand regex matches at compile time with the JS
+    # dialect (schema.js:255-269)
+    for pattern, sub in sval.items():
+        try:
+            rx = compile_js_regex(pattern)
+        except UnsupportedRegexError as exc:
+            raise ColumnarUnsupported(str(exc)) from exc
+        for prop in texpr.field_names():
+            if rx.search(prop):
+                child = texpr.field(prop)
+                sub_checks = c._compile_node(
+                    sub, child, spath + ("patternProperties", pattern),
+                    dpath + (prop,), refs)
+                checks.extend(_wrap_vacuous(sub_checks,
+                                            _child_gate(texpr, is_null, child)))
+
+
+def _matched_keys(node: dict, texpr: _TExpr) -> set:
+    """Keys claimed by properties/patternProperties on a static shape."""
+    claimed = set()
+    props = node.get("properties")
+    if isinstance(props, dict):
+        claimed |= set(props.keys())
+    pprops = node.get("patternProperties")
+    if isinstance(pprops, dict):
+        for pattern in pprops:
+            rx = compile_js_regex(pattern)
+            claimed |= {p for p in texpr.field_names() if rx.search(p)}
+    return claimed
+
+
+def _h_additional_properties(c, kw, sval, node, texpr, jt, is_null, add,
+                             descend, checks, spath, dpath, refs):
+    if jt != "object":
+        return
+    claimed = _matched_keys(node, texpr)
+    for prop in texpr.field_names():
+        if prop in claimed:
+            continue
+        child = texpr.field(prop)
+        if sval is False:
+            # presence of an unclaimed field (non-null under the
+            # relational bridge) is a violation
+            pred = child.col.isNull()
+            if not texpr.is_row:
+                pred = is_null | pred
+            add(kw, False, pred, extra_path=(prop,))
+        else:
+            sub_checks = c._compile_node(
+                sval, child, spath + ("additionalProperties",),
+                dpath + (prop,), refs)
+            checks.extend(_wrap_vacuous(sub_checks,
+                                        _child_gate(texpr, is_null, child)))
+
+
+def _h_property_names(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                      checks, spath, dpath, refs):
+    if jt != "object":
+        add(kw, sval, F.lit(True))
+        return
+    # static keys: evaluate the subschema against each literal name on
+    # the driver with the kernel — free at runtime
+    from jema_js_spark.kernel.kernel import validate as kernel_validate
+    bad = [p for p in texpr.field_names()
+           if not kernel_validate(sval if isinstance(sval, (dict, bool)) else {},
+                                  p)]
+    if not bad:
+        add(kw, sval, F.lit(True))
+        return
+    # a statically-bad name only violates when the field is "present"
+    preds = [texpr.field(p).col.isNull() for p in bad]
+    pred = _and_all(preds)
+    if not texpr.is_row:
+        pred = is_null | pred
+    add(kw, sval, pred)
+
+
+def _h_prop_count(op):
+    def h(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+          spath, dpath, refs):
+        if jt != "object":
+            add(kw, sval, F.lit(True))
+            return
+        cnt = None
+        for p in texpr.field_names():
+            term = texpr.field(p).col.isNotNull().cast("int")
+            cnt = term if cnt is None else cnt + term
+        if cnt is None:
+            cnt = F.lit(0)
+        pred = op(cnt, F.lit(sval))
+        if not texpr.is_row:
+            pred = is_null | pred
+        add(kw, sval, pred)
+    return h
+
+
+def _h_dependent_required(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                          checks, spath, dpath, refs):
+    if jt != "object":
+        add(kw, sval, F.lit(True))
+        return
+    names = set(texpr.field_names())
+
+    def present(p):
+        return texpr.field(p).col.isNotNull() if p in names else F.lit(False)
+
+    preds = []
+    for prop, reqs in sval.items():
+        trigger = present(prop)
+        need = _and_all([present(r) for r in reqs])
+        preds.append(~trigger | need)
+    pred = _and_all(preds)
+    if not texpr.is_row:
+        pred = is_null | pred
+    add(kw, sval, pred)
+
+
+def _h_dependent_schemas(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                         checks, spath, dpath, refs):
+    if jt != "object":
+        add(kw, sval, F.lit(True))
+        return
+    names = set(texpr.field_names())
+    for prop, sub in sval.items():
+        trigger = (texpr.field(prop).col.isNotNull()
+                   if prop in names else F.lit(False))
+        sub_pred = descend(sub, texpr)
+        pred = ~trigger | sub_pred
+        if not texpr.is_row:
+            pred = is_null | pred
+        add(kw, prop, pred, extra_path=(prop,))
+
+
+def _h_dependencies(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                    checks, spath, dpath, refs):
+    if jt != "object":
+        add(kw, sval, F.lit(True))
+        return
+    for prop, dep in sval.items():
+        if isinstance(dep, list):
+            _h_dependent_required(c, kw, {prop: dep}, node, texpr, jt, is_null,
+                                  add, descend, checks, spath, dpath, refs)
+        else:
+            _h_dependent_schemas(c, kw, {prop: dep}, node, texpr, jt, is_null,
+                                 add, descend, checks, spath, dpath, refs)
+
+
+# -- arrays ------------------------------------------------------------------
+
+def _array_gate(texpr, jt, is_null):
+    if jt != "array":
+        return None
+    return is_null
+
+
+def _h_arrlen(op):
+    def h(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+          spath, dpath, refs):
+        if texpr.is_row or jt != "array":
+            add(kw, sval, F.lit(True))
+            return
+        add(kw, sval, is_null | op(F.size(texpr.col), F.lit(sval)))
+    return h
+
+
+def _elem_pred_fn(c, sub: Any, elem_type: T.DataType, spath, dpath, refs
+                  ) -> Callable[[Column], Column]:
+    def fn(x: Column) -> Column:
+        sub_checks = c._compile_node(sub, _TExpr(x, elem_type), spath, dpath, refs)
+        if any(s.plane == "B" for s in sub_checks):
+            raise ColumnarUnsupported("kernel check inside array lambda")
+        return _and_all([s.predicate for s in sub_checks])
+    return fn
+
+
+def _h_items(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+             spath, dpath, refs):
+    if texpr.is_row or jt != "array":
+        return
+    elem_t = texpr.dtype.elementType
+    prefix = node.get("prefixItems")
+    n_prefix = len(prefix) if isinstance(prefix, list) else 0
+    fn = _elem_pred_fn(c, sval, elem_t, spath + ("items",), dpath, refs)
+    tail = F.slice(texpr.col, n_prefix + 1,
+                   F.greatest(F.size(texpr.col) - n_prefix, F.lit(0))) \
+        if n_prefix else texpr.col
+    add(kw, sval, is_null | F.forall(tail, fn))
+
+
+def _h_prefix_items(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                    checks, spath, dpath, refs):
+    if texpr.is_row or jt != "array":
+        return
+    elem_t = texpr.dtype.elementType
+    preds = []
+    for i, sub in enumerate(sval):
+        if sub is None:
+            continue
+        fn = _elem_pred_fn(c, sub, elem_t, spath + ("prefixItems", i), dpath, refs)
+        # try_element_at: ANSI-safe — boolean OR does not short-circuit
+        # evaluation, so a plain element_at would throw out-of-bounds
+        preds.append((F.size(texpr.col) <= i)
+                     | fn(F.try_element_at(texpr.col, F.lit(i + 1))))
+    add(kw, sval, is_null | _and_all(preds))
+
+
+def _h_contains(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+                spath, dpath, refs):
+    if texpr.is_row or jt != "array":
+        return
+    elem_t = texpr.dtype.elementType
+    fn = _elem_pred_fn(c, sval, elem_t, spath + ("contains",), dpath, refs)
+    n = F.size(F.filter(texpr.col, fn))
+    min_c = node.get("minContains", 1)
+    max_c = node.get("maxContains")
+    pred = n >= F.lit(min_c)
+    if max_c is not None:
+        pred = pred & (n <= F.lit(max_c))
+    add(kw, sval, is_null | pred)
+
+
+def _h_min_max_contains(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                        checks, spath, dpath, refs):
+    # folded into _h_contains; only meaningful when contains present
+    if "contains" not in node:
+        add(kw, sval, F.lit(True))
+
+
+def _h_unique_items(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                    checks, spath, dpath, refs):
+    if texpr.is_row or jt != "array" or not sval:
+        add(kw, sval, F.lit(True))
+        return
+    col = texpr.col
+    # array_distinct compares structurally (struct field order is fixed
+    # by the schema, so key-order insensitivity is inherent); NaN==NaN
+    # in Spark matches JS SameValueZero (schema.js:539-551)
+    add(kw, sval, is_null | (F.size(F.array_distinct(col)) == F.size(col)))
+
+
+# -- combinators -------------------------------------------------------------
+
+def _h_all_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+              spath, dpath, refs):
+    for i, sub in enumerate(sval):
+        sub_checks = c._compile_node(sub, texpr, spath + ("allOf", i), dpath, refs)
+        checks.extend(sub_checks)
+
+
+def _h_any_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+              spath, dpath, refs):
+    add(kw, sval, _or_all([descend(sub, texpr) for sub in sval]))
+
+
+def _h_one_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+              spath, dpath, refs):
+    count = None
+    for sub in sval:
+        term = descend(sub, texpr).cast("int")
+        count = term if count is None else count + term
+    add(kw, sval, (count if count is not None else F.lit(0)) == F.lit(1))
+
+
+def _h_not(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+           spath, dpath, refs):
+    add(kw, sval, ~descend(sval, texpr))
+
+
+def _h_if(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+          spath, dpath, refs):
+    p_if = descend(sval, texpr)
+    p_then = descend(node["then"], texpr) if node.get("then") is not None and "then" in node else F.lit(True)
+    p_else = descend(node["else"], texpr) if node.get("else") is not None and "else" in node else F.lit(True)
+    add(kw, sval, F.when(p_if, p_then).otherwise(p_else))
+
+
+def _h_ref(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
+           spath, dpath, refs):
+    target = c.schema.registry.ref_targets.get(id(node))
+    if target is None:
+        raise ColumnarUnsupported(f"unresolved $ref {sval}")
+    if id(node) in refs:
+        raise ColumnarUnsupported(f"cyclic $ref {sval}")
+    checks.extend(c._compile_node(target, texpr, spath + ("$ref",), dpath,
+                                  refs | {id(node)}))
+
+
+def _h_dynamic_ref(c, kw, sval, node, texpr, jt, is_null, add, descend,
+                   checks, spath, dpath, refs):
+    raise ColumnarUnsupported("$dynamicRef is inherently runtime-scoped")
+
+
+def _h_unsupported(reason):
+    def h(*a, **k):
+        raise ColumnarUnsupported(reason)
+    return h
+
+
+_HANDLERS: Dict[str, Callable] = {
+    "type": _h_type,
+    "enum": _h_enum,
+    "const": _h_const,
+    "minimum": _h_bound(lambda col, lit: col >= lit),
+    "maximum": _h_bound(lambda col, lit: col <= lit),
+    "exclusiveMinimum": _h_bound(lambda col, lit: col > lit),
+    "exclusiveMaximum": _h_bound(lambda col, lit: col < lit),
+    "multipleOf": _h_multiple_of,
+    "minLength": _h_strlen(lambda n, lit: n >= lit),
+    "maxLength": _h_strlen(lambda n, lit: n <= lit),
+    "pattern": _h_pattern,
+    "format": _h_format,
+    "required": _h_required,
+    "properties": _h_properties,
+    "patternProperties": _h_pattern_properties,
+    "additionalProperties": _h_additional_properties,
+    "propertyNames": _h_property_names,
+    "minProperties": _h_prop_count(lambda n, lit: n >= lit),
+    "maxProperties": _h_prop_count(lambda n, lit: n <= lit),
+    "dependentRequired": _h_dependent_required,
+    "dependentSchemas": _h_dependent_schemas,
+    "dependencies": _h_dependencies,
+    "minItems": _h_arrlen(lambda n, lit: n >= lit),
+    "maxItems": _h_arrlen(lambda n, lit: n <= lit),
+    "items": _h_items,
+    "prefixItems": _h_prefix_items,
+    "contains": _h_contains,
+    "minContains": _h_min_max_contains,
+    "maxContains": _h_min_max_contains,
+    "uniqueItems": _h_unique_items,
+    "allOf": _h_all_of,
+    "anyOf": _h_any_of,
+    "oneOf": _h_one_of,
+    "not": _h_not,
+    "if": _h_if,
+    "$ref": _h_ref,
+    "$dynamicRef": _h_dynamic_ref,
+    "unevaluatedProperties": _h_unsupported("unevaluatedProperties needs evaluated-set tracking"),
+    "unevaluatedItems": _h_unsupported("unevaluatedItems needs evaluated-set tracking"),
+}
+
+
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompiledPlan:
+    """The compiled constraint DAG over one DataFrame shape."""
+
+    checks: List[CheckSpec]
+    compiler: SchemaCompiler
+
+    def valid_column(self) -> Column:
+        return _and_all([c.predicate for c in self.checks])
+
+    def coverage(self) -> Dict[str, Any]:
+        """Plane-A share — regressions to Plane B must be visible
+        (SURVEY.md §7.0)."""
+        a = sum(1 for c in self.checks if c.plane == "A")
+        b = sum(1 for c in self.checks if c.plane == "B")
+        return {"plane_a_checks": a, "plane_b_checks": b,
+                "plane_a_fraction": a / max(a + b, 1),
+                "plane_b_names": [c.name for c in self.checks if c.plane == "B"]}
+
+    def with_valid(self, df: DataFrame, col_name: str = "valid") -> DataFrame:
+        return df.withColumn(col_name, self.valid_column())
+
+    def violations_struct(self) -> Column:
+        """array<struct> of failed checks for a row — explode downstream
+        (mirror of the reference's error stream, §2.10)."""
+        elems = []
+        for c in self.checks:
+            value_str = (F.coalesce(F.concat(F.lit('"'), c.value_col, F.lit('"')),
+                                    F.lit("object"))
+                         if c.value_col is not None else F.lit("object"))
+            elems.append(F.when(~c.predicate, F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.keyword).alias("keyword"),
+                F.lit(json.dumps(list(c.schema_path))).alias("schema_path"),
+                F.lit(json.dumps(list(c.data_path))).alias("data_path"),
+                F.lit(js_to_string(c.schema_value)).alias("schema_value"),
+                # reference message template: `<value> does not match
+                # <keyword>:<schemaValue>` (schema.js:665-674)
+                F.concat(value_str, F.lit(" " + c.message)).alias("message"),
+            )))
+        return F.filter(F.array(*elems), lambda x: x.isNotNull()) if elems else F.array()

@@ -109,8 +109,17 @@ class Validator:
         self.evaluated: Dict[int, set] = {}
         self.stop_collecting = False  # schema.js:183
 
+    def _reset(self) -> None:
+        # Fresh per-call state.  Unlike the JS WeakMap (whose keys die
+        # with the objects), id()-keyed entries could collide once a
+        # prior document's dicts are freed and their addresses reused —
+        # a real hazard when one Validator streams a whole Arrow batch.
+        self.evaluated = {}
+        self.stop_collecting = False
+
     # -- public API (schema.js:59-73) ------------------------------------
     def validate(self, value: Any) -> bool:
+        self._reset()
         old = sys.getrecursionlimit()
         try:
             if old < _RECURSION_LIMIT:
@@ -123,6 +132,7 @@ class Validator:
             sys.setrecursionlimit(old)
 
     def iter_errors(self, value: Any) -> Iterator[ValidationError]:
+        self._reset()
         self.schema_stack = []
         self.data_stack = []
         gen = self._errors(value, self.root.schema, (self.root,))

@@ -1,0 +1,43 @@
+"""SparkSession helpers tuned for the engine's execution profile.
+
+Defaults follow the scale guidance in SURVEY.md §3.5/§4: AQE on (skew
+split + partition coalescing), Arrow transport for the Plane-B pandas
+UDF path, UTC session time so DuckDB oracle comparisons are stable,
+and shuffle parallelism sized to the local core count rather than the
+200-partition default (wrong at both ends, see pyspark guide).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "jema_js_spark",
+                  master: str | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra_conf: dict | None = None) -> SparkSession:
+    cores = os.cpu_count() or 4
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', cores)}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = int(master.split("[")[1].rstrip("]*"))
+        except (IndexError, ValueError):
+            shuffle_partitions = cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,122 @@
+"""Plane-B execution: the row kernel inside Arrow-batched pandas UDFs.
+
+The input contract mandates "vectorized pandas/Arrow UDFs (no per-row
+Python)" — transport is always Arrow batches; the kernel walks each
+JSON document within a batch with one pre-compiled ``Validator`` per
+executor (the reference re-derefs nothing per call either — its
+compiled form is the deref'd tree, schema.js:103-126).
+
+Executor-side caching: schemas ship as JSON in the UDF closure and are
+compiled once per (schema, remotes) key per Python worker, so a
+100-executor cluster compiles each schema at most once per worker
+process, not per batch.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["kernel_validate_udf", "kernel_error_count_udf"]
+
+# per-Python-worker compiled-schema cache
+_VALIDATOR_CACHE: Dict[str, Any] = {}
+
+
+def _get_validator(schema_json: str, remotes_json: Optional[str],
+                   format_assertion: bool):
+    key = f"{format_assertion}|{remotes_json or ''}|{schema_json}"
+    v = _VALIDATOR_CACHE.get(key)
+    if v is None:
+        from jema_js_spark.kernel.kernel import Validator
+        from jema_js_spark.schema.frontend import Schema, SchemaRegistry
+
+        registry = SchemaRegistry()
+        if remotes_json:
+            for url, doc in json.loads(remotes_json).items():
+                registry.add_document(url, doc)
+        schema = Schema(json.loads(schema_json), registry=registry)
+        v = Validator(schema, format_assertion=format_assertion)
+        _VALIDATOR_CACHE[key] = v
+    return v
+
+
+def kernel_validate_udf(schema: Any, remotes: Optional[dict] = None,
+                        format_assertion: bool = False):
+    """Boolean pandas UDF: validates a column of JSON strings against
+    ``schema`` with full draft 2020-12 kernel semantics.
+
+    SQL NULL input validates as JSON ``null`` (the undefined≈null
+    bridge, schema.js:678).  Rows that exceed the kernel depth limit or
+    hit an unresolvable ref count as invalid rather than failing the
+    task."""
+    schema_json = json.dumps(schema)
+    remotes_json = json.dumps(remotes) if remotes else None
+
+    @pandas_udf("boolean")
+    def _validate(s: pd.Series) -> pd.Series:
+        v = _get_validator(schema_json, remotes_json, format_assertion)
+
+        def one(x):
+            try:
+                value = None if x is None else json.loads(x)
+            except (TypeError, ValueError):
+                return False
+            try:
+                return v.validate(value)
+            except Exception:
+                return False
+
+        return s.map(one).astype("boolean")
+
+    return _validate
+
+
+def kernel_validate_pair_udf(remotes: Optional[dict] = None,
+                             format_assertion: bool = False):
+    """Boolean pandas UDF over (schema_json, data_json) column pairs —
+    the suite-fixture evaluation path (FIXTURES.md §1): thousands of
+    distinct schemas validated in ONE job, schemas compiled once per
+    worker via the executor cache instead of one Spark job per schema."""
+    remotes_json = json.dumps(remotes) if remotes else None
+
+    @pandas_udf("boolean")
+    def _validate(schemas: pd.Series, datas: pd.Series) -> pd.Series:
+        out = []
+        for schema_json, data_json in zip(schemas, datas):
+            try:
+                v = _get_validator(schema_json, remotes_json, format_assertion)
+                value = None if data_json is None else json.loads(data_json)
+                out.append(v.validate(value))
+            except Exception:
+                out.append(False)
+        return pd.Series(out, dtype="boolean")
+
+    return _validate
+
+
+def kernel_error_count_udf(schema: Any, remotes: Optional[dict] = None,
+                           format_assertion: bool = False):
+    """Int pandas UDF: number of violations per JSON document (the
+    errors()-materializing twin of :func:`kernel_validate_udf`)."""
+    schema_json = json.dumps(schema)
+    remotes_json = json.dumps(remotes) if remotes else None
+
+    @pandas_udf("int")
+    def _count(s: pd.Series) -> pd.Series:
+        v = _get_validator(schema_json, remotes_json, format_assertion)
+
+        def one(x):
+            try:
+                value = None if x is None else json.loads(x)
+                return len(list(v.iter_errors(value)))
+            except Exception:
+                return -1
+
+        return s.map(one).astype("int32")
+
+    return _count

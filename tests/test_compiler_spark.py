@@ -1,0 +1,190 @@
+"""Differential correctness gate for the Plane-A columnar compiler:
+for every (schema, row), the compiled Column predicate must agree with
+the row kernel (the semantic anchor) under the relational bridge
+(SQL NULL ⇔ JSON null/missing — compiler module docstring).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jema_js_spark.compiler.compile import SchemaCompiler
+from jema_js_spark.kernel.kernel import Validator
+from jema_js_spark.schema.frontend import Schema
+from jema_js_spark.validation.engine import (
+    partition_verdicts,
+    violation_rows,
+    with_valid,
+)
+
+ROWS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("flag", T.BooleanType()),
+    T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("nums", T.ArrayType(T.DoubleType())),
+    T.StructField("meta", T.StructType([
+        T.StructField("zip", T.StringType()),
+        T.StructField("depth", T.LongType()),
+    ])),
+])
+
+ROWS = [
+    (0, "https://a.example/x", "hello world", "en", 0.5, 3, True,
+     ["a", "b"], [1.0, 2.0], ("8000", 2)),
+    (1, "ftp://bad/x", "", "xx", -1.5, 100, False, [], [1.0, 1.0], ("80", None)),
+    (2, None, None, None, None, None, None, None, None, None),
+    (3, "https://b.example/y", "short", "de", float("nan"), 7, True,
+     ["a", "a"], [2.5], ("9999", 1)),
+    (4, "https://c.example/z", "x" * 50, "fr", float("inf"), -2, False,
+     ["z"], [3.0, 4.0, 5.5], (None, 0)),
+    (5, "https://d.example/w", "emoji \U0001F600 text", "es", 2.0, 0, True,
+     ["b", "c", "b"], [], ("1234", 9)),
+]
+
+SCHEMAS = [
+    {"type": "object"},
+    {"required": ["url", "text", "lang"]},
+    {"properties": {"url": {"type": "string", "maxLength": 30,
+                             "pattern": "^https?://"}}},
+    {"properties": {"text": {"type": "string", "minLength": 1}}},
+    {"properties": {"lang": {"enum": ["en", "de", "fr", "es"]}}},
+    {"properties": {"score": {"type": "number", "minimum": 0}}},
+    {"properties": {"score": {"type": "integer"}}},
+    {"properties": {"n": {"type": "integer", "multipleOf": 3,
+                           "exclusiveMinimum": -5, "maximum": 50}}},
+    {"properties": {"flag": {"type": "boolean", "const": True}}},
+    {"properties": {"tags": {"type": "array", "minItems": 1, "maxItems": 2,
+                              "uniqueItems": True,
+                              "items": {"type": "string", "minLength": 1}}}},
+    {"properties": {"nums": {"contains": {"minimum": 2}, "minContains": 1,
+                              "maxContains": 2}}},
+    {"properties": {"nums": {"prefixItems": [{"minimum": 1.5}],
+                              "items": {"maximum": 5}}}},
+    {"properties": {"meta": {"type": "object",
+                              "properties": {"zip": {"minLength": 4}},
+                              "required": ["zip"]}}},
+    {"properties": {"meta": {"minProperties": 2}}},
+    {"dependentRequired": {"url": ["lang"]}},
+    {"dependentSchemas": {"url": {"required": ["text"]}}},
+    {"anyOf": [{"properties": {"lang": {"const": "en"}}, "required": ["lang"]},
+               {"properties": {"n": {"minimum": 50}}, "required": ["n"]}]},
+    {"oneOf": [{"required": ["url"]}, {"required": ["score"]}]},
+    {"not": {"properties": {"lang": {"const": "xx"}}, "required": ["lang"]}},
+    {"if": {"properties": {"lang": {"const": "en"}}, "required": ["lang"]},
+     "then": {"properties": {"n": {"minimum": 0}}},
+     "else": {"properties": {"n": {"maximum": 10}}}},
+    {"$defs": {"u": {"type": "string", "pattern": "^https://"}},
+     "properties": {"url": {"$ref": "#/$defs/u"}}},
+    {"allOf": [{"required": ["id"]},
+               {"properties": {"id": {"minimum": 0}}}]},
+    {"properties": {"lang": {"enum": ["en", None]}}},
+    {"properties": {"lang": {"type": ["string", "null"]}}},
+    {"propertyNames": {"minLength": 1}},
+    {"propertyNames": {"maxLength": 3}},
+    {"maxProperties": 9},
+    {"minProperties": 10},
+    # Plane-B fallbacks (still must match the kernel)
+    {"properties": {"meta": {"unevaluatedProperties": False,
+                              "properties": {"zip": {}}}}},
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {}, "score": {},
+                     "n": {}, "flag": {}, "tags": {}, "nums": {}, "meta": {}}},
+]
+
+
+def _row_to_json_value(row: Row, schema: T.StructType):
+    """Row → plain JSON value under the relational bridge: NULL struct
+    fields are *absent* keys; NULL array elements stay JSON null."""
+    def conv(value, dtype):
+        if value is None:
+            return None
+        if isinstance(dtype, T.StructType):
+            out = {}
+            for f in dtype.fields:
+                v = conv(value[f.name], f.dataType)
+                if v is not None:
+                    out[f.name] = v
+            return out
+        if isinstance(dtype, T.ArrayType):
+            return [conv(v, dtype.elementType) for v in value]
+        if isinstance(dtype, T.TimestampType):
+            return value.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if isinstance(dtype, T.BinaryType):
+            return bytes(value).decode("utf-8")
+        return value
+
+    return conv(row.asDict(recursive=False), schema) or {}
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, ROWS_SCHEMA)
+
+
+@pytest.mark.parametrize("i", range(len(SCHEMAS)))
+def test_columnar_matches_kernel(spark, df, i):
+    schema_dict = SCHEMAS[i]
+    out = with_valid(df, schema_dict).select("id", "valid").collect()
+    got = {r["id"]: r["valid"] for r in out}
+
+    v = Validator(Schema(dict(schema_dict)))
+    rows = df.collect()
+    for row in rows:
+        value = _row_to_json_value(row, ROWS_SCHEMA)
+        expected = v.validate(value)
+        assert got[row["id"]] == expected, (
+            f"schema={schema_dict}\nrow id={row['id']} value={value}\n"
+            f"columnar={got[row['id']]} kernel={expected}")
+
+
+def test_violation_rows_shape(spark, df):
+    schema = {"required": ["url", "text"],
+              "properties": {"url": {"pattern": "^https?://"},
+                              "text": {"minLength": 1}}}
+    viol = violation_rows(df, schema, id_cols=["id"])
+    rows = viol.collect()
+    assert all({"check", "keyword", "schema_path", "data_path",
+                "schema_value", "message"} <= set(r.asDict()) for r in rows)
+    # row 1: ftp url (pattern) + empty text (minLength); row 2: both required
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], set()).add(r["keyword"])
+    assert by_id[1] == {"pattern", "minLength"}
+    assert by_id[2] == {"required"}
+    msgs = {r["message"] for r in rows if r["id"] == 1}
+    assert '"ftp://bad/x" does not match pattern:^https?://' in msgs
+
+
+def test_partition_verdicts(spark, df):
+    schema = {"required": ["url"]}
+    verdicts = partition_verdicts(df.repartition(3), schema).collect()
+    assert sum(r["n_rows"] for r in verdicts) == len(ROWS)
+    assert sum(r["n_invalid"] for r in verdicts) == 1  # row 2 only
+
+
+def test_plane_coverage_flagship(spark, df):
+    """The flagship page contract must be 100% Plane A (SURVEY.md §7.2)."""
+    flagship = {
+        "type": "object",
+        "required": ["url", "text", "lang"],
+        "properties": {
+            "url": {"type": "string", "maxLength": 2048, "pattern": "^https?://"},
+            "text": {"type": "string", "minLength": 1},
+            "lang": {"enum": ["en", "de", "fr", "es", "it", "pt", "nl", "unknown"]},
+        },
+    }
+    plan = SchemaCompiler(flagship).compile_plan(df)
+    cov = plan.coverage()
+    assert cov["plane_b_checks"] == 0, cov
+    assert cov["plane_a_fraction"] == 1.0
