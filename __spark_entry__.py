@@ -1,10 +1,16 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the jema_js_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: schema-validate the Common-Crawl-style pages
+              table derived from sf0.001 documents; per-partition
+              verdict rows.
+``queries`` — one entry per implemented operator from SURVEY.md §2
+              (validation keywords, x_unique/x_foreign dataset checks,
+              stats, drift, dedup, text analysis, similarity), each a
+              DataFrame program built on the engine's modules.
+``oracle_sql`` — DuckDB twins for every SQL-expressible query; kernel-
+              or sketch-backed ops (JSON documents via $ref remotes,
+              approximate KS, MinHash/SimHash pairs, IVF ANN) are
+              rows-only by design.
 """
 
 from __future__ import annotations
@@ -12,27 +18,399 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+LANGS = ["en", "de", "fr", "es", "it", "pt", "nl"]
+
+PAGE_CONTRACT = {
+    "type": "object",
+    "required": ["url", "warc_ts", "text", "lang"],
+    "properties": {
+        "url": {"type": "string", "maxLength": 2048, "pattern": "^https?://"},
+        "text": {"type": "string", "minLength": 1},
+        "lang": {"enum": ["en", "de", "fr", "es", "it", "pt", "nl", "unknown"]},
+    },
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _doc_valid(schema: dict):
+    """(spark, sf_dir) → (doc_id, valid) through the columnar compiler."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from jema_js_spark.validation.engine import with_valid
+
+        return with_valid(_docs(spark, sf_dir), schema).select("doc_id", "valid")
+    return run
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn(
+        "toks", F.split(F.trim(F.col("text")), r"\s+"))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate the derived pages table against the page
+    contract; return per-day verdict rows (the checkpoint/lineage
+    unit)."""
+    from jema_js_spark.sources.pages import pages_from_documents
+    from jema_js_spark.validation.engine import partition_verdicts, with_valid
 
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "url",
+        F.timestamp_seconds("warc_epoch").alias("warc_ts"),
+        "text", "lang")
+    valid = with_valid(pages, PAGE_CONTRACT)
+    return partition_verdicts(
+        valid, partition_col=F.to_date("warc_ts")).orderBy("partition_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jema_js_spark.operators.dedup import (
+        exact_dedup, minhash_candidates, simhash_candidates)
+    from jema_js_spark.operators.drift import ks_two_sample
+    from jema_js_spark.operators.referential import fk_violations, ts_window_violations
+    from jema_js_spark.operators.similarity import (
+        brute_force_topk, fit_centroids, ivf_assign, ivf_topk)
+    from jema_js_spark.operators.stats import column_stats
+    from jema_js_spark.operators.text import (
+        lang_id_expr, quality_score, token_count)
+    from jema_js_spark.operators.uniqueness import duplicate_keys
+    from jema_js_spark.sources.pages import (
+        CRAWL_DAYS, CRAWL_START, crawl_manifest, pages_from_documents)
+    from jema_js_spark.validation.engine import with_valid
+    from jema_js_spark.validation.kernel_udf import kernel_validate_udf
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- dataset-level checks (x_* keywords) -------------------------------
+    def q_unique_url(spark, sf_dir):
+        pages = pages_from_documents(spark, sf_dir)
+        return duplicate_keys(pages, "url").select("url", "n_rows")
 
+    def q_fk_orders_customer(spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        dim = customer.filter(F.col("c_custkey") <= 100)
+        return fk_violations(orders, "o_custkey", dim, "c_custkey") \
+            .select("o_orderkey")
+
+    def q_ts_window(spark, sf_dir):
+        pages = pages_from_documents(spark, sf_dir).select(
+            "doc_id", F.timestamp_seconds("warc_epoch_noisy").alias("warc_ts"))
+        return ts_window_violations(
+            pages, "warc_ts", crawl_manifest(spark), "window").select("doc_id")
+
+    def q_stats_profile(spark, sf_dir):
+        stats = column_stats(_docs(spark, sf_dir), ["text", "lang", "n_chars"])
+        return stats.select(
+            "n_rows", "text_nulls", "lang_nulls",
+            F.col("n_chars_min").alias("min_chars"),
+            F.col("n_chars_max").alias("max_chars"))
+
+    def q_drift_lang_share(spark, sf_dir):
+        counts = _docs(spark, sf_dir).groupBy("source", "lang").count()
+        totals = counts.groupBy("source").agg(F.sum("count").alias("tot"))
+        return (counts.join(totals, "source")
+                .select("source", "lang",
+                        F.round(F.col("count") / F.col("tot"), 6).alias("share")))
+
+    # -- kernel path over dynamic JSON (events.props) ----------------------
+    def q_json_props_kernel(spark, sf_dir):
+        schema = {"type": "object", "required": ["k"],
+                  "properties": {"k": {"type": "integer", "minimum": 0,
+                                        "maximum": 80}}}
+        udf = kernel_validate_udf(schema)
+        return _events(spark, sf_dir).select(
+            "event_id", udf(F.col("props")).alias("valid"))
+
+    # -- text analysis ------------------------------------------------------
+    def q_token_count(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+
+    def q_lang_id(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+    def q_quality(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+    # -- dedup --------------------------------------------------------------
+    def q_exact_dedup_count(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        doubled = docs.union(docs.filter(F.col("doc_id") % 5 == 0))
+        return spark.createDataFrame(
+            [(doubled.count(), exact_dedup(doubled, "doc_id").count())],
+            "n_docs bigint, n_unique bigint")
+
+    def q_minhash_pairs(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+        near = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
+                           F.concat("text", F.lit(" tail")).alias("text"))
+        return minhash_candidates(docs.union(near), "doc_id", "text",
+                                  jaccard_threshold=0.5) \
+            .select("id_a", "id_b")
+
+    def q_simhash_pairs(spark, sf_dir):
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
+        near = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
+                           F.concat("text", F.lit(" x")).alias("text"))
+        return simhash_candidates(docs.union(near), "doc_id", "text") \
+            .select("id_a", "id_b", "hamming")
+
+    # -- similarity ---------------------------------------------------------
+    def q_cosine_topk(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return brute_force_topk(emb, queries_df, k=5).select(
+            "query_id", "vec_id", "rank")
+
+    def q_ivf_topk(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = fit_centroids(emb, nlist=8)
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return ivf_topk(ivf_assign(emb, cents), queries_df, cents,
+                        k=5, nprobe=4).select("query_id", "vec_id", "rank")
+
+    def q_ks_drift(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        a = docs.filter(F.col("lang") == "en")
+        b = docs.filter(F.col("lang") != "en")
+        ks = ks_two_sample(a, b, "n_chars")
+        return spark.createDataFrame([(float(ks["ks"]),)], "ks double")
+
+    out = {
+        "unique_url": q_unique_url,
+        "fk_orders_customer": q_fk_orders_customer,
+        "ts_window": q_ts_window,
+        "stats_profile": q_stats_profile,
+        "drift_lang_share": q_drift_lang_share,
+        "json_props_kernel": q_json_props_kernel,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "exact_dedup_count": q_exact_dedup_count,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "ks_drift": q_ks_drift,
+    }
+
+    # -- validation keywords (SURVEY.md §2.2-2.7), one query each ----------
+    keyword_schemas = {
+        "kw_type_number": {"properties": {"n_chars": {"type": "number"}},
+                            "required": ["n_chars"]},
+        "kw_minlength": {"properties": {"text": {"minLength": 100}}},
+        "kw_maxlength": {"properties": {"text": {"maxLength": 400}}},
+        "kw_pattern": {"properties": {"text": {"pattern": "^[a-z]"}}},
+        "kw_enum": {"properties": {"lang": {"enum": LANGS}}, "required": ["lang"]},
+        "kw_const": {"properties": {"source": {"const": "src1"}},
+                      "required": ["source"]},
+        "kw_bounds": {"properties": {"n_chars": {"minimum": 100,
+                                                  "exclusiveMaximum": 400}}},
+        "kw_multipleof": {"properties": {"n_chars": {"multipleOf": 7}}},
+        "kw_allof": {"allOf": [{"properties": {"n_chars": {"minimum": 100}}},
+                                {"properties": {"n_chars": {"maximum": 400}}}]},
+        "kw_anyof": {"anyOf": [
+            {"properties": {"lang": {"const": "en"}}, "required": ["lang"]},
+            {"properties": {"n_chars": {"exclusiveMaximum": 100}},
+             "required": ["n_chars"]}]},
+        "kw_oneof": {"oneOf": [
+            {"properties": {"lang": {"const": "en"}}, "required": ["lang"]},
+            {"properties": {"n_chars": {"exclusiveMaximum": 100}},
+             "required": ["n_chars"]}]},
+        "kw_not": {"not": {"properties": {"lang": {"const": "zh"}},
+                            "required": ["lang"]}},
+        "kw_ifthenelse": {
+            "if": {"properties": {"lang": {"const": "en"}}, "required": ["lang"]},
+            "then": {"properties": {"n_chars": {"minimum": 100}}},
+            "else": {"properties": {"n_chars": {"minimum": 60}}}},
+        "kw_ref": {"$defs": {"sized": {"minimum": 100, "maximum": 400}},
+                    "properties": {"n_chars": {"$ref": "#/$defs/sized"}}},
+        "kw_dependent_required": {"dependentRequired": {"lang": ["source"]}},
+    }
+    for name, schema in keyword_schemas.items():
+        out[name] = _doc_valid(schema)
+
+    # array keywords over the token array
+    def q_kw_items(spark, sf_dir):
+        toks = _doc_tokens(spark, sf_dir)
+        return with_valid(toks, {
+            "properties": {"toks": {"items": {"minLength": 2},
+                                     "minItems": 10, "maxItems": 100}}
+        }).select("doc_id", "valid")
+
+    def q_kw_uniqueitems(spark, sf_dir):
+        toks = _doc_tokens(spark, sf_dir)
+        return with_valid(toks, {
+            "properties": {"toks": {"uniqueItems": True}}
+        }).select("doc_id", "valid")
+
+    def q_kw_contains(spark, sf_dir):
+        toks = _doc_tokens(spark, sf_dir)
+        return with_valid(toks, {
+            "properties": {"toks": {"contains": {"const": "spark"},
+                                     "minContains": 2}}
+        }).select("doc_id", "valid")
+
+    out["kw_items"] = q_kw_items
+    out["kw_uniqueitems"] = q_kw_uniqueitems
+    out["kw_contains"] = q_kw_contains
+    return out
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jema_js_spark.sources.pages import (
+        CRAWL_DAYS, CRAWL_START, PAGES_FROM_DOCUMENTS_SQL)
+
+    pages_cte = f"WITH pages AS ({PAGES_FROM_DOCUMENTS_SQL})"
+    day0 = CRAWL_START // 86400
+    toks = (r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')")
+
+    sql = {
+        "unique_url": f"""{pages_cte}
+            SELECT url, count(*) AS n_rows FROM pages
+            GROUP BY url HAVING count(*) > 1""",
+        "fk_orders_customer": """
+            SELECT o_orderkey FROM orders o WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_custkey <= 100)""",
+        "ts_window": f"""{pages_cte}
+            SELECT doc_id FROM pages
+            WHERE NOT (warc_epoch_noisy // 86400
+                       BETWEEN {day0} AND {day0 + CRAWL_DAYS - 1})""",
+        "stats_profile": """
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents""",
+        "drift_lang_share": """
+            SELECT source, lang,
+                   round(count(*)::DOUBLE /
+                         sum(count(*)) OVER (PARTITION BY source), 6) AS share
+            FROM documents GROUP BY source, lang""",
+        "json_props_kernel": """
+            SELECT event_id,
+                   coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                            BETWEEN 0 AND 80, FALSE) AS valid
+            FROM events""",
+        "token_count": f"""
+            SELECT doc_id, len({toks}) AS n_tokens FROM documents""",
+        "exact_dedup_count": r"""
+            WITH doubled AS (
+              SELECT * FROM documents
+              UNION ALL SELECT * FROM documents WHERE doc_id % 5 = 0)
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                     AS n_unique
+            FROM doubled""",
+        "cosine_topk": """
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+                                DESC, e.vec_id) AS rank
+              FROM embeddings e, embeddings q WHERE q.vec_id < 3)
+            WHERE rank <= 5""",
+        # validation keywords over documents — each the exact relational
+        # twin of the compiled predicate (NULL column ⇔ absent key)
+        "kw_type_number": """
+            SELECT doc_id, (n_chars IS NOT NULL) AS valid FROM documents""",
+        "kw_minlength": """
+            SELECT doc_id, (text IS NULL OR length(text) >= 100) AS valid
+            FROM documents""",
+        "kw_maxlength": """
+            SELECT doc_id, (text IS NULL OR length(text) <= 400) AS valid
+            FROM documents""",
+        "kw_pattern": """
+            SELECT doc_id, (text IS NULL OR regexp_matches(text, '^[a-z]'))
+              AS valid FROM documents""",
+        "kw_enum": f"""
+            SELECT doc_id,
+                   coalesce(lang IN ({','.join(repr(l) for l in LANGS)}), FALSE)
+                     AS valid
+            FROM documents""",
+        "kw_const": """
+            SELECT doc_id, coalesce(source = 'src1', FALSE) AS valid
+            FROM documents""",
+        "kw_bounds": """
+            SELECT doc_id,
+                   (n_chars IS NULL OR (n_chars >= 100 AND n_chars < 400))
+                     AS valid
+            FROM documents""",
+        "kw_multipleof": """
+            SELECT doc_id, (n_chars IS NULL OR n_chars % 7 = 0) AS valid
+            FROM documents""",
+        "kw_allof": """
+            SELECT doc_id,
+                   ((n_chars IS NULL OR n_chars >= 100)
+                    AND (n_chars IS NULL OR n_chars <= 400)) AS valid
+            FROM documents""",
+        "kw_anyof": """
+            SELECT doc_id,
+                   (coalesce(lang = 'en', FALSE)
+                    OR coalesce(n_chars < 100, FALSE)) AS valid
+            FROM documents""",
+        "kw_oneof": """
+            SELECT doc_id,
+                   ((coalesce(lang = 'en', FALSE)::INT
+                     + coalesce(n_chars < 100, FALSE)::INT) = 1) AS valid
+            FROM documents""",
+        "kw_not": """
+            SELECT doc_id, NOT coalesce(lang = 'zh', FALSE) AS valid
+            FROM documents""",
+        "kw_ifthenelse": """
+            SELECT doc_id,
+                   CASE WHEN coalesce(lang = 'en', FALSE)
+                        THEN (n_chars IS NULL OR n_chars >= 100)
+                        ELSE (n_chars IS NULL OR n_chars >= 60) END AS valid
+            FROM documents""",
+        "kw_ref": """
+            SELECT doc_id,
+                   (n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 400))
+                     AS valid
+            FROM documents""",
+        "kw_dependent_required": """
+            SELECT doc_id, (lang IS NULL OR source IS NOT NULL) AS valid
+            FROM documents""",
+        "kw_items": f"""
+            SELECT doc_id,
+                   (len({toks}) = len(list_filter({toks}, t -> length(t) >= 2))
+                    AND len({toks}) >= 10 AND len({toks}) <= 100) AS valid
+            FROM documents""",
+        "kw_uniqueitems": f"""
+            SELECT doc_id,
+                   (len(list_distinct({toks})) = len({toks})) AS valid
+            FROM documents""",
+        "kw_contains": f"""
+            SELECT doc_id,
+                   (len(list_filter({toks}, t -> t = 'spark')) >= 2) AS valid
+            FROM documents""",
+    }
+    # rows-only (no oracle): lang_id / quality (heuristic expressions),
+    # minhash_pairs / simhash_pairs (hash-family-specific), ivf_topk
+    # (approximate), ks_drift (sketch-based)
+    return sql

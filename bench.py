@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine operations at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is schema-validation throughput over the synthetic
+Common-Crawl-style pages table (pages/sec, reported alongside the
+timing dict) — the BASELINE.json "validated docs/sec" metric.
+
+Scaling-efficiency evidence (local[8] vs local[32] per the driver
+instruction) lives in bench_scaling.py, which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# flagship scale: enough rows that per-task constant overheads amortize
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+
+
+def _sf_label(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        return -1.0
+
+
+def main() -> None:
+    from jema_js_spark.runtime.session import build_session
+
+    spark = build_session(app_name="jema-bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from jema_js_spark.operators.dedup import exact_dedup, minhash_candidates
+    from jema_js_spark.operators.drift import categorical_drift
+    from jema_js_spark.operators.referential import ts_window_violations
+    from jema_js_spark.operators.similarity import (
+        brute_force_topk, fit_centroids, ivf_assign, ivf_topk)
+    from jema_js_spark.operators.stats import column_stats
+    from jema_js_spark.operators.text import with_text_features
+    from jema_js_spark.operators.uniqueness import duplicate_keys
+    from jema_js_spark.sources.pages import crawl_manifest, synthetic_pages
+    from jema_js_spark.validation.engine import violation_rows, with_valid
+    from __spark_entry__ import PAGE_CONTRACT
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+    pages = synthetic_pages(spark, N_PAGES, num_partitions=CPUS * 4)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # 1. flagship: contract validation over N_PAGES synthetic pages
+    def flagship():
+        v = with_valid(pages, PAGE_CONTRACT)
+        return v.agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("long"))).collect()
+    res = bench("flagship_validate", flagship)
+    extras["pages_per_sec"] = round(N_PAGES / timings["flagship_validate"], 1)
+    extras["flagship_invalid"] = int(res[0][0] - res[0][1])
+
+    # 2. violation-row emission (errors path)
+    bench("violations", lambda: violation_rows(
+        pages, PAGE_CONTRACT, id_cols=["url"]).count())
+
+    # 3. salted uniqueness over the skewed url column
+    bench("unique_url", lambda: duplicate_keys(pages, "url").count())
+
+    # 4. referential: warc_ts → crawl manifest (broadcast anti-join)
+    manifest = crawl_manifest(spark)
+    bench("ts_window", lambda: ts_window_violations(
+        pages, "warc_ts", manifest, "window").count())
+
+    # 5. per-column stats (single agg pass, HLL sketches)
+    bench("stats", lambda: column_stats(
+        pages, ["url", "lang", "text"]).collect())
+
+    # 6. categorical drift by domain-ish partition
+    drift_in = pages.withColumn(
+        "grp", F.pmod(F.xxhash64("url"), F.lit(16)))
+    bench("drift_lang", lambda: categorical_drift(
+        drift_in, "grp", "lang").collect())
+
+    # 7. text features over the sf documents table
+    bench("text_features", lambda: with_text_features(docs).agg(
+        F.sum("n_tokens"), F.avg("quality")).collect())
+
+    # 8. exact dedup over documents (doubled)
+    doubled = docs.union(docs.limit(2000))
+    bench("exact_dedup", lambda: exact_dedup(doubled, "doc_id").count())
+
+    # 9. MinHash LSH candidates over a 2k-doc slice
+    slice_ = docs.filter(F.col("doc_id") < 2000)
+    bench("minhash_lsh", lambda: minhash_candidates(
+        slice_, "doc_id", "text", jaccard_threshold=0.8).count())
+
+    # 10. ANN: brute-force + IVF top-k over embeddings
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bench("cosine_topk", lambda: brute_force_topk(
+        emb, queries_df, k=10).count())
+    cents = fit_centroids(emb, nlist=16)
+    assigned = ivf_assign(emb, cents)
+    bench("ivf_topk", lambda: ivf_topk(
+        assigned, queries_df, cents, k=10, nprobe=4).count())
+
+    # 11. kernel plane: JSON contract over events.props
+    from jema_js_spark.validation.kernel_udf import kernel_validate_udf
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    udf = kernel_validate_udf({"type": "object", "required": ["k"],
+                               "properties": {"k": {"type": "integer"}}})
+    bench("kernel_json", lambda: events.select(
+        udf(F.col("props")).alias("v")).agg(
+            F.sum(F.col("v").cast("long"))).collect())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "validated docs/sec (pages/sec) at bench scale",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "pages_per_sec": extras["pages_per_sec"],
+        "n_pages": N_PAGES,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,267 @@
+"""Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard verification.
+
+Scale shapes:
+
+- **Exact**: one ``groupBy(fingerprint)`` shuffle on a 64-bit hash —
+  map-side combined, skew-benign (hash keys are uniform even when
+  texts repeat: identical texts SHOULD collide, and the per-key payload
+  is capped by min/min_by aggregates).
+- **MinHash+LSH**: shingle → k-permutation signature (one JVM
+  expression per permutation, no UDF) → band buckets → self-join
+  *within buckets only*.  The only shuffle is on band-bucket hashes;
+  candidate pairs are verified with the signature-estimated Jaccard.
+- **SimHash**: 64-bit bit-vote over token hashes, built with
+  higher-order array expressions; near-dup = small Hamming distance,
+  bucketed by the 4×16-bit block trick (any pair within distance 3
+  shares at least one exact block).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jema_js_spark.operators.text import char_ngrams, fingerprint64, word_tokens
+
+__all__ = ["exact_dedup", "exact_dup_groups", "minhash_signature",
+           "minhash_candidates", "minhash_dedup_report", "simhash64",
+           "simhash_candidates", "ngram_jaccard"]
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text"
+                     ) -> DataFrame:
+    """Fingerprint groups with >1 member: ``(fingerprint, n_docs,
+    keep_id)`` — keep_id is the smallest id (the canonical survivor)."""
+    fp = fingerprint64(F.col(text_col))
+    return (df.select(F.col(id_col), fp.alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text"
+                ) -> DataFrame:
+    """Survivor rows after exact dedup: exactly one row per text
+    fingerprint, the one with the smallest id (deterministic, unlike
+    ``dropDuplicates``).
+
+    One ``min_by`` hash aggregation on a uniform 64-bit key — map-side
+    combined, no window over skewed partitions, no join back."""
+    cols = df.columns
+    return (df.withColumn("__fp", fingerprint64(F.col(text_col)))
+            .groupBy("__fp")
+            .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+            .select("__row.*"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(text: Column, shingle_n: int = 5,
+                   max_shingles: int = 512) -> Column:
+    """64-bit hash per char-shingle — the ONE string-processing pass.
+    All k MinHash permutations derive from these longs via cheap
+    re-hashing, so the expensive substring+string-hash work is done
+    exactly once per document."""
+    shingles = char_ngrams(text, n=shingle_n, max_ngrams=max_shingles)
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_sig_from_hashes(hv: Column, k: int = 64) -> Column:
+    """k-permutation signature from pre-computed shingle hashes:
+    ``sig[i] = min over shingles of xxhash64(h, i)`` — integer-only
+    inner loop.  Empty docs get a null-slot sentinel signature.
+
+    NOTE the evaluation-cost contract: the outer ``transform`` lambda
+    re-evaluates its body per i, so ``hv`` must be a *stored column*
+    (checkpointed/persisted), not an expression — inlining the string
+    pass here costs k× (a measured ~100× slowdown)."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(hv, lambda h: F.xxhash64(h, i))))
+    return F.when(F.size(hv) > 0, sig).otherwise(
+        F.array(*[F.lit(None).cast("long") for _ in range(k)]))
+
+
+def minhash_signature(text: Column, k: int = 64, shingle_n: int = 5,
+                      max_shingles: int = 512) -> Column:
+    """One-shot column form (tests/small data).  For pipelines use the
+    staged ``shingle_hashes`` → checkpoint → ``minhash_sig_from_hashes``
+    path that :func:`minhash_candidates` takes — see the cost note
+    there."""
+    return minhash_sig_from_hashes(
+        shingle_hashes(text, shingle_n, max_shingles), k)
+
+
+def _band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
+    parts = [F.element_at(sig, band * rows_per_band + r + 1)
+             for r in range(rows_per_band)]
+    return F.xxhash64(F.lit(band), *parts)
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
+                       k: int = 64, bands: int = 16, shingle_n: int = 5,
+                       jaccard_threshold: float = 0.8,
+                       max_bucket: int = 200) -> DataFrame:
+    """Candidate near-duplicate pairs ``(id_a, id_b, est_jaccard)`` with
+    estimated Jaccard ≥ threshold.
+
+    LSH plan: explode each doc into ``bands`` (band, band_hash) keys →
+    shuffle on band_hash → pair docs sharing a bucket → estimate
+    Jaccard from full signatures → dedupe pairs found in multiple
+    bands.  ``max_bucket`` caps degenerate buckets (boilerplate pages)
+    to bound the quadratic pair blowup — capped buckets are a visible
+    knob, not a silent drop (count them from the returned plan if
+    needed)."""
+    rows_per_band = k // bands
+    # staged with EAGER materialization barriers: (1) string pass →
+    # stored shingle hashes (otherwise the k-permutation transform
+    # re-runs substring+hash k times per row — measured ~100×);
+    # (2) stored signatures (otherwise every element_at(sig, j) in the
+    # band hashes and both join sides re-inlines the signature).  At
+    # cluster scale these are the natural write-signatures-to-storage
+    # points.
+    hashed = df.select(F.col(id_col).alias("id"),
+                       shingle_hashes(F.col(text_col), shingle_n).alias("hv"))
+    hashed = hashed.localCheckpoint(eager=True)
+    sigs = hashed.select(
+        "id", minhash_sig_from_hashes(F.col("hv"), k).alias("sig"))
+    sigs = sigs.localCheckpoint(eager=True)
+    banded = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     _band_hash(F.col("sig"), b, rows_per_band).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bh").alias("bh"))
+
+    # cap pathological buckets (boilerplate): deterministic top-N by id
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    capped = (banded.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_bucket))
+
+    a = capped.select("band", "bh", F.col("id").alias("id_a"),
+                      F.col("sig").alias("sig_a"))
+    b = capped.select("band", "bh", F.col("id").alias("id_b"),
+                      F.col("sig").alias("sig_b"))
+    pairs = (a.join(b, ["band", "bh"])
+             .filter(F.col("id_a") < F.col("id_b")))
+
+    # zip_with + filter: count equal signature slots
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x.eqNullSafe(y)),
+                           lambda eq: eq)) / F.lit(float(k)))
+
+    return (pairs.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("est_jaccard").alias("est_jaccard")))
+
+
+def minhash_dedup_report(df: DataFrame, id_col: str, text_col: str = "text",
+                         **kw) -> dict:
+    pairs = minhash_candidates(df, id_col, text_col, **kw)
+    n_pairs = pairs.count()
+    n_docs_in_pairs = pairs.select(F.col("id_a").alias("id")).union(
+        pairs.select(F.col("id_b").alias("id"))).distinct().count()
+    return {"candidate_pairs": n_pairs, "docs_in_pairs": n_docs_in_pairs}
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word tokens: for each bit, the sign of the
+    (+1/−1) vote across token hashes.  Built from 64 filter/size
+    expressions over the token-hash array — heavy expression tree but
+    pure JVM codegen."""
+    hashes = F.transform(word_tokens(text), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def _bit_vote(b: int) -> Column:
+        # unary lambda: PySpark treats a second parameter as the index
+        mask = F.lit(1 << b)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        return F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+
+    # bit 63 excluded: keep the result non-negative
+    bits = [_bit_vote(b) for b in range(63)]
+    out = bits[0]
+    for term in bits[1:]:
+        out = out.bitwiseOR(term)
+    return F.when(n > 0, out).otherwise(F.lit(None).cast("long"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
+                       blocks: int = 8, max_hamming: int | None = None,
+                       max_bucket: int = 200) -> DataFrame:
+    """Near-dup candidate pairs by SimHash block bucketing: split the
+    64-bit hash into ``blocks`` equal blocks; by pigeonhole, any pair
+    within Hamming distance ``blocks − 1`` shares ≥1 exact block, so
+    bucketing on each block finds all such pairs with ``blocks`` narrow
+    shuffles.  More blocks → higher guaranteed recall radius but more
+    candidate noise per bucket.  Returns ``(id_a, id_b, hamming)`` with
+    ``hamming ≤ max_hamming`` (default ``blocks − 1``)."""
+    if 64 % blocks != 0:
+        raise ValueError("blocks must divide 64")
+    if max_hamming is None:
+        max_hamming = blocks - 1
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash64(F.col(text_col)).alias("sh")).filter(
+                       F.col("sh").isNotNull())
+    # eager barrier — same expression-duplication hazard as MinHash:
+    # each block projection and both join sides re-inline the 63-vote
+    # simhash expression otherwise
+    sh = sh.localCheckpoint(eager=True)
+    exploded = sh.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(blk).alias("blk"),
+                     F.shiftrightunsigned("sh", blk * width)
+                     .bitwiseAND(F.lit(mask)).alias("bv"))
+            for blk in range(blocks)
+        ])).alias("b"),
+    ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+
+    w = Window.partitionBy("blk", "bv").orderBy("id")
+    capped = (exploded.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_bucket))
+
+    a = capped.select("blk", "bv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = capped.select("blk", "bv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (a.join(b, ["blk", "bv"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification kernel for candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 5,
+                  max_ngrams: int = 512) -> Column:
+    """Exact Jaccard similarity of two docs' shingle sets — the
+    verification step after LSH candidate generation (array_intersect /
+    array_union on deduped shingle arrays, JVM-side)."""
+    sa = F.array_distinct(char_ngrams(text_a, n, max_ngrams))
+    sb = F.array_distinct(char_ngrams(text_b, n, max_ngrams))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,105 @@
+"""Distribution-drift checks (SURVEY.md §2.9 / north-star metric list).
+
+Two modalities:
+
+- **Categorical drift** (the ``lang`` column): per-group category
+  histograms vs the global distribution → total-variation distance and
+  a chi-square statistic.  One ``groupBy(group, category).count()``
+  shuffle (map-side combined), then a driver-side comparison over the
+  (small) category × group matrix.
+
+- **Numeric drift**: two-sample Kolmogorov–Smirnov over quantile
+  sketches.  Each side is summarized by ``percentile_approx`` (the
+  KLL-style sketch built into Spark — constant memory, mergeable,
+  single pass); the KS statistic is then the max CDF gap evaluated on
+  the merged quantile grid.  This is the sketch-based path the design
+  doc calls for — no raw-data co-shuffle between the two samples.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["categorical_drift", "ks_two_sample", "lang_drift_report"]
+
+
+def categorical_drift(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Per-group drift vs the global categorical distribution:
+    ``(group, n_rows, tvd, chi2)``.
+
+    TVD = 0.5 * Σ|p_group(c) − p_global(c)|; chi2 uses the global
+    distribution as expectation.
+    """
+    counts = df.groupBy(group_col, cat_col).count()
+    # global shares (second small agg over the grouped result)
+    totals = counts.groupBy(cat_col).agg(F.sum("count").alias("g_cnt"))
+    grand = counts.agg(F.sum("count")).collect()[0][0] or 1
+    joined = counts.join(F.broadcast(totals), cat_col)
+    per_group = joined.groupBy(group_col).agg(
+        F.sum("count").alias("n_rows"),
+        F.collect_list(F.struct(cat_col, "count", "g_cnt")).alias("cats"),
+    )
+
+    def tvd_chi2(cats_col):
+        # executed as Spark higher-order functions over the small
+        # per-group category array — stays JVM-side
+        n = F.aggregate(cats_col, F.lit(0.0),
+                        lambda acc, x: acc + x["count"])
+        tvd = F.aggregate(
+            cats_col, F.lit(0.0),
+            lambda acc, x: acc + F.abs(x["count"] / n - x["g_cnt"] / F.lit(float(grand)))) / 2
+        chi2 = F.aggregate(
+            cats_col, F.lit(0.0),
+            lambda acc, x: acc + F.pow(x["count"] - n * x["g_cnt"] / F.lit(float(grand)), 2)
+            / (n * x["g_cnt"] / F.lit(float(grand))))
+        return tvd, chi2
+
+    tvd, chi2 = tvd_chi2(F.col("cats"))
+    return per_group.select(group_col, "n_rows", tvd.alias("tvd"),
+                            chi2.alias("chi2"))
+
+
+def _cdf_at(quantiles: List[float], x: float) -> float:
+    """Empirical CDF from an equi-probability quantile grid."""
+    import bisect
+
+    if not quantiles:
+        return 0.0
+    return bisect.bisect_right(quantiles, x) / len(quantiles)
+
+
+def ks_two_sample(df_a: DataFrame, df_b: DataFrame, col: str,
+                  n_quantiles: int = 201, accuracy: int = 10000) -> dict:
+    """Two-sample KS statistic from per-side quantile sketches.
+
+    Cost: one sketching pass per side (no shuffle of raw values
+    between sides), O(n_quantiles) driver work.  Returns the KS
+    statistic and the sketch grids' sizes; with ~200 quantiles the
+    statistic resolves drift down to ~0.5% CDF gaps.
+    """
+    probs = [i / (n_quantiles - 1) for i in range(n_quantiles)]
+    qa = df_a.select(F.percentile_approx(col, probs, accuracy).alias("q")).collect()[0]["q"]
+    qb = df_b.select(F.percentile_approx(col, probs, accuracy).alias("q")).collect()[0]["q"]
+    qa = [float(x) for x in (qa or []) if x is not None]
+    qb = [float(x) for x in (qb or []) if x is not None]
+    grid = sorted(set(qa) | set(qb))
+    ks = max((abs(_cdf_at(qa, x) - _cdf_at(qb, x)) for x in grid), default=0.0)
+    return {"ks": ks, "n_grid": len(grid),
+            "n_quantiles_a": len(qa), "n_quantiles_b": len(qb)}
+
+
+def lang_drift_report(df: DataFrame, group_col: str = "partition_id",
+                      lang_col: str = "lang",
+                      tvd_threshold: float = 0.10) -> dict:
+    """Flagship drift check: is any group's language distribution
+    drifting beyond ``tvd_threshold`` from the global mix?"""
+    drift = categorical_drift(df, group_col, lang_col)
+    worst = drift.orderBy(F.desc("tvd")).limit(5).collect()
+    return {
+        "worst": [(r[group_col], r["n_rows"], round(r["tvd"], 4)) for r in worst],
+        "drifted_groups": sum(1 for r in worst if r["tvd"] > tvd_threshold),
+        "ok": all(r["tvd"] <= tvd_threshold for r in worst),
+    }

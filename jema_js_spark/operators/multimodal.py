@@ -1,0 +1,156 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via ``mapInPandas`` (Arrow-batched).
+
+The Spark-side plumbing — schemas, batch iteration, partition sizing,
+UDF signatures — is real and tested.  The media codecs themselves
+(PIL/ffmpeg/torchaudio) are not available in this environment, so the
+decode kernels are STUBBED behind ``set_decoder``: by default a
+deterministic fake decoder parses the metadata struct and synthesizes
+the declared shape, so every pipeline stage downstream of decode runs
+for real.  Swap in a real decoder with ``set_decoder('image', fn)`` —
+the Arrow plumbing does not change.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["MEDIA_SCHEMA", "set_decoder", "attach_media_metadata",
+           "decode_image_features", "resize_images", "sample_video_frames"]
+
+# canonical media-row shape: opaque payload + typed metadata
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, channels:int, "
+    "sample_rate:int, n_frames:int, duration_ms:int>"
+)
+
+# name → decoder(payload bytes, meta dict) -> np.ndarray
+_DECODERS: Dict[str, Callable] = {}
+
+
+def set_decoder(kind: str, fn: Callable) -> None:
+    """Install a real media decoder (e.g. PIL-based) for ``kind``.
+    Signature: ``fn(payload: bytes, meta: dict) -> np.ndarray``."""
+    _DECODERS[kind] = fn
+
+
+def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in decoder: synthesizes the declared shape
+    from a seed derived from the payload bytes.  Raises like a real
+    decoder on malformed input (no metadata)."""
+    if meta is None or meta.get("width") is None:
+        raise NotImplementedError(
+            "real media decoding requires a codec library; install one "
+            "via set_decoder(kind, fn)")
+    h, w = int(meta["height"]), int(meta["width"])
+    c = int(meta.get("channels") or 3)
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def _decode(kind: str, payload: bytes, meta) -> np.ndarray:
+    meta_dict = meta.asDict() if hasattr(meta, "asDict") else (dict(meta) if meta is not None else None)
+    fn = _DECODERS.get(kind, _fake_decode)
+    return fn(payload, meta_dict)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
+                          kind: str = "image") -> DataFrame:
+    """Typed-metadata scaffold for raw binary payloads (deterministic
+    from payload length — replace the width/height derivation with real
+    header parsing when a codec is installed)."""
+    plen = F.length(F.col(payload_col))
+    return df.withColumn("meta", F.struct(
+        (F.pmod(plen, F.lit(64)) + 32).cast("int").alias("width"),
+        (F.pmod(plen, F.lit(48)) + 32).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(1).alias("n_frames"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )).withColumn("kind", F.lit(kind))
+
+
+def decode_image_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """mapInPandas stage: decode → per-image feature vector (mean/std
+    per channel + dims).  Output schema:
+    ``media_id, width, height, mean_r, mean_g, mean_b, std_all``.
+
+    Partition shape: each Arrow batch is a pandas DataFrame; decode
+    runs per row inside the batch but transport and feature math are
+    vectorized."""
+    out_schema = ("media_id long, width int, height int, "
+                  "mean_r double, mean_g double, mean_b double, std_all double, "
+                  "decode_error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    arr = _decode(r["kind"], bytes(r["payload"]), r["meta"])
+                    means = arr.reshape(-1, arr.shape[-1]).mean(axis=0)
+                    rows.append((int(r["media_id"]), arr.shape[1], arr.shape[0],
+                                 float(means[0]), float(means[1 % len(means)]),
+                                 float(means[2 % len(means)]),
+                                 float(arr.std()), None))
+                except Exception as exc:  # malformed media must not kill the task
+                    rows.append((int(r["media_id"]), None, None,
+                                 None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                "std_all", "decode_error"])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images(df: DataFrame, target: int = 64) -> DataFrame:
+    """mapInPandas stage: decode → nearest-neighbor resize →
+    re-serialize as raw bytes with updated metadata.  Demonstrates the
+    binary-in/binary-out contract real preprocessing uses."""
+    out_schema = ("media_id long, payload binary, "
+                  "meta struct<width:int, height:int, channels:int, "
+                  "sample_rate:int, n_frames:int, duration_ms:int>")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for _, r in pdf.iterrows():
+                try:
+                    arr = _decode(r["kind"], bytes(r["payload"]), r["meta"])
+                    ys = (np.arange(target) * arr.shape[0] // target)
+                    xs = (np.arange(target) * arr.shape[1] // target)
+                    small = arr[ys][:, xs]
+                    ids.append(int(r["media_id"]))
+                    payloads.append(small.tobytes())
+                    metas.append({"width": target, "height": target,
+                                  "channels": int(small.shape[-1]),
+                                  "sample_rate": None, "n_frames": 1,
+                                  "duration_ms": None})
+                except Exception:
+                    continue  # drop undecodable rows from the resized set
+            yield pd.DataFrame({"media_id": ids, "payload": payloads,
+                                "meta": metas})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled frame index from the metadata (decode of the actual frame
+    bytes is the stubbed step).  Pure expression algebra —
+    posexplode over a generated frame-index sequence."""
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    dur = F.coalesce(F.col("meta.duration_ms"), n * 40)  # 25fps default
+    step = F.greatest((n * every_ms / F.greatest(dur, F.lit(1))).cast("int"),
+                      F.lit(1))
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), step)
+    return (df.select("media_id", F.posexplode(idx).alias("pos", "frame_idx"))
+            .drop("pos"))

@@ -1,0 +1,82 @@
+"""Dataset-level uniqueness — the reference's ``x_primary``/``x_unique``
+SQL-bridge keywords (tools/toSql.js:43-44,115) lifted to table scope
+(SURVEY.md §2.9).
+
+Scale design (the north rule's explicit skew handling):
+
+- **Two-stage salted aggregation.**  Stage 1 groups on ``(key, salt)``
+  — salt derived from a row-level hash — bounding any single reducer's
+  share of a hot key to ``1/S``; stage 2 merges the per-salt partial
+  counts.  For plain COUNT, Spark's map-side partial aggregation
+  already de-skews; salting matters the moment the aggregation carries
+  payload (here: example row-ids per duplicate key, which WOULD
+  otherwise funnel every occurrence of a hot url into one task).
+- AQE skew handling stays on as the runtime backstop; salting is the
+  static guarantee.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["duplicate_keys", "uniqueness_report"]
+
+
+def duplicate_keys(df: DataFrame, key: str | Sequence[str],
+                   salt_buckets: int = 64,
+                   examples_per_key: int = 3,
+                   example_col: Optional[str] = None) -> DataFrame:
+    """Keys appearing more than once: ``(key..., n_rows, examples)``.
+
+    ``examples`` carries up to ``examples_per_key`` sample values of
+    ``example_col`` per duplicate key, collected skew-safely: capped
+    per (key, salt) group in stage 1, so a url occurring 10^9 times
+    contributes at most ``salt_buckets * examples_per_key`` strings to
+    stage 2 instead of 10^9.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys],
+                             F.monotonically_increasing_id()),
+                  F.lit(salt_buckets)).alias("__salt")
+
+    stage1_aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if example_col is not None:
+        stage1_aggs.append(
+            F.slice(F.collect_list(example_col), 1, examples_per_key)
+            .alias("__ex"))
+
+    stage1 = df.select(*keys,
+                       *( [F.col(example_col)] if example_col else [] ),
+                       salt).groupBy(*keys, "__salt").agg(*stage1_aggs)
+
+    stage2_aggs = [F.sum("__cnt").alias("n_rows")]
+    if example_col is not None:
+        stage2_aggs.append(
+            F.slice(F.flatten(F.collect_list("__ex")), 1, examples_per_key)
+            .alias("examples"))
+
+    return (stage1.groupBy(*keys).agg(*stage2_aggs)
+            .filter(F.col("n_rows") > 1))
+
+
+def uniqueness_report(df: DataFrame, key: str | Sequence[str],
+                      salt_buckets: int = 64) -> dict:
+    """Verdict + magnitude: total rows, distinct keys, duplicate keys,
+    surplus rows.  One shuffled aggregation; verdict is
+    ``n_rows == n_distinct``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    dups = duplicate_keys(df, keys, salt_buckets=salt_buckets)
+    agg = dups.agg(
+        F.count(F.lit(1)).alias("dup_keys"),
+        F.coalesce(F.sum(F.col("n_rows") - 1), F.lit(0)).alias("surplus_rows"),
+    ).collect()[0]
+    total = df.count()
+    return {
+        "n_rows": total,
+        "dup_keys": agg["dup_keys"],
+        "surplus_rows": agg["surplus_rows"],
+        "unique": agg["dup_keys"] == 0,
+    }

@@ -1,0 +1,79 @@
+"""Driver-contract rehearsal: run every ``queries()`` entry at sf0.001
+and compare row count, column names/order-insensitive value multiset
+against its ``oracle_sql()`` twin via DuckDB — the same comparison the
+round driver performs at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _multiset(rows, cols):
+    return sorted(
+        tuple(_norm(row[c]) for c in sorted(cols)) for row in rows)
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_oracle_keys_subset():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle without query: {missing}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert {"partition_id", "n_rows", "n_valid", "n_invalid", "passed"} \
+        <= set(df.columns)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF)
+    got_rows = [r.asDict() for r in df.collect()]
+    if name not in ORACLES:
+        assert isinstance(len(got_rows), int)  # rows-only check
+        return
+    res = duck.execute(ORACLES[name])
+    cols = [d[0] for d in res.description]
+    exp_rows = [dict(zip(cols, r)) for r in res.fetchall()]
+    assert sorted(df.columns) == sorted(cols), (
+        f"{name}: columns {sorted(df.columns)} != {sorted(cols)}")
+    assert len(got_rows) == len(exp_rows), (
+        f"{name}: rows {len(got_rows)} != {len(exp_rows)}")
+    got_ms = _multiset(got_rows, df.columns)
+    exp_ms = _multiset(exp_rows, cols)
+    if got_ms != exp_ms:
+        diff = [(g, e) for g, e in zip(got_ms, exp_ms) if g != e][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs {diff}")

@@ -1,0 +1,262 @@
+"""Dataset-level and pipeline operators vs independent oracles:
+DuckDB for SQL-expressible checks, numpy for vector math, planted
+duplicates for dedup recall."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jema_js_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_candidates,
+    ngram_jaccard,
+    simhash_candidates,
+)
+from jema_js_spark.operators.drift import categorical_drift, ks_two_sample
+from jema_js_spark.operators.referential import fk_violations, ts_window_violations
+from jema_js_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    fit_centroids,
+    ivf_assign,
+    ivf_topk,
+)
+from jema_js_spark.operators.stats import column_stats
+from jema_js_spark.operators.text import (
+    fingerprint64,
+    lang_id_expr,
+    quality_score,
+    token_count,
+    with_text_features,
+)
+from jema_js_spark.operators.uniqueness import duplicate_keys, uniqueness_report
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "orders", "customer", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_column_stats_vs_duckdb(docs, duck):
+    got = column_stats(docs, ["lang", "n_chars"]).collect()[0].asDict()
+    exp = duck.execute(
+        "SELECT count(*), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END), "
+        "min(n_chars), max(n_chars) FROM documents").fetchone()
+    assert got["n_rows"] == exp[0]
+    assert got["lang_nulls"] == exp[1]
+    assert got["n_chars_min"] == exp[2]
+    assert got["n_chars_max"] == exp[3]
+    exact_distinct = duck.execute(
+        "SELECT count(DISTINCT lang) FROM documents").fetchone()[0]
+    assert abs(got["lang_approx_distinct"] - exact_distinct) <= max(
+        1, 0.1 * exact_distinct)
+
+
+def test_uniqueness_vs_duckdb(spark, docs, duck):
+    # synthesize dups: every doc_id % 7 == 0 doubled
+    dup = docs.filter(F.col("doc_id") % 7 == 0)
+    with_dups = docs.union(dup)
+    got = duplicate_keys(with_dups, "doc_id").count()
+    exp = duck.execute(
+        "SELECT count(*) FROM (SELECT doc_id FROM "
+        "(SELECT * FROM documents UNION ALL SELECT * FROM documents "
+        "WHERE doc_id % 7 = 0) GROUP BY doc_id HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert got == exp
+    rep = uniqueness_report(docs, "doc_id")
+    assert rep["unique"] and rep["dup_keys"] == 0
+
+
+def test_uniqueness_examples_capped(spark, docs):
+    many = docs.limit(1).crossJoin(spark.range(500).select(F.col("id").alias("j")))
+    dups = duplicate_keys(many, "doc_id", example_col="j",
+                          examples_per_key=3).collect()
+    assert len(dups) == 1 and dups[0]["n_rows"] == 500
+    assert len(dups[0]["examples"]) <= 3  # hot key didn't funnel 500 payloads
+
+
+def test_fk_violations_vs_duckdb(spark, duck):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    # orphan orders: customers above a cutoff removed from the dim side
+    dim = customer.filter(F.col("c_custkey") <= 100)
+    got = fk_violations(orders, "o_custkey", dim, "c_custkey").count()
+    exp = duck.execute(
+        "SELECT count(*) FROM orders o WHERE NOT EXISTS ("
+        "SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+        "AND c.c_custkey <= 100)").fetchone()[0]
+    assert got == exp
+
+
+def test_ts_window_violations(spark):
+    from jema_js_spark.sources.pages import crawl_manifest, synthetic_pages
+
+    pages = synthetic_pages(spark, 5000)
+    manifest = crawl_manifest(spark)
+    bad = ts_window_violations(pages, "warc_ts", manifest, "window")
+    n_bad = bad.count()
+    # generator plants ~0.5% out-of-window rows
+    assert 5 <= n_bad <= 60
+    # every flagged row is genuinely outside the crawl window
+    from jema_js_spark.sources.pages import CRAWL_START, CRAWL_DAYS
+    outside = bad.filter(
+        (F.unix_timestamp("warc_ts") >= CRAWL_START)
+        & (F.unix_timestamp("warc_ts") < CRAWL_START + CRAWL_DAYS * 86400)).count()
+    assert outside == 0
+
+
+def test_categorical_drift(spark, docs):
+    # uniform split → no drift; skewed split → drift on the skewed group
+    base = docs.withColumn("grp", F.pmod(F.col("doc_id"), F.lit(2)))
+    d = categorical_drift(base, "grp", "lang").collect()
+    assert all(0 <= r["tvd"] <= 1 for r in d)
+    skew = docs.withColumn(
+        "grp", F.when(F.col("lang") == "en", 0).otherwise(F.pmod(F.col("doc_id"), F.lit(2))))
+    d2 = {r["grp"]: r["tvd"] for r in categorical_drift(skew, "grp", "lang").collect()}
+    assert d2[0] > max(r["tvd"] for r in d)
+
+
+def test_ks_two_sample(spark, docs):
+    same = ks_two_sample(docs, docs, "n_chars")
+    assert same["ks"] <= 0.02
+    shifted = docs.withColumn("n_chars", F.col("n_chars") + 1000)
+    diff = ks_two_sample(docs, shifted, "n_chars")
+    assert diff["ks"] > 0.5
+
+
+def test_text_features(spark, docs):
+    feats = with_text_features(docs).select(
+        "doc_id", "text", "lang", "n_tokens", "n_bpe_tokens", "quality",
+        "lang_pred", "fingerprint").limit(50).collect()
+    for r in feats:
+        assert r["n_tokens"] == len([t for t in r["text"].lower().split() if t])
+        assert r["n_bpe_tokens"] >= r["n_tokens"]
+        assert 0.0 <= r["quality"] <= 1.0
+    # fingerprint: equal normalized text ⇔ equal fingerprint
+    two = spark.createDataFrame(
+        [("a  b\tc",), ("a b c",), ("a b d",)], "text string")
+    fps = two.select(fingerprint64(F.col("text")).alias("f")).collect()
+    assert fps[0]["f"] == fps[1]["f"] and fps[0]["f"] != fps[2]["f"]
+
+
+def test_lang_id_heuristic(spark):
+    samples = [
+        ("the cat sat on the mat and the dog is in the house", "en"),
+        ("der Hund ist nicht in der Schule und das ist gut", "de"),
+        ("le chat est dans la maison et les enfants sont pour", "fr"),
+        ("el perro es una mascota para los amigos del barrio", "es"),
+        ("xyzzy qwerty plugh", "unknown"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in samples], "text string")
+    got = [r[0] for r in df.select(lang_id_expr(F.col("text"))).collect()]
+    assert got == [lang for _, lang in samples]
+
+
+def test_exact_dedup(spark, docs):
+    doubled = docs.union(docs.filter(F.col("doc_id") % 5 == 0))
+    groups = exact_dup_groups(doubled, "doc_id")
+    assert groups.count() == docs.filter(F.col("doc_id") % 5 == 0).select(
+        "text").distinct().count()
+    survivors = exact_dedup(doubled, "doc_id")
+    # every distinct text appears exactly once
+    assert survivors.count() == docs.select(
+        fingerprint64(F.col("text"))).distinct().count()
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    base = docs.limit(100).select("doc_id", "text")
+    # plant near-dups: append one token to a copy (ids offset by 10^6)
+    near = base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    corpus = base.union(near)
+    pairs = minhash_candidates(corpus, "doc_id", "text",
+                               jaccard_threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(r["doc_id"], r["doc_id"] + 1000000) for r in base.collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    base = docs.limit(100).select("doc_id", "text")
+    near = base.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.col("text"), F.lit(" x")).alias("text"))
+    corpus = base.union(near)
+    pairs = simhash_candidates(corpus, "doc_id", "text").collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(r["doc_id"], r["doc_id"] + 1000000) for r in base.collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"simhash recall {recall}"
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [("abcdefghij", "abcdefghij"), ("abcdefghij", "zzzzzzzzzz")],
+        "a string, b string")
+    vals = [r[0] for r in df.select(
+        ngram_jaccard(F.col("a"), F.col("b"))).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0
+
+
+def test_brute_force_topk_vs_numpy(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"),
+                                  "embedding")
+    got = brute_force_topk(emb, queries, k=5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    for qid in [r["query_id"] for r in queries.collect()]:
+        q = vecs[qid]
+        sims = {vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+                for vid, v in vecs.items()}
+        exp_top = sorted(sims, key=lambda vid: (-sims[vid], vid))[:5]
+        got_top = [r["vec_id"] for r in sorted(
+            (g for g in got if g["query_id"] == qid), key=lambda g: g["rank"])]
+        assert got_top == exp_top
+
+
+def test_ivf_topk_recall(spark, emb):
+    cents = fit_centroids(emb, nlist=8)
+    assigned = ivf_assign(emb, cents).cache()
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(assigned, queries, cents, k=5, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        hit += r["vec_id"] in exact_sets[r["query_id"]]
+    assert total > 0 and hit / (5 * len(exact_sets)) >= 0.6, \
+        f"IVF recall {hit}/{5 * len(exact_sets)}"
+
+
+def test_embedding_near_dups(spark, emb):
+    # plant exact duplicates of 5 vectors
+    dup = emb.limit(5).select((F.col("vec_id") + 1000000).alias("vec_id"),
+                              "embedding", "label")
+    corpus = emb.union(dup)
+    cents = fit_centroids(corpus, nlist=4)
+    pairs = embedding_near_dups(corpus, cents, threshold=0.999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(r["vec_id"], r["vec_id"] + 1000000)
+               for r in emb.limit(5).collect()}
+    assert planted <= found, f"missing {planted - found}"
