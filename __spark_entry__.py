@@ -273,6 +273,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kw_items"] = q_kw_items
     out["kw_uniqueitems"] = q_kw_uniqueitems
     out["kw_contains"] = q_kw_contains
+
+    # object-applicator keywords over the row shape itself
+    out["kw_propertynames"] = _doc_valid({"propertyNames": {"maxLength": 6}})
+    out["kw_additionalprops"] = _doc_valid({
+        "properties": {"doc_id": True, "text": True, "lang": True},
+        "additionalProperties": {"type": "string"}})
+    out["kw_patternprops"] = _doc_valid({
+        "patternProperties": {"^n_": {"minimum": 100}}})
+    out["kw_boolean_schema"] = _doc_valid({"properties": {"text": False}})
+    out["kw_type_union"] = _doc_valid({
+        "properties": {"n_chars": {"type": ["string", "null"]}}})
     return out
 
 
@@ -409,6 +420,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (len(list_filter({toks}, t -> t = 'spark')) >= 2) AS valid
             FROM documents""",
+        # propertyNames maxLength 6: only 'n_chars' (7 chars) violates,
+        # and only when present (non-null under the relational bridge)
+        "kw_propertynames": """
+            SELECT doc_id, (n_chars IS NULL) AS valid FROM documents""",
+        # additionalProperties {type: string}: unclaimed columns are
+        # source (string, ok) and n_chars (integer, violates if present)
+        "kw_additionalprops": """
+            SELECT doc_id, (n_chars IS NULL) AS valid FROM documents""",
+        "kw_patternprops": """
+            SELECT doc_id, (n_chars IS NULL OR n_chars >= 100) AS valid
+            FROM documents""",
+        "kw_boolean_schema": """
+            SELECT doc_id, (text IS NULL) AS valid FROM documents""",
+        "kw_type_union": """
+            SELECT doc_id, (n_chars IS NULL) AS valid FROM documents""",
     }
     # rows-only (no oracle): lang_id / quality (heuristic expressions),
     # minhash_pairs / simhash_pairs (hash-family-specific), ivf_topk

@@ -314,6 +314,25 @@ class Schema:
         schema.js:350)."""
         return self.registry.ref_targets.get(id(node))
 
+    def schema_errors(self, format_assertion: bool = True) -> list:
+        """Validate THIS schema against its declared meta-schema —
+        mirror of ``schemaErrors()`` (schema.js:49-52), resolved from
+        the vendored consolidated 2020-12 meta-schema instead of a
+        network fetch."""
+        from jema_js_spark.kernel.kernel import Validator
+        from jema_js_spark.schema.metaschema import META_ID, METASCHEMA_2020_12
+
+        declared = (self.schema.get("$schema", META_ID)
+                    if isinstance(self.schema, dict) else META_ID)
+        if not self.registry.has(declared):
+            import copy
+
+            self.registry.add_document(declared,
+                                       copy.deepcopy(METASCHEMA_2020_12))
+        meta = self.registry.load(declared)
+        return list(Validator(meta, format_assertion=format_assertion)
+                    .iter_errors(self.schema))
+
     # -- evaluation entry points (delegated to the kernel) ----------------
     def validate(self, value: Any) -> bool:
         from jema_js_spark.kernel.kernel import Validator

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Production validation job — the spark-submit deployment surface.
+
+    spark-submit --py-files jema_js_spark.zip jobs/validate_pages.py \
+        --input  s3://bucket/pages/            \
+        --schema contract.json                 \
+        --output s3://bucket/validation-run-1/ \
+        --run-id crawl-2024-01 [--resume] [--manifest path]
+
+Per partition-day of ``warc_ts`` (the Iceberg-style partition unit) it
+writes: verdict rows, violation rows, per-column metrics — and marks
+the day done in the checkpoint ledger, so a killed job re-submitted
+with ``--resume`` skips completed days (north-rule resumability).
+Dataset-level checks (url uniqueness, warc_ts→manifest referential)
+run once over the full input and land in ``<output>/dataset_checks``.
+
+Build the --py-files archive with::
+
+    python -c "import shutil; shutil.make_archive('jema_js_spark', 'zip', '.', 'jema_js_spark')"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--schema", required=True, help="JSON Schema file")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--manifest", help="crawl-manifest parquet (windows)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip partition-days the ledger marks done")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--ts-col", default="warc_ts")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName(f"jema-validate-{args.run_id}") \
+        .getOrCreate()
+
+    from jema_js_spark.operators.referential import ts_window_violations
+    from jema_js_spark.operators.stats import column_stats_long
+    from jema_js_spark.operators.uniqueness import uniqueness_report
+    from jema_js_spark.runtime.checkpoint import CheckpointLedger, run_partitioned
+    from jema_js_spark.validation.engine import violation_rows, with_valid
+
+    with open(args.schema) as f:
+        schema = json.load(f)
+
+    pages = spark.read.parquet(args.input)
+    ledger = CheckpointLedger(spark, f"{args.output}/ledger", args.run_id)
+    if not args.resume:
+        # fresh run id implies a fresh ledger namespace; nothing to wipe
+        pass
+
+    day = F.to_date(F.col(args.ts_col)).cast("string")
+
+    def work(part_df, key: str) -> dict:
+        out = f"{args.output}/days/{key}"
+        valid = with_valid(part_df, schema)
+        verdict = valid.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid")).collect()[0]
+        violation_rows(part_df, schema, id_cols=[args.id_col]) \
+            .write.mode("overwrite").parquet(f"{out}/violations")
+        column_stats_long(part_df).write.mode("overwrite") \
+            .parquet(f"{out}/metrics")
+        return {"n_rows": verdict["n_rows"], "n_valid": verdict["n_valid"],
+                "n_invalid": verdict["n_rows"] - verdict["n_valid"]}
+
+    results = run_partitioned(spark, pages, day, ledger, work)
+
+    checks = {"uniqueness": uniqueness_report(pages, args.id_col)}
+    if args.manifest:
+        manifest = spark.read.parquet(args.manifest)
+        checks["ts_window_orphans"] = ts_window_violations(
+            pages, args.ts_col, manifest, "window").count()
+    spark.createDataFrame([(json.dumps(checks),)], "checks string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{args.output}/dataset_checks")
+
+    done = sum(1 for m in results.values() if not m.get("skipped"))
+    skipped = sum(1 for m in results.values() if m.get("skipped"))
+    print(json.dumps({"run_id": args.run_id, "partitions_done": done,
+                      "partitions_skipped": skipped, "checks": checks}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
