@@ -842,6 +842,130 @@ def _h_unsupported(reason):
     return h
 
 
+# -- static evaluated-set analysis for unevaluated* --------------------------
+#
+# Soundness argument: the unevaluated-sweep outcome only affects the row
+# verdict when every *other* check already passed (any earlier error
+# makes the row invalid regardless — the reference's lazy generator
+# reaches the sweep with a fully-materialized evaluated set only on the
+# no-error path, schema.js:216-227).  On that path, for schemas without
+# result-dependent applicators (anyOf/oneOf/not/$ref/dependentSchemas/
+# dependencies, whose *partial* evaluation order would matter), the
+# evaluated set is statically derivable from properties /
+# patternProperties / additionalProperties / allOf / if-then-else.
+
+_DISQUALIFYING = ("anyOf", "oneOf", "not", "$ref", "$dynamicRef",
+                  "dependentSchemas", "dependencies")
+
+
+def _claimed_keys_static(node: dict, texpr: _TExpr, descend) :
+    """Set of statically-claimed property names plus an optional
+    per-remaining-key guard Column (for if/then/else claims).  Returns
+    (always_claimed: set, conditional: dict[name, Column]) or raises
+    ColumnarUnsupported."""
+    for kw in _DISQUALIFYING:
+        if kw in node:
+            raise ColumnarUnsupported(f"unevaluated* with {kw} needs the kernel")
+    always: set = set()
+    conditional: Dict[str, Column] = {}
+
+    def merge_conditional(name: str, guard: Column) -> None:
+        if name in always:
+            return
+        prev = conditional.get(name)
+        conditional[name] = guard if prev is None else (prev | guard)
+
+    props = node.get("properties")
+    if isinstance(props, dict):
+        always |= set(props.keys())
+    pprops = node.get("patternProperties")
+    if isinstance(pprops, dict):
+        for pattern in pprops:
+            rx = compile_js_regex(pattern)
+            always |= {p for p in texpr.field_names() if rx.search(p)}
+    if "additionalProperties" in node and node["additionalProperties"] is not None:
+        always |= set(texpr.field_names())
+
+    all_of = node.get("allOf")
+    if isinstance(all_of, list):
+        for branch in all_of:
+            if isinstance(branch, dict):
+                b_always, b_cond = _claimed_keys_static(branch, texpr, descend)
+                always |= b_always
+                for name, guard in b_cond.items():
+                    merge_conditional(name, guard)
+
+    if "if" in node and node.get("if") is not None:
+        p_if = descend(node["if"], texpr)
+        for branch_key, guard in (("then", p_if), ("else", ~p_if)):
+            branch = node.get(branch_key)
+            if isinstance(branch, dict):
+                b_always, b_cond = _claimed_keys_static(branch, texpr, descend)
+                for name in b_always:
+                    merge_conditional(name, guard)
+                for name, sub_guard in b_cond.items():
+                    merge_conditional(name, guard & sub_guard)
+
+    conditional = {k: v for k, v in conditional.items() if k not in always}
+    return always, conditional
+
+
+def _h_unevaluated_properties(c, kw, sval, node, texpr, jt, is_null, add,
+                              descend, checks, spath, dpath, refs):
+    if jt != "object":
+        add(kw, sval, F.lit(True))
+        return
+    always, conditional = _claimed_keys_static(node, texpr, descend)
+    preds = []
+    for prop in texpr.field_names():
+        if prop in always:
+            continue
+        child = texpr.field(prop)
+        # an unclaimed-but-present key must satisfy the unevaluated schema
+        sub_pred = descend(sval, child)
+        covered = child.null_col() | sub_pred
+        if prop in conditional:
+            covered = conditional[prop] | covered
+        preds.append(covered)
+    pred = _and_all(preds)
+    if not texpr.is_row:
+        pred = is_null | pred
+    add(kw, sval, pred)
+
+
+def _h_unevaluated_items(c, kw, sval, node, texpr, jt, is_null, add,
+                         descend, checks, spath, dpath, refs):
+    if texpr.is_row or jt != "array":
+        add(kw, sval, F.lit(True))
+        return
+    for kw2 in _DISQUALIFYING + ("allOf", "if"):
+        if kw2 in node:
+            raise ColumnarUnsupported(f"unevaluatedItems with {kw2} needs the kernel")
+    # claims: prefixItems positions, all items if `items` present,
+    # contains-matching elements (schema.js:289-331)
+    if "items" in node and node.get("items") is not None:
+        add(kw, sval, F.lit(True))  # items evaluates every element
+        return
+    elem_t = texpr.dtype.elementType
+    prefix = node.get("prefixItems")
+    n_prefix = len(prefix) if isinstance(prefix, list) else 0
+    contains = node.get("contains") if "contains" in node else None
+    tail = F.slice(texpr.col, n_prefix + 1,
+                   F.greatest(F.size(texpr.col) - n_prefix, F.lit(0))) \
+        if n_prefix else texpr.col
+
+    def elem_ok(x: Column) -> Column:
+        covered = _elem_pred_fn(c, sval, elem_t,
+                                spath + ("unevaluatedItems",), dpath, refs)(x)
+        if contains is not None:
+            claimed = _elem_pred_fn(c, contains, elem_t,
+                                    spath + ("contains",), dpath, refs)(x)
+            covered = claimed | covered
+        return covered
+
+    add(kw, sval, is_null | F.forall(tail, elem_ok))
+
+
 _HANDLERS: Dict[str, Callable] = {
     "type": _h_type,
     "enum": _h_enum,
@@ -880,8 +1004,8 @@ _HANDLERS: Dict[str, Callable] = {
     "if": _h_if,
     "$ref": _h_ref,
     "$dynamicRef": _h_dynamic_ref,
-    "unevaluatedProperties": _h_unsupported("unevaluatedProperties needs evaluated-set tracking"),
-    "unevaluatedItems": _h_unsupported("unevaluatedItems needs evaluated-set tracking"),
+    "unevaluatedProperties": _h_unevaluated_properties,
+    "unevaluatedItems": _h_unevaluated_items,
 }
 
 

@@ -1,0 +1,97 @@
+"""Randomized differential sweep: ~80 generated schemas over the typed
+row shape, all compiled into ONE projection and compared against the
+kernel verdict per (schema, row).  Complements the hand-picked
+differential cases with breadth at negligible Spark cost."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jema_js_spark.compiler.compile import SchemaCompiler
+from jema_js_spark.kernel.kernel import Validator
+from jema_js_spark.schema.frontend import Schema
+from tests.test_compiler_spark import ROWS, ROWS_SCHEMA, _row_to_json_value
+
+_STR_COLS = ["url", "text", "lang"]
+_NUM_COLS = ["id", "score", "n"]
+_ALL_COLS = ["id", "url", "text", "lang", "score", "n", "flag", "tags",
+             "nums", "meta"]
+
+
+def _leaf(rng: random.Random) -> dict:
+    kind = rng.choice(["str", "num", "arr", "enum", "type"])
+    if kind == "str":
+        col = rng.choice(_STR_COLS)
+        checks = rng.sample([
+            ("minLength", rng.randint(0, 30)),
+            ("maxLength", rng.randint(0, 60)),
+            ("pattern", rng.choice(["^h", "o", "[a-z]+$", "^[a-z]{2}$"])),
+        ], rng.randint(1, 2))
+        return {"properties": {col: dict(checks)}}
+    if kind == "num":
+        col = rng.choice(_NUM_COLS)
+        checks = rng.sample([
+            ("minimum", rng.randint(-5, 5)),
+            ("maximum", rng.randint(-2, 100)),
+            ("exclusiveMinimum", rng.randint(-5, 5)),
+            ("multipleOf", rng.choice([1, 2, 3, 0.5])),
+            ("type", rng.choice(["integer", "number"])),
+        ], rng.randint(1, 3))
+        return {"properties": {col: dict(checks)}}
+    if kind == "arr":
+        col = rng.choice(["tags", "nums"])
+        inner = ({"minLength": 1} if col == "tags"
+                 else {"minimum": rng.randint(0, 3)})
+        body = rng.choice([
+            {"minItems": rng.randint(0, 3)},
+            {"maxItems": rng.randint(0, 4)},
+            {"uniqueItems": True},
+            {"items": inner},
+            {"contains": inner, "minContains": rng.randint(0, 2)},
+        ])
+        return {"properties": {col: body}}
+    if kind == "enum":
+        return {"properties": {"lang": {"enum": rng.sample(
+            ["en", "de", "fr", "es", "xx", None], rng.randint(1, 4))}}}
+    return {"required": rng.sample(_ALL_COLS, rng.randint(1, 3))}
+
+
+def _schema(rng: random.Random, depth: int = 0) -> dict:
+    if depth >= 2 or rng.random() < 0.5:
+        return _leaf(rng)
+    comb = rng.choice(["allOf", "anyOf", "oneOf", "not", "if"])
+    if comb == "not":
+        return {"not": _schema(rng, depth + 1)}
+    if comb == "if":
+        return {"if": _schema(rng, depth + 1),
+                "then": _schema(rng, depth + 1),
+                "else": _schema(rng, depth + 1)}
+    return {comb: [_schema(rng, depth + 1)
+                   for _ in range(rng.randint(1, 3))]}
+
+
+def test_random_schemas_columnar_vs_kernel(spark):
+    rng = random.Random(42)
+    schemas = [_schema(rng) for _ in range(80)]
+    df = spark.createDataFrame(ROWS, ROWS_SCHEMA)
+
+    cols = [F.col("id").alias("__row_id")]
+    for i, sch in enumerate(schemas):
+        plan = SchemaCompiler(dict(sch)).compile_plan(df)
+        cols.append(plan.valid_column().alias(f"v{i}"))
+    got = {r["__row_id"]: r for r in df.select(*cols).collect()}
+
+    rows = df.collect()
+    mismatches = []
+    for i, sch in enumerate(schemas):
+        v = Validator(Schema(dict(sch)))
+        for row in rows:
+            value = _row_to_json_value(row, ROWS_SCHEMA)
+            expected = v.validate(value)
+            actual = got[row["id"]][f"v{i}"]
+            if actual != expected:
+                mismatches.append((i, sch, row["id"], actual, expected))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"

@@ -94,12 +94,37 @@ SCHEMAS = [
     {"propertyNames": {"maxLength": 3}},
     {"maxProperties": 9},
     {"minProperties": 10},
-    # Plane-B fallbacks (still must match the kernel)
+    # unevaluated* — static Plane-A analysis
     {"properties": {"meta": {"unevaluatedProperties": False,
                               "properties": {"zip": {}}}}},
     {"unevaluatedProperties": False,
      "properties": {"id": {}, "url": {}, "text": {}, "lang": {}, "score": {},
                      "n": {}, "flag": {}, "tags": {}, "nums": {}, "meta": {}}},
+    {"unevaluatedProperties": False,
+     "allOf": [{"properties": {"id": {}, "url": {}, "text": {}, "lang": {}}},
+               {"properties": {"score": {}, "n": {}, "flag": {}, "tags": {}}}],
+     "properties": {"nums": {}, "meta": {}}},
+    {"unevaluatedProperties": {"type": "string"},
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {}, "score": {},
+                     "n": {}, "flag": {}, "nums": {}, "meta": {}}},
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {}, "score": {},
+                     "n": {}, "flag": {}, "tags": {}, "nums": {}},
+     "if": {"properties": {"lang": {"const": "en"}}, "required": ["lang"]},
+     "then": {"properties": {"meta": {}}}},
+    {"properties": {"nums": {"prefixItems": [{"minimum": 0}],
+                              "unevaluatedItems": {"maximum": 3}}}},
+    {"properties": {"nums": {"contains": {"minimum": 3},
+                              "unevaluatedItems": {"maximum": 2}}}},
+    {"properties": {"nums": {"items": {"minimum": 0},
+                              "unevaluatedItems": False}}},
+    # unevaluated* with anyOf — must stay on Plane B and still match
+    {"unevaluatedProperties": False,
+     "anyOf": [{"properties": {"id": {}, "url": {}, "text": {}, "lang": {},
+                                 "score": {}, "n": {}, "flag": {}, "tags": {},
+                                 "nums": {}, "meta": {}},
+                 "required": ["url"]},
+                {"properties": {"id": {}}, "required": ["id"]}]},
 ]
 
 
@@ -188,3 +213,20 @@ def test_plane_coverage_flagship(spark, df):
     cov = plan.coverage()
     assert cov["plane_b_checks"] == 0, cov
     assert cov["plane_a_fraction"] == 1.0
+
+
+def test_static_unevaluated_is_plane_a(spark, df):
+    """The strict-contract idiom (properties + allOf +
+    unevaluatedProperties) must compile without kernel fallback."""
+    schema = {"unevaluatedProperties": False,
+              "allOf": [{"properties": {"id": {}, "url": {}, "text": {},
+                                          "lang": {}, "score": {}}}],
+              "properties": {"n": {}, "flag": {}, "tags": {}, "nums": {},
+                              "meta": {}}}
+    cov = SchemaCompiler(schema).compile_plan(df).coverage()
+    assert cov["plane_b_checks"] == 0, cov
+    # ...while result-dependent combinators still fall back
+    schema_b = {"unevaluatedProperties": False,
+                "anyOf": [{"properties": {"id": {}}}]}
+    cov_b = SchemaCompiler(schema_b).compile_plan(df).coverage()
+    assert cov_b["plane_b_checks"] >= 1
