@@ -188,6 +188,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(ivf_assign(emb, cents), queries_df, cents,
                         k=5, nprobe=4).select("query_id", "vec_id", "rank")
 
+    def q_embedding_near_dups(spark, sf_dir):
+        from jema_js_spark.operators.similarity import (
+            embedding_near_dups, fit_centroids)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        planted = emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label")
+        corpus = emb.union(planted)
+        cents = fit_centroids(corpus, nlist=4)
+        return embedding_near_dups(corpus, cents, threshold=0.999) \
+            .select("id_a", "id_b")
+
+    def q_media_features(spark, sf_dir):
+        from jema_js_spark.operators.multimodal import (
+            attach_media_metadata, decode_image_features)
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+        media = attach_media_metadata(
+            docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "UTF-8").alias("payload")))
+        return decode_image_features(media).select(
+            "media_id", "width", "height")
+
+    def q_token_jaccard(spark, sf_dir):
+        from jema_js_spark.operators.text import word_tokens
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select(
+            "doc_id", F.array_distinct(word_tokens(F.col("text"))).alias("toks"))
+        a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+        b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+        inter = F.size(F.array_intersect("ta", "tb"))
+        union = F.size(F.array_union("ta", "tb"))
+        return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.round(inter / union, 6).alias("jaccard")))
+
     def q_ks_drift(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         a = docs.filter(F.col("lang") == "en")
@@ -211,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "ks_drift": q_ks_drift,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_features": q_media_features,
+        "token_jaccard": q_token_jaccard,
     }
 
     # -- validation keywords (SURVEY.md §2.2-2.7), one query each ----------
@@ -435,6 +474,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (text IS NULL) AS valid FROM documents""",
         "kw_type_union": """
             SELECT doc_id, (n_chars IS NULL) AS valid FROM documents""",
+        "token_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({toks}) AS toks
+              FROM documents WHERE doc_id < 30)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+                     AS jaccard
+            FROM t a, t b WHERE a.doc_id < b.doc_id""",
     }
     # rows-only (no oracle): lang_id / quality (heuristic expressions),
     # minhash_pairs / simhash_pairs (hash-family-specific), ivf_topk

@@ -643,6 +643,164 @@ _many("properties.json",
 ])
 
 
+# ---------------------------------------------------------------------------
+# deeper ref / anchor / dynamic-scope / unevaluated coverage
+# ---------------------------------------------------------------------------
+_many("ref.json",
+      {"$defs": {"reffed": {"type": "array"}},
+       "properties": {"foo": {"$ref": "#/$defs/reffed", "maxItems": 2}}}, [
+    ({"foo": []}, "2020-12: $ref and sibling keywords both apply"),
+    ({"foo": [1, 2, 3]}, "sibling maxItems violated"),
+    ({"foo": "string"}, "ref'd type violated"),
+])
+_many("ref.json",
+      {"$defs": {"a_string": {"type": "string"}},
+       "enum": [{"$ref": "#/$defs/a_string"}]}, [
+    ({"$ref": "#/$defs/a_string"}, "naive enum containing what looks like a ref"),
+    ("this is a string", "enum is data, not a schema"),
+])
+_many("ref.json",
+      {"$id": "http://localhost:1234/sibling",
+       "$defs": {"base": {"$id": "nested.json",
+                            "$defs": {"s": {"type": "string"}}}},
+       "$ref": "nested.json#/$defs/s"}, [
+    ("ok", "ref through embedded $id base change"),
+    (1, "embedded-base ref type fail"),
+])
+_many("anchor.json",
+      {"$defs": {"A": {"$anchor": "node", "type": "object",
+                        "properties": {"v": {"type": "integer"},
+                                        "kid": {"$ref": "#node"}}}},
+       "$ref": "#node"}, [
+    ({"v": 1, "kid": {"v": 2}}, "recursive anchor ref ok"),
+    ({"v": 1, "kid": {"v": "x"}}, "recursive anchor ref fail"),
+])
+_many("dynamicRef.json",
+      {"$id": "https://test.example/dr3",
+       "$ref": "inner3",
+       "$dynamicAnchor": "things",
+       "$defs": {
+           "inner": {"$id": "inner3", "type": "array",
+                      "items": {"$dynamicRef": "#things"},
+                      "$defs": {"default": {"$dynamicAnchor": "things",
+                                              "type": "number"}}},
+       },
+       "type": "array"}, [
+    ([1, 2], "outer dynamicAnchor (accept-all) overrides inner number"),
+    (["a"], "outer schema has no constraint beyond array"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"outer": {
+          "properties": {"a": {"type": "integer"}},
+          "unevaluatedProperties": False}},
+       "unevaluatedProperties": False}, [
+    ({"outer": {"a": 1}}, "nested strict objects ok"),
+    ({"outer": {"b": 1}}, "inner unevaluated rejected"),
+    ({"extra": 1}, "outer unevaluated rejected"),
+])
+_many("unevaluatedProperties.json",
+      {"oneOf": [{"properties": {"a": {"const": 1}}, "required": ["a"]},
+                 {"properties": {"b": {"const": 2}}, "required": ["b"]}],
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "oneOf branch evaluates"),
+    ({"a": 1, "b": 2}, "two branches → oneOf fails"),
+    ({"c": 1}, "no branch → fails"),
+])
+_many("unevaluatedProperties.json",
+      {"not": {"not": {"properties": {"x": {}}, "required": ["x"]}},
+       "unevaluatedProperties": False}, [
+    ({"x": 1}, "not suppresses annotation collection → x stays unevaluated"),
+])
+_many("unevaluatedProperties.json",
+      {"dependentSchemas": {"a": {"properties": {"b": {}}}},
+       "properties": {"a": {}},
+       "unevaluatedProperties": False}, [
+    ({"a": 1, "b": 2}, "dependentSchemas branch evaluates b"),
+    ({"b": 2}, "trigger absent → b unevaluated"),
+])
+_many("unevaluatedItems.json",
+      {"anyOf": [{"prefixItems": [{"const": "a"}, {"const": "b"}]},
+                 {"prefixItems": [{"const": "a"}]}],
+       "unevaluatedItems": False}, [
+    (["a", "b"], "longer branch evaluates both"),
+    (["a"], "shorter branch ok"),
+    (["a", "x"], "x unevaluated by the only passing branch"),
+])
+_many("unevaluatedItems.json",
+      {"if": {"prefixItems": [{"const": 1}]},
+       "then": {"prefixItems": [True, {"const": 2}]},
+       "unevaluatedItems": False}, [
+    ([1, 2], "then-branch evaluates index 1"),
+    ([1, 3], "then-branch const fails"),
+    ([2, 2], "if fails, index 0/1 unevaluated"),
+])
+_many("contains.json", {"contains": False}, [
+    ([], "contains:false on empty"),
+    ([1], "contains:false never matches"),
+])
+_many("minContains.json",
+      {"contains": {"multipleOf": 2}, "minContains": 2, "maxContains": 3}, [
+    ([2, 4], "range ok low"), ([2, 4, 6], "range ok high"),
+    ([2], "too few"), ([2, 4, 6, 8], "too many"), ([1, 3, 5], "none"),
+])
+_many("propertyNames.json", {"propertyNames": {"pattern": "^a"}}, [
+    ({"apple": 1, "avocado": 2}, "names match"),
+    ({"apple": 1, "banana": 2}, "one name fails"),
+])
+_many("items.json",
+      {"prefixItems": [{"type": "integer"}],
+       "items": False}, [
+    ([1], "prefix only ok with items:false"),
+    ([1, 2], "extra item rejected by items:false"),
+])
+_many("maxContains.json", {"contains": {"const": 1}, "maxContains": 0}, [
+    ([2, 3], "zero matches ok... but minContains default 1 fails"),
+])
+_many("oneOf.json", {"oneOf": [{"type": "integer"}, {}]}, [
+    ("a", "empty schema branch only"),
+    (1, "both branches pass → fail"),
+])
+_many("anyOf.json", {"anyOf": [{"type": "integer"}], "minimum": 3}, [
+    (4, "anyOf with sibling keyword both apply"),
+    (1, "sibling minimum fails"),
+    (3.5, "anyOf integer fails"),
+])
+_many("not.json",
+      {"properties": {"x": {"not": {"type": "string"}}}}, [
+    ({"x": 1}, "nested not ok"), ({"x": "s"}, "nested not fails"),
+])
+_many("allOf.json",
+      {"allOf": [{"allOf": [{"type": "number"}, {"minimum": 2}]},
+                 {"allOf": [{"maximum": 10}]}]}, [
+    (5, "nested allOf ok"), (1, "inner minimum fails"), (11, "maximum fails"),
+])
+_many("if-then-else.json",
+      {"if": {"const": 0}, "then": {"type": "integer"},
+       "else": {"type": "string"}}, [
+    (0, "const-if then-branch"), ("s", "else-branch string"),
+    (1.5, "else-branch non-string fails"),
+])
+_many("boolean_schema.json", {"properties": {"x": True},
+                               "additionalProperties": False}, [
+    ({"x": 123}, "true property schema claims key"),
+    ({"y": 123}, "unclaimed rejected"),
+])
+_many("default.json",
+      {"properties": {"foo": {"default": "bad-type-is-fine"}}}, [
+    ({"foo": 13}, "default never validates"),
+])
+_many("type.json", {"type": ["null"]}, [
+    (None, "null union single"), (0, "zero not null"),
+])
+_many("infinite-loop-detection.json",
+      {"$defs": {"item": {"type": "array", "prefixItems": [
+          {"$ref": "#/$defs/item"}, {"$ref": "#/$defs/item"}]}},
+       "prefixItems": [{"$ref": "#/$defs/item"}]}, [
+    ([[[], []]], "deep mutual recursion terminates"),
+    ([[1, []]], "recursive type violation caught"),
+])
+
+
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
     the suite's localhost:1234 server, FIXTURES.md §1)."""
