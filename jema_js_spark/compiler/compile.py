@@ -450,9 +450,26 @@ def _h_pattern(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
         add(kw, sval, F.lit(True))
         return
     jre = java_regex_or_none(sval)
-    if jre is None:
-        raise ColumnarUnsupported(f"regex outside Java-safe subset: {sval!r}")
-    add(kw, sval, is_null | texpr.string_col().rlike(jre))
+    if jre is not None:
+        add(kw, sval, is_null | texpr.string_col().rlike(jre))
+        return
+    # outside the Java-safe subset: column-level Python-regex pandas UDF
+    # (still Arrow-batched, but only this one column crosses to Python —
+    # never a whole-row kernel round-trip).  Verify translatability
+    # first so untranslatable patterns surface as a kernel fallback.
+    try:
+        compile_js_regex(sval)
+    except UnsupportedRegexError as exc:
+        raise ColumnarUnsupported(str(exc)) from exc
+    from jema_js_spark.functions.columns import js_rlike
+
+    sp = spath + (kw,)
+    checks.append(CheckSpec(
+        name=".".join(map(str, sp)), keyword=kw, schema_path=sp,
+        data_path=dpath, schema_value=sval,
+        predicate=is_null | F.coalesce(js_rlike(texpr.string_col(), sval),
+                                       F.lit(True)),
+        plane="B", value_col=texpr.col.cast("string")))
 
 
 # regex-shaped format assertions reusable as rlike (schema.js:513,516-518)

@@ -7,12 +7,16 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF = "/root/testdata/sf0.001"
+# default sf0.001 for speed; set SPARK_JEMA_SF=/root/testdata/sf0.01 to
+# rehearse at the driver's comparison scale
+SF = os.environ.get("SPARK_JEMA_SF", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
