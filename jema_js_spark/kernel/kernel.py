@@ -108,6 +108,13 @@ class Validator:
         # are part of the root document), so id() keys are stable.
         self.evaluated: Dict[int, set] = {}
         self.stop_collecting = False  # schema.js:183
+        # id(schema node) → precomputed keyword plan.  The reference's
+        # compiled form is its deref'd tree (schema.js:109-126); this is
+        # the same idea one step further: the vocabulary dispatch for a
+        # node never changes, so resolve it once per node instead of on
+        # every visit (schema nodes outlive the validator — they're
+        # pinned by the registry).
+        self._node_plans: Dict[int, tuple] = {}
 
     def _reset(self) -> None:
         # Fresh per-call state.  Unlike the JS WeakMap (whose keys die
@@ -208,25 +215,28 @@ class Validator:
         vtype = get_type(value)
         unevaluated_name = UNEVALUATED_NAMES.get(vtype)
 
+        plan = self._node_plans.get(id(schema))
+        if plan is None:
+            plan = tuple(
+                (prop, vocal[0], vocal[1], vocal[2], schema[prop])
+                for prop in schema.keys()
+                if (vocal := _VOCABULARY.get(prop)) is not None
+                and vocal[1] is not None)
+            self._node_plans[id(schema)] = plan
+
         if unevaluated_name is not None and unevaluated_name in schema:
             if id(value) not in self.evaluated:
                 self.evaluated[id(value)] = set()
 
-        for prop in list(schema.keys()):
-            vocal = _VOCABULARY.get(prop)
-            if vocal is None:
-                continue
-            affects, validator, is_gen = vocal
+        for prop, affects, validator, is_gen, keyword_value in plan:
             if affects is not None and affects != vtype:
                 continue  # type-gated: vacuously valid (schema.js:199)
-            if validator is None:
-                continue
             self.schema_stack.append(prop)
             if is_gen:
-                yield from validator(self, schema[prop], value, schema, scope)
+                yield from validator(self, keyword_value, value, schema, scope)
             else:
-                if not validator(self, schema[prop], value, schema, scope):
-                    yield self._error(value, schema[prop])
+                if not validator(self, keyword_value, value, schema, scope):
+                    yield self._error(value, keyword_value)
             _safe_pop(self.schema_stack)
 
         if vtype == "object":
@@ -247,17 +257,17 @@ class Validator:
     # -- fused object pass (schema.js:231-288) ----------------------------
     def _object_pass(self, schema: dict, value: dict,
                      scope: _Scope) -> Iterator[ValidationError]:
-        properties = schema.get("properties")
-        pattern_properties = (
-            list(schema["patternProperties"].items())
-            if isinstance(schema.get("patternProperties"), dict)
-            else None
-        )
-        additional_properties = (
-            schema.get("additionalProperties")
-            if "additionalProperties" in schema
-            else None
-        )
+        cached = self._node_plans.get(("obj", id(schema)))
+        if cached is None:
+            cached = (
+                schema.get("properties"),
+                (list(schema["patternProperties"].items())
+                 if isinstance(schema.get("patternProperties"), dict) else None),
+                (schema.get("additionalProperties")
+                 if "additionalProperties" in schema else None),
+            )
+            self._node_plans[("obj", id(schema))] = cached
+        properties, pattern_properties, additional_properties = cached
 
         for prop, item in list(value.items()):
             self.data_stack.append(prop)
