@@ -361,11 +361,74 @@ def _compatible_scalars(values: list, jt: str, texpr: _TExpr) -> Optional[list]:
     return out
 
 
+class _Incompatible(Exception):
+    """Deep literal can never equal any value of this column type."""
+
+
+def _deep_literal(dtype: T.DataType, v: Any) -> Column:
+    """Typed Column literal for a JSON value under the relational
+    bridge (missing key ⇔ NULL field), honoring JS strict typing
+    (``true`` never equals ``1``).  Raises _Incompatible when no value
+    of ``dtype`` can equal ``v``."""
+    if v is None:
+        return F.lit(None).cast(dtype)
+    if isinstance(dtype, T.StructType):
+        if not isinstance(v, dict):
+            raise _Incompatible
+        names = {f.name for f in dtype.fields}
+        if set(v.keys()) - names:
+            raise _Incompatible  # extra key can never exist on the row
+        return F.struct(*[
+            _deep_literal(f.dataType, v.get(f.name)).alias(f.name)
+            for f in dtype.fields])
+    if isinstance(dtype, T.ArrayType):
+        if not isinstance(v, list):
+            raise _Incompatible
+        if not v:
+            return F.array().cast(dtype)
+        return F.array(*[_deep_literal(dtype.elementType, x) for x in v]) \
+            .cast(dtype)
+    if isinstance(dtype, T.BooleanType):
+        if not isinstance(v, bool):
+            raise _Incompatible
+        return F.lit(v)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType, T.DecimalType)):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise _Incompatible
+        return F.lit(v).cast(dtype)
+    if isinstance(dtype, (T.StringType,)):
+        if not isinstance(v, str):
+            raise _Incompatible
+        return F.lit(v)
+    raise ColumnarUnsupported(f"deep literal for {dtype}")
+
+
+def _deep_membership(texpr: _TExpr, values: list) -> Column:
+    """eqNullSafe-based membership of a struct/array column in a list of
+    deep JSON values — the Plane-A form of jema's key-order-insensitive
+    deepEqual (struct field order is schema-fixed, so order-insensitivity
+    is inherent)."""
+    preds = []
+    for v in values:
+        if v is None:
+            continue  # null handled by the is_null branch
+        try:
+            preds.append(texpr.col.eqNullSafe(_deep_literal(texpr.dtype, v)))
+        except _Incompatible:
+            continue
+    return _or_all(preds)
+
+
 def _h_enum(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
             spath, dpath, refs):
     if texpr.is_row:
         raise ColumnarUnsupported("enum on row")
     null_ok = any(v is None for v in sval)
+    if jt in ("object", "array"):
+        ok = _deep_membership(texpr, sval)
+        add(kw, sval, F.when(is_null, F.lit(null_ok)).otherwise(ok))
+        return
     compat = _compatible_scalars(sval, jt, texpr)
     if compat is None:
         raise ColumnarUnsupported("deep enum")
@@ -381,11 +444,15 @@ def _h_const(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
     if sval is None:
         add(kw, sval, is_null)
         return
+    if jt in ("object", "array"):
+        add(kw, sval, F.when(is_null, F.lit(False)).otherwise(
+            _deep_membership(texpr, [sval])))
+        return
     compat = _compatible_scalars([sval], jt, texpr)
     if compat is None:
         raise ColumnarUnsupported("deep const")
     if not compat:
-        add(kw, sval, F.lit(False) | is_null & F.lit(False))
+        add(kw, sval, F.lit(False))
         return
     col = texpr.string_col() if jt == "string" else texpr.col
     add(kw, sval, F.when(is_null, F.lit(False)).otherwise(col == F.lit(compat[0])))

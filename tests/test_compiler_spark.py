@@ -118,6 +118,19 @@ SCHEMAS = [
                               "unevaluatedItems": {"maximum": 2}}}},
     {"properties": {"nums": {"items": {"minimum": 0},
                               "unevaluatedItems": False}}},
+    # deep enum/const on struct/array columns — Plane-A typed literals
+    {"properties": {"meta": {"enum": [{"zip": "8000", "depth": 2},
+                                        {"zip": "9999", "depth": 1}]}}},
+    {"properties": {"meta": {"const": {"zip": "8000", "depth": 2}}}},
+    {"properties": {"meta": {"const": {"depth": 0}}}},
+    {"properties": {"meta": {"enum": [{}]}}},
+    {"properties": {"meta": {"const": {"zip": "8000", "depth": 2,
+                                         "extra": 1}}}},
+    {"properties": {"tags": {"enum": [["a", "b"], ["z"], []]}}},
+    {"properties": {"nums": {"const": [1.0, 2.0]}}},
+    {"properties": {"nums": {"enum": [[1, 2], [2.5]]}}},
+    {"properties": {"tags": {"const": ["a", "a"]}}},
+    {"properties": {"meta": {"enum": [{"zip": "8000", "depth": 2}, None]}}},
     # unevaluated* with anyOf — must stay on Plane B and still match
     {"unevaluatedProperties": False,
      "anyOf": [{"properties": {"id": {}, "url": {}, "text": {}, "lang": {},
