@@ -48,6 +48,14 @@ REMOTES: Dict[str, Any] = {
             "refToInteger": {"$ref": "#/$defs/integer"},
         }
     },
+    "http://localhost:1234/draft2020-12/locationIndependentIdentifier.json": {
+        "$defs": {"refToInteger": {"$ref": "#foo"},
+                   "A": {"$anchor": "foo", "type": "integer"}}
+    },
+    "http://localhost:1234/baseUriChange/folderInteger.json": {
+        "type": "integer"
+    },
+    "http://localhost:1234/bool-schema.json": True,
     "http://localhost:1234/tree": {
         "$id": "http://localhost:1234/tree",
         "description": "tree of nodes",
@@ -798,6 +806,120 @@ _many("infinite-loop-detection.json",
        "prefixItems": [{"$ref": "#/$defs/item"}]}, [
     ([[[], []]], "deep mutual recursion terminates"),
     ([[1, []]], "recursive type violation caught"),
+])
+
+
+# ---------------------------------------------------------------------------
+# corpus round 3: remote anchors, base-URI chains, boolean subschemas,
+# heterogeneous deep values
+# ---------------------------------------------------------------------------
+_many("refRemote.json",
+      {"$ref": "http://localhost:1234/draft2020-12/"
+               "locationIndependentIdentifier.json#/$defs/refToInteger"}, [
+    (1, "remote ref through anchor indirection ok"),
+    ("x", "remote ref through anchor indirection fail"),
+])
+_many("refRemote.json",
+      {"$id": "http://localhost:1234/scope_change_defs1.json",
+       "properties": {"list": {"$ref": "baseUriChange/folderInteger.json"}}}, [
+    ({"list": 1}, "base-URI-relative remote ref ok"),
+    ({"list": "x"}, "base-URI-relative remote ref fail"),
+])
+_many("refRemote.json", {"$ref": "http://localhost:1234/bool-schema.json"}, [
+    ({"anything": 1}, "remote boolean-true schema accepts"),
+])
+_many("anchor.json",
+      {"$id": "http://localhost:1234/anchor-dup-root",
+       "$defs": {
+           "x": {"$id": "http://localhost:1234/anchor-dup-nested",
+                  "$anchor": "dup", "type": "string"},
+           "y": {"$anchor": "dup", "type": "integer"}},
+       "$ref": "#dup"}, [
+    (1, "root-resource anchor wins over embedded-resource anchor"),
+    ("s", "integer anchor target rejects string"),
+])
+_many("defs.json", {"$defs": {"n": {"type": "number"}},
+                     "allOf": [{"$ref": "#/$defs/n"}, {"minimum": 0}]}, [
+    (1.5, "defs target through allOf"), (-1, "sibling branch fails"),
+    ("x", "defs type fails"),
+])
+_many("patternProperties.json",
+      {"patternProperties": {"f.*": True, "b.*": False}}, [
+    ({"foo": 1}, "boolean-true pattern schema ok"),
+    ({"bar": 2}, "boolean-false pattern schema rejects"),
+    ({"foo": 1, "bar": 2}, "mixed rejects"),
+    ({}, "empty ok"),
+])
+_many("propertyNames.json", {"propertyNames": False}, [
+    ({}, "false propertyNames ok on empty"),
+    ({"a": 1}, "false propertyNames rejects any key"),
+])
+_many("dependentSchemas.json", {"dependentSchemas": {"foo": False}}, [
+    ({"bar": 1}, "trigger absent ok"),
+    ({"foo": 1}, "boolean-false dependent schema rejects"),
+])
+_many("additionalProperties.json", {"additionalProperties": False}, [
+    ({}, "no properties declared, empty ok"),
+    ({"a": 1}, "everything is additional"),
+])
+_many("enum.json",
+      {"enum": [[{"a": [1, 2]}], "x", 3.5, {"deep": {"b": None}}]}, [
+    ([{"a": [1, 2]}], "nested array-of-object member"),
+    ({"deep": {"b": None}}, "nested null member"),
+    ([{"a": [1, 2, 3]}], "near-miss array"),
+    ({"deep": {"b": 0}}, "null vs 0"),
+])
+_many("const.json", {"const": [1, [2, [3]]]}, [
+    ([1, [2, [3]]], "nested arrays equal"),
+    ([1, [2, [4]]], "deep element differs"),
+    ([1, [2, [3], 4]], "length differs"),
+])
+_many("maxContains.json",
+      {"contains": {"type": "integer"}, "minContains": 0, "maxContains": 1}, [
+    ([], "zero allowed by minContains 0"),
+    ([1], "one ok"), ([1, 2], "two too many"), (["x"], "zero matches ok"),
+])
+_many("minItems.json", {"minItems": 0}, [([], "zero min always ok")])
+_many("uniqueItems.json",
+      {"prefixItems": [{"type": "boolean"}, {"type": "boolean"}],
+       "uniqueItems": True}, [
+    ([True, False], "tuple + unique ok"),
+    ([True, True], "tuple + duplicate rejected"),
+])
+_c("multipleOf.json", {"multipleOf": 0.01}, 0.07,
+   "float-tolerant: 0.07 IS a multiple of 0.01 in the reference",
+   pinned=True,
+   why="jema's q*m === Math.round(q)*m absorbs the fp error in 0.07/0.01; "
+       "the strict spec oracle rejects")
+_c("multipleOf.json", {"multipleOf": 0.01}, 1.3, "1.3 vs 0.01")
+_many("not.json", {"properties": {"x": {"not": {"enum": [1, 2]}}}}, [
+    ({"x": 3}, "not-enum ok"), ({"x": 2}, "not-enum fails"),
+    ({}, "absent ok"),
+])
+_many("if-then-else.json",
+      {"allOf": [
+          {"if": {"properties": {"a": {"const": 1}}, "required": ["a"]},
+           "then": {"required": ["b"]}},
+          {"if": {"properties": {"a": {"const": 2}}, "required": ["a"]},
+           "then": {"required": ["c"]}}]}, [
+    ({"a": 1, "b": 0}, "first conditional satisfied"),
+    ({"a": 1}, "first conditional violated"),
+    ({"a": 2, "c": 0}, "second conditional satisfied"),
+    ({"a": 3}, "no conditional triggers"),
+])
+_many("unevaluatedProperties.json",
+      {"allOf": [{"patternProperties": {"^x": {}}}],
+       "unevaluatedProperties": False}, [
+    ({"x1": 1, "x2": 2}, "pattern claims inside allOf"),
+    ({"y": 1}, "unmatched key unevaluated"),
+])
+_many("unevaluatedItems.json", {"unevaluatedItems": False}, [
+    ([], "bare unevaluatedItems: empty ok"),
+    ([1], "bare unevaluatedItems rejects everything"),
+])
+_many("unevaluatedProperties.json", {"unevaluatedProperties": False}, [
+    ({}, "bare unevaluatedProperties: empty ok"),
+    ({"a": 1}, "bare unevaluatedProperties rejects everything"),
 ])
 
 
