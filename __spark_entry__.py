@@ -224,6 +224,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("id_a", "id_b",
                         F.round(inter / union, 6).alias("jaccard")))
 
+    def q_windowed_verdicts(spark, sf_dir):
+        # the batch analog of the streaming windowed-verdict surface:
+        # hourly event-time buckets of contract verdicts
+        from jema_js_spark.validation.engine import with_valid
+
+        schema = {"required": ["event_type", "props"],
+                  "properties": {"value": {"type": "number", "minimum": 0.5},
+                                  "event_type": {"enum": [
+                                      "click", "view", "purchase", "signup",
+                                      "error"]}}}
+        ev = with_valid(_events(spark, sf_dir), schema)
+        bucket = (F.unix_timestamp("ts") / 3600).cast("long")
+        return (ev.groupBy(bucket.alias("hour_bucket"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.col("valid").cast("long")).alias("n_valid")))
+
     def q_ks_drift(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         a = docs.filter(F.col("lang") == "en")
@@ -247,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "ks_drift": q_ks_drift,
+        "windowed_verdicts": q_windowed_verdicts,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
         "token_jaccard": q_token_jaccard,
@@ -474,6 +491,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (text IS NULL) AS valid FROM documents""",
         "kw_type_union": """
             SELECT doc_id, (n_chars IS NULL) AS valid FROM documents""",
+        "windowed_verdicts": """
+            -- floor(epoch(...)): duckdb's ::BIGINT cast rounds, Spark's
+            -- unix_timestamp floors — boundary events would drift buckets
+            SELECT floor(epoch(ts))::BIGINT // 3600 AS hour_bucket,
+                   count(*) AS n_rows,
+                   sum(((event_type IS NOT NULL AND props IS NOT NULL)
+                        AND (value IS NULL OR value >= 0.5)
+                        AND coalesce(event_type IN
+                            ('click','view','purchase','signup','error'),
+                            FALSE))::BIGINT) AS n_valid
+            FROM events GROUP BY 1""",
         "token_jaccard": f"""
             WITH t AS (
               SELECT doc_id, list_distinct({toks}) AS toks
