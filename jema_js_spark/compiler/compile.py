@@ -877,13 +877,35 @@ def _h_all_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
         checks.extend(sub_checks)
 
 
+def _contains_unevaluated(node: Any, seen: Optional[set] = None) -> bool:
+    """True when a subtree contains unevaluated* — such subtrees cannot
+    be compiled independently inside probing combinators: the kernel's
+    ``not``-suppression (schema.js:183,280-282) empties their evaluated
+    set, and an abandoned first-error probe can leak a partial set into
+    a sibling branch's sweep.  Those subtrees stay on Plane B."""
+    from jema_js_spark.schema.frontend import iter_subschemas
+
+    if seen is None:
+        seen = set()
+    if not isinstance(node, dict) or id(node) in seen:
+        return False
+    seen.add(id(node))
+    if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+        return True
+    return any(_contains_unevaluated(sub, seen) for sub in iter_subschemas(node))
+
+
 def _h_any_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
               spath, dpath, refs):
+    if any(_contains_unevaluated(sub) for sub in sval):
+        raise ColumnarUnsupported("anyOf branch with unevaluated* needs the kernel")
     add(kw, sval, _or_all([descend(sub, texpr) for sub in sval]))
 
 
 def _h_one_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
               spath, dpath, refs):
+    if any(_contains_unevaluated(sub) for sub in sval):
+        raise ColumnarUnsupported("oneOf branch with unevaluated* needs the kernel")
     count = None
     for sub in sval:
         term = descend(sub, texpr).cast("int")
@@ -893,11 +915,19 @@ def _h_one_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
 
 def _h_not(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
            spath, dpath, refs):
+    if _contains_unevaluated(sval):
+        # inside `not`, annotation collection is suppressed — the
+        # evaluated set the inner sweep observes is EMPTY, which an
+        # independently-compiled predicate cannot express
+        raise ColumnarUnsupported("not with unevaluated* needs the kernel")
     add(kw, sval, ~descend(sval, texpr))
 
 
 def _h_if(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
           spath, dpath, refs):
+    for sub in (sval, node.get("then"), node.get("else")):
+        if _contains_unevaluated(sub):
+            raise ColumnarUnsupported("if/then/else branch with unevaluated* needs the kernel")
     p_if = descend(sval, texpr)
     p_then = descend(node["then"], texpr) if node.get("then") is not None and "then" in node else F.lit(True)
     p_else = descend(node["else"], texpr) if node.get("else") is not None and "else" in node else F.lit(True)

@@ -22,7 +22,30 @@ _ALL_COLS = ["id", "url", "text", "lang", "score", "n", "flag", "tags",
 
 
 def _leaf(rng: random.Random) -> dict:
-    kind = rng.choice(["str", "num", "arr", "enum", "type"])
+    kind = rng.choice(["str", "num", "arr", "enum", "type",
+                       "objapp", "uneval"])
+    if kind == "objapp":
+        return rng.choice([
+            {"patternProperties": {rng.choice(["^t", "s$", "n"]):
+                                    {"type": rng.choice(["string", "number",
+                                                          "array"])}}},
+            {"propertyNames": {"maxLength": rng.randint(1, 8)}},
+            {"properties": {"meta": {"required": rng.sample(
+                ["zip", "depth"], rng.randint(1, 2))}}},
+            {"dependentRequired": {rng.choice(_ALL_COLS):
+                                    rng.sample(_ALL_COLS, 2)}},
+            {"properties": {c: True for c in
+                             rng.sample(_ALL_COLS, rng.randint(2, 5))},
+             "additionalProperties": rng.choice(
+                 [False, {"type": "string"}, {"type": "number"}])},
+            {"minProperties": rng.randint(0, 11)},
+            {"maxProperties": rng.randint(0, 11)},
+        ])
+    if kind == "uneval":
+        claimed = rng.sample(_ALL_COLS, rng.randint(5, 10))
+        return {"properties": {c: True for c in claimed},
+                "unevaluatedProperties": rng.choice(
+                    [False, {"type": rng.choice(["string", "number"])}])}
     if kind == "str":
         col = rng.choice(_STR_COLS)
         checks = rng.sample([
@@ -75,7 +98,7 @@ def _schema(rng: random.Random, depth: int = 0) -> dict:
 
 def test_random_schemas_columnar_vs_kernel(spark):
     rng = random.Random(42)
-    schemas = [_schema(rng) for _ in range(80)]
+    schemas = [_schema(rng) for _ in range(150)]
     df = spark.createDataFrame(ROWS, ROWS_SCHEMA)
 
     cols = [F.col("id").alias("__row_id")]
