@@ -168,11 +168,19 @@ def _finite(col: Column) -> Column:
     return (~F.isnan(col)) & (col != F.lit(_DOUBLE_INF)) & (col != F.lit(-_DOUBLE_INF))
 
 
+_TWO_53 = float(1 << 53)
+
+
 def _js_round_col(q: Column) -> Column:
     """JS Math.round as a Column: floor(q), +1 when frac >= 0.5 — exact
-    mirror of jstypes.js_math_round for IEEE doubles."""
+    mirror of jstypes.js_math_round for IEEE doubles.
+
+    |q| >= 2^53 shortcut: every such double is already integral AND
+    Spark's floor(double) returns LONG (saturating at ±2^63), so the
+    floor path is only used where it is exact."""
     f = F.floor(q).cast("double")
-    return F.when(q - f < 0.5, f).otherwise(f + 1)
+    rounded = F.when(q - f < 0.5, f).otherwise(f + 1)
+    return F.when(F.abs(q) >= F.lit(_TWO_53), q).otherwise(rounded)
 
 
 class SchemaCompiler:
@@ -330,7 +338,10 @@ def _h_type(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
         if texpr.is_integral_type():
             ok_nonnull = F.lit(True)
         else:
-            ok_nonnull = _finite(col) & (col == F.floor(col))
+            # x % 1.0 == 0, not floor(x) == x: Spark's floor(double)
+            # returns LONG and saturates for |x| >= 2^63 (1e308 would
+            # wrongly fail integer-ness)
+            ok_nonnull = _finite(col) & (col % F.lit(1.0) == F.lit(0.0))
         matched = True
     if not matched and "number" in types and jt == "number":
         ok_nonnull = _finite(col) if texpr.is_float_type() else F.lit(True)

@@ -63,9 +63,11 @@ def js_length(col: Column) -> Column:
 
 def js_round(col: Column) -> Column:
     """JS ``Math.round``: nearest integer, ties toward +infinity (NOT
-    banker's rounding) — SURVEY.md §7.4."""
+    banker's rounding) — SURVEY.md §7.4.  Doubles ≥ 2^53 are already
+    integral (and Spark's long-returning floor would saturate)."""
     f = F.floor(col).cast("double")
-    return F.when(col - f < 0.5, f).otherwise(f + 1)
+    rounded = F.when(col - f < 0.5, f).otherwise(f + 1)
+    return F.when(F.abs(col) >= F.lit(float(1 << 53)), col).otherwise(rounded)
 
 
 def js_multiple_of_col(col: Column, m: float) -> Column:

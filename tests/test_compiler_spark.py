@@ -50,6 +50,12 @@ ROWS = [
      ["z"], [3.0, 4.0, 5.5], (None, 0)),
     (5, "https://d.example/w", "emoji \U0001F600 text", "es", 2.0, 0, True,
      ["b", "c", "b"], [], ("1234", 9)),
+    (6, "https://x.example/\U0001F600", "\U0001F4A9" * 3, "zz", -0.0, -100,
+     None, [""], [0.5, -0.0], ("", None)),
+    (7, "https://y.example/a$b(c)*", "\n\n", "", 1e308, 1, False,
+     None, [float("-inf")], None),
+    (8, "https://z.example/q", "x", "en", 1e-7, 9223372036854775807, True,
+     ["a", "b", "c", "d", "e"], [1.0, 1.0, 1.0], ("00", 0)),
 ]
 
 SCHEMAS = [
