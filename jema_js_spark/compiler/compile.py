@@ -160,8 +160,42 @@ class _TExpr:
         d = self.dtype
         if isinstance(d, (T.StructType, T.ArrayType, T.MapType)):
             return F.to_json(self.col)
-        # scalars: wrap via struct to get proper JSON literals, then strip
-        return F.get_json_object(F.to_json(F.struct(self.col.alias("v"))), "$.v")
+        # scalars: wrap in a 1-element array — lossless JSON literals
+        # (get_json_object would strip string quoting and break parsing);
+        # the kernel UDF unwraps (needs_unwrap)
+        return F.to_json(F.array(self.col))
+
+    def needs_unwrap(self) -> bool:
+        return not self.is_row and not isinstance(
+            self.dtype, (T.StructType, T.ArrayType, T.MapType))
+
+    def float_paths(self) -> list:
+        """Paths of float/double fields inside the serialized value —
+        JSON cannot carry NaN/Infinity, so ``to_json`` stringifies them
+        and the kernel must restore the numbers at exactly these paths
+        ('*' = array element)."""
+        def walk(dtype, prefix):
+            if isinstance(dtype, (T.FloatType, T.DoubleType)):
+                return [prefix]
+            if isinstance(dtype, T.StructType):
+                out = []
+                for f in dtype.fields:
+                    out += walk(f.dataType, prefix + (f.name,))
+                return out
+            if isinstance(dtype, T.ArrayType):
+                return walk(dtype.elementType, prefix + ("*",))
+            if isinstance(dtype, T.MapType):
+                return walk(dtype.valueType, prefix + ("*",))
+            return []
+
+        if self.is_row:
+            out = []
+            for f in self.row_fields:
+                out += walk(f.dataType, (f.name,))
+            return out
+        if isinstance(self.dtype, (T.StructType, T.ArrayType, T.MapType)):
+            return walk(self.dtype, ())
+        return walk(self.dtype, ())
 
 
 def _finite(col: Column) -> Column:
@@ -263,7 +297,9 @@ class SchemaCompiler:
 
         udf = kernel_validate_udf(sub_schema,
                                   remotes=None,
-                                  format_assertion=self.format_assertion)
+                                  format_assertion=self.format_assertion,
+                                  float_paths=texpr.float_paths(),
+                                  unwrap_array=texpr.needs_unwrap())
         pred = udf(texpr.to_json_col())
         return CheckSpec(
             name=".".join(map(str, spath)),

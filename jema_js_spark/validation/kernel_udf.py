@@ -45,17 +45,51 @@ def _get_validator(schema_json: str, remotes_json: Optional[str],
     return v
 
 
+_NONFINITE = {"NaN": float("nan"), "Infinity": float("inf"),
+              "-Infinity": float("-inf")}
+
+
+def _restore_nonfinite(value: Any, paths) -> Any:
+    """Undo to_json's stringification of non-finite doubles at known
+    float paths ('*' = every array/map element).  A string at a float
+    path is unambiguous: a real float column cannot hold strings."""
+    def fix(node, path):
+        if not path:
+            if isinstance(node, str):
+                return _NONFINITE.get(node, node)
+            return node
+        head, rest = path[0], path[1:]
+        if head == "*":
+            if isinstance(node, list):
+                return [fix(x, rest) for x in node]
+            if isinstance(node, dict):
+                return {k: fix(x, rest) for k, x in node.items()}
+            return node
+        if isinstance(node, dict) and head in node:
+            node = dict(node)
+            node[head] = fix(node[head], rest)
+        return node
+
+    for p in paths:
+        value = fix(value, tuple(p))
+    return value
+
+
 def kernel_validate_udf(schema: Any, remotes: Optional[dict] = None,
-                        format_assertion: bool = False):
+                        format_assertion: bool = False,
+                        float_paths: Optional[list] = None,
+                        unwrap_array: bool = False):
     """Boolean pandas UDF: validates a column of JSON strings against
     ``schema`` with full draft 2020-12 kernel semantics.
 
     SQL NULL input validates as JSON ``null`` (the undefined≈null
-    bridge, schema.js:678).  Rows that exceed the kernel depth limit or
-    hit an unresolvable ref count as invalid rather than failing the
-    task."""
+    bridge, schema.js:678).  ``float_paths`` restores NaN/Infinity that
+    ``to_json`` had to stringify (JSON has no non-finite literals).
+    Rows that exceed the kernel depth limit or hit an unresolvable ref
+    count as invalid rather than failing the task."""
     schema_json = json.dumps(schema)
     remotes_json = json.dumps(remotes) if remotes else None
+    fpaths = [tuple(p) for p in (float_paths or [])]
 
     @pandas_udf("boolean")
     def _validate(s: pd.Series) -> pd.Series:
@@ -66,6 +100,10 @@ def kernel_validate_udf(schema: Any, remotes: Optional[dict] = None,
                 value = None if x is None else json.loads(x)
             except (TypeError, ValueError):
                 return False
+            if unwrap_array and isinstance(value, list):
+                value = value[0] if value else None
+            if fpaths:
+                value = _restore_nonfinite(value, fpaths)
             try:
                 return v.validate(value)
             except Exception:

@@ -137,6 +137,23 @@ SCHEMAS = [
     {"properties": {"nums": {"enum": [[1, 2], [2.5]]}}},
     {"properties": {"tags": {"const": ["a", "a"]}}},
     {"properties": {"meta": {"enum": [{"zip": "8000", "depth": 2}, None]}}},
+    # Plane-B handoff fidelity: NaN (score of row 3) must survive the
+    # to_json round-trip as a NUMBER, not the string "NaN" — regression
+    # from the seed-99 randomized hunt
+    {"oneOf": [
+        {"if": {"properties": {"n": True, "nums": True, "lang": True,
+                                 "tags": True, "meta": True, "id": True,
+                                 "flag": True},
+                 "unevaluatedProperties": False},
+         "then": {"properties": {"lang": {"maxLength": 9}}},
+         "else": {"properties": {"lang": {"maxLength": 5, "minLength": 17}}}},
+        {"allOf": [{"properties": {"lang": {"maxLength": 24}}},
+                    {"properties": {"url": True, "nums": True, "n": True,
+                                     "tags": True, "text": True, "flag": True},
+                      "unevaluatedProperties": {"type": "string"}},
+                    {"properties": {"n": {"maximum": 94, "multipleOf": 0.5,
+                                            "minimum": 4}}}]},
+        {"properties": {"nums": {"minItems": 2}}}]},
     # unevaluated* with anyOf — must stay on Plane B and still match
     {"unevaluatedProperties": False,
      "anyOf": [{"properties": {"id": {}, "url": {}, "text": {}, "lang": {},
