@@ -368,9 +368,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (warc_epoch_noisy // 86400
                        BETWEEN {day0} AND {day0 + CRAWL_DAYS - 1})""",
         "stats_profile": """
+            -- CAST: duckdb sum(BIGINT) yields HUGEINT; Spark's is BIGINT
             SELECT count(*) AS n_rows,
-                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
-                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS text_nulls,
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS lang_nulls,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars
             FROM documents""",
         "drift_lang_share": """
@@ -496,11 +499,11 @@ def oracle_sql() -> dict[str, str]:
             -- unix_timestamp floors — boundary events would drift buckets
             SELECT floor(epoch(ts))::BIGINT // 3600 AS hour_bucket,
                    count(*) AS n_rows,
-                   sum(((event_type IS NOT NULL AND props IS NOT NULL)
+                   CAST(sum(((event_type IS NOT NULL AND props IS NOT NULL)
                         AND (value IS NULL OR value >= 0.5)
                         AND coalesce(event_type IN
                             ('click','view','purchase','signup','error'),
-                            FALSE))::BIGINT) AS n_valid
+                            FALSE))::BIGINT) AS BIGINT) AS n_valid
             FROM events GROUP BY 1""",
         "token_jaccard": f"""
             WITH t AS (
