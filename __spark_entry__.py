@@ -326,9 +326,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      "minContains": 2}}
         }).select("doc_id", "valid")
 
+    def q_kw_prefixitems(spark, sf_dir):
+        toks = _doc_tokens(spark, sf_dir)
+        return with_valid(toks, {
+            "properties": {"toks": {"prefixItems": [
+                {"minLength": 3}, {"pattern": "^[a-z]"}]}}
+        }).select("doc_id", "valid")
+
+    def q_kw_maxcontains(spark, sf_dir):
+        toks = _doc_tokens(spark, sf_dir)
+        return with_valid(toks, {
+            "properties": {"toks": {"contains": {"pattern": "^th"},
+                                     "minContains": 1, "maxContains": 5}}
+        }).select("doc_id", "valid")
+
+    def q_kw_unevaluateditems(spark, sf_dir):
+        toks = _doc_tokens(spark, sf_dir)
+        return with_valid(toks, {
+            "properties": {"toks": {"prefixItems": [True, True],
+                                     "unevaluatedItems": {"maxLength": 8}}}
+        }).select("doc_id", "valid")
+
     out["kw_items"] = q_kw_items
     out["kw_uniqueitems"] = q_kw_uniqueitems
     out["kw_contains"] = q_kw_contains
+    out["kw_prefixitems"] = q_kw_prefixitems
+    out["kw_maxcontains"] = q_kw_maxcontains
+    out["kw_unevaluateditems"] = q_kw_unevaluateditems
+
+    # keywords needing absent keys: derive deterministically-nullable
+    # columns (the relational bridge maps NULL to "key absent")
+    def _masked_docs(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 != 0, F.col("lang")).alias("lang"),
+            F.when(F.col("doc_id") % 5 != 0, F.col("source")).alias("source"),
+            "n_chars")
+
+    def q_kw_minmaxproperties(spark, sf_dir):
+        return with_valid(
+            _masked_docs(spark, sf_dir),
+            {"minProperties": 3, "maxProperties": 4},
+        ).select("doc_id", "valid")
+
+    def q_kw_dependentschemas(spark, sf_dir):
+        return with_valid(_masked_docs(spark, sf_dir), {
+            "dependentSchemas": {"source": {
+                "properties": {"n_chars": {"minimum": 120}},
+                "required": ["lang"]}}
+        }).select("doc_id", "valid")
+
+    def q_kw_dependencies(spark, sf_dir):
+        return with_valid(_masked_docs(spark, sf_dir), {
+            "dependencies": {
+                "lang": ["source"],
+                "n_chars": {"properties": {"n_chars": {"maximum": 400}}}}
+        }).select("doc_id", "valid")
+
+    def q_kw_unevaluatedprops(spark, sf_dir):
+        # static claims from properties + allOf; lang stays unclaimed —
+        # valid exactly when the lang key is absent (masked to NULL)
+        return with_valid(_masked_docs(spark, sf_dir), {
+            "properties": {"doc_id": True, "n_chars": True},
+            "allOf": [{"properties": {"source": True}}],
+            "unevaluatedProperties": False,
+        }).select("doc_id", "valid")
+
+    def q_kw_unevaluatedprops_if(spark, sf_dir):
+        # conditional claim: n_chars is only evaluated on the then-branch
+        return with_valid(_masked_docs(spark, sf_dir), {
+            "properties": {"doc_id": True, "lang": True, "source": True},
+            "if": {"properties": {"lang": {"const": "en"}},
+                    "required": ["lang"]},
+            "then": {"properties": {"n_chars": True}},
+            "unevaluatedProperties": False,
+        }).select("doc_id", "valid")
+
+    def q_kw_exclusiveminimum(spark, sf_dir):
+        return _doc_valid({"properties": {
+            "n_chars": {"exclusiveMinimum": 150}}})(spark, sf_dir)
+
+    def q_kw_format(spark, sf_dir):
+        # format-assertion mode (opt-in, SURVEY §2.5): synthesize a
+        # dotted quad whose octets overflow for some rows
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(".", F.pmod(F.col("doc_id"), F.lit(300)),
+                        F.pmod(F.col("n_chars"), F.lit(300)),
+                        F.lit(0), F.lit(1)).alias("ip"))
+        return with_valid(d, {"properties": {"ip": {"format": "ipv4"}}},
+                          format_assertion=True).select("doc_id", "valid")
+
+    def q_kw_dynamicref(spark, sf_dir):
+        return _doc_valid({
+            "$defs": {"num": {"$dynamicAnchor": "bound", "minimum": 100}},
+            "properties": {"n_chars": {"$dynamicRef": "#bound"}},
+        })(spark, sf_dir)
+
+    def q_violations_page(spark, sf_dir):
+        # the reference's second public API (errors(), schema.js:665-674)
+        # as exploded violation rows with the exact message template
+        from jema_js_spark.validation.engine import violation_rows
+
+        return violation_rows(
+            _docs(spark, sf_dir),
+            {"properties": {"n_chars": {"minimum": 150}},
+             "required": ["lang"]},
+            id_cols=["doc_id"])
+
+    out["kw_minmaxproperties"] = q_kw_minmaxproperties
+    out["kw_dependentschemas"] = q_kw_dependentschemas
+    out["kw_dependencies"] = q_kw_dependencies
+    out["kw_unevaluatedprops"] = q_kw_unevaluatedprops
+    out["kw_unevaluatedprops_if"] = q_kw_unevaluatedprops_if
+    out["kw_exclusiveminimum"] = q_kw_exclusiveminimum
+    out["kw_format"] = q_kw_format
+    out["kw_dynamicref"] = q_kw_dynamicref
+    out["violations_page"] = q_violations_page
 
     # object-applicator keywords over the row shape itself
     out["kw_propertynames"] = _doc_valid({"propertyNames": {"maxLength": 6}})
@@ -479,6 +594,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (len(list_filter({toks}, t -> t = 'spark')) >= 2) AS valid
             FROM documents""",
+        "kw_prefixitems": f"""
+            SELECT doc_id,
+                   ((len({toks}) < 1 OR length({toks}[1]) >= 3)
+                    AND (len({toks}) < 2 OR regexp_matches({toks}[2], '^[a-z]')))
+                     AS valid
+            FROM documents""",
+        "kw_maxcontains": f"""
+            SELECT doc_id,
+                   (len(list_filter({toks}, t -> regexp_matches(t, '^th')))
+                      BETWEEN 1 AND 5) AS valid
+            FROM documents""",
+        "kw_unevaluateditems": f"""
+            SELECT doc_id,
+                   (len(list_filter({toks}[3:], t -> length(t) <= 8))
+                      = greatest(len({toks}) - 2, 0)) AS valid
+            FROM documents""",
+        "kw_minmaxproperties": """
+            SELECT doc_id,
+                   ((1 + (doc_id % 3 <> 0)::INT + (doc_id % 5 <> 0)::INT + 1)
+                      BETWEEN 3 AND 4) AS valid
+            FROM documents""",
+        "kw_dependentschemas": """
+            SELECT doc_id,
+                   (doc_id % 5 = 0
+                    OR (n_chars >= 120 AND doc_id % 3 <> 0)) AS valid
+            FROM documents""",
+        "kw_dependencies": """
+            SELECT doc_id,
+                   ((doc_id % 3 = 0 OR doc_id % 5 <> 0)
+                    AND n_chars <= 400) AS valid
+            FROM documents""",
+        "kw_unevaluatedprops": """
+            SELECT doc_id, (doc_id % 3 = 0) AS valid FROM documents""",
+        "kw_unevaluatedprops_if": """
+            SELECT doc_id,
+                   coalesce(lang = 'en' AND doc_id % 3 <> 0, FALSE) AS valid
+            FROM documents""",
+        "kw_exclusiveminimum": """
+            SELECT doc_id, (n_chars > 150) AS valid FROM documents""",
+        "kw_format": r"""
+            SELECT doc_id,
+                   regexp_matches(
+                     (doc_id % 300) || '.' || (n_chars % 300) || '.0.1',
+                     '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+                     AS valid
+            FROM documents""",
+        "kw_dynamicref": """
+            SELECT doc_id, (n_chars >= 100) AS valid FROM documents""",
+        "violations_page": """
+            SELECT doc_id,
+                   'properties.n_chars.minimum' AS "check",
+                   'minimum' AS keyword,
+                   '["properties", "n_chars", "minimum"]' AS schema_path,
+                   '["n_chars"]' AS data_path,
+                   '150' AS schema_value,
+                   '"' || n_chars || '" does not match minimum:150' AS message
+            FROM documents WHERE n_chars < 150
+            UNION ALL
+            SELECT doc_id, 'required.0', 'required', '["required", 0]', '[]',
+                   'lang', 'object does not match required:lang'
+            FROM documents WHERE lang IS NULL""",
         # propertyNames maxLength 6: only 'n_chars' (7 chars) violates,
         # and only when present (non-null under the relational bridge)
         "kw_propertynames": """

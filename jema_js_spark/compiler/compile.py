@@ -255,26 +255,36 @@ class SchemaCompiler:
             return []
 
         checks: List[CheckSpec] = []
+        # set by descend_pred when a combinator folded a Plane-B (kernel
+        # UDF) predicate into the Column it returned — the emitted check
+        # must then be recorded as plane 'B' so CompiledPlan.coverage()
+        # stays honest (the published-plane invariant, CLAUDE.md)
+        saw_plane_b = [False]
 
         def add(keyword: str, schema_value: Any, pred: Column,
                 extra_path: Tuple = ()) -> None:
             sp = spath + (keyword,) + extra_path
             vcol = None if texpr.is_row else texpr.col.cast("string")
+            plane = "B" if saw_plane_b[0] else "A"
+            saw_plane_b[0] = False
             checks.append(CheckSpec(
                 name=".".join(map(str, sp)),
                 keyword=keyword, schema_path=sp, data_path=dpath,
-                schema_value=schema_value, predicate=pred, plane="A",
+                schema_value=schema_value, predicate=pred, plane=plane,
                 value_col=vcol))
 
         def descend_pred(sub: Any, sub_texpr: _TExpr) -> Column:
             """Valid-predicate of a whole subtree (for combinators)."""
             sub_checks = self._compile_node(sub, sub_texpr, spath, dpath, ref_stack)
+            if any(c.plane == "B" for c in sub_checks):
+                saw_plane_b[0] = True
             return _and_all([c.predicate for c in sub_checks])
 
         jt = texpr.json_type()
         is_null = texpr.null_col()
 
         for keyword, sval in node.items():
+            saw_plane_b[0] = False
             try:
                 handler = _HANDLERS.get(keyword)
                 if handler is None:
@@ -286,17 +296,40 @@ class SchemaCompiler:
                 # the row kernel on the JSON form via Arrow batches
                 checks.append(self._plane_b_check(
                     {keyword: sval, **_carry_siblings(node, keyword)},
-                    texpr, spath + (keyword,), dpath, sval, keyword))
+                    texpr, spath + (keyword,), dpath, sval, keyword,
+                    owner_node=node))
         return checks
 
     # -- Plane-B bridge ---------------------------------------------------
     def _plane_b_check(self, sub_schema: dict, texpr: _TExpr,
                        spath: Tuple, dpath: Tuple,
-                       schema_value: Any, keyword: str) -> CheckSpec:
+                       schema_value: Any, keyword: str,
+                       owner_node: Optional[dict] = None) -> CheckSpec:
         from jema_js_spark.validation.kernel_udf import kernel_validate_udf
 
+        # A detached fallback mini-schema loses the owning resource's
+        # $defs/anchors/$id context, so any $ref inside it would hit
+        # RefResolutionError in the UDF and silently mark every row
+        # invalid.  Rebase local refs onto the owning resource's absolute
+        # URL and ship the registry documents as remotes so the executor-
+        # side kernel resolves them against the real documents.
+        remotes = None
+        if _contains_refs(sub_schema):
+            import copy as _copy
+
+            registry = self.schema.registry
+            owner = self.schema
+            if owner_node is not None:
+                owner = registry.node_resource.get(id(owner_node), self.schema)
+            base_url = (owner.id or _PLANB_ROOT_URL).split("#")[0]
+            sub_schema = _rewrite_local_refs(
+                _copy.deepcopy(sub_schema), base_url)
+            remotes = {url: doc for url, doc in registry._docs.items()
+                       if isinstance(doc, (dict, bool))}
+            remotes.setdefault(base_url, owner.schema)
+
         udf = kernel_validate_udf(sub_schema,
-                                  remotes=None,
+                                  remotes=remotes,
                                   format_assertion=self.format_assertion,
                                   float_paths=texpr.float_paths(),
                                   unwrap_array=texpr.needs_unwrap())
@@ -306,6 +339,48 @@ class SchemaCompiler:
             keyword=keyword, schema_path=spath, data_path=dpath,
             schema_value=schema_value,
             predicate=F.coalesce(pred, F.lit(True)), plane="B")
+
+
+# base URI for a Plane-B fallback whose owning resource has no $id
+_PLANB_ROOT_URL = "http://jema.invalid/planb-root"
+
+
+def _contains_refs(node: Any) -> bool:
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k in ("$ref", "$dynamicRef") and isinstance(v, str):
+                return True
+            if _contains_refs(v):
+                return True
+        return False
+    if isinstance(node, list):
+        return any(_contains_refs(x) for x in node)
+    return False
+
+
+def _rewrite_local_refs(node: Any, base_url: str) -> Any:
+    """Rebase '#…'-local ``$ref``/``$dynamicRef`` pointers inside a
+    detached Plane-B fallback copy to absolute ``<base_url>#…`` refs,
+    so they resolve against the registered owning document instead of
+    the (context-free) fallback root.  Nested ``$id`` resources switch
+    the base, exactly like lexical resolution would; ``$dynamicRef``
+    degrades to its lexical anchor — the reference's own behavior
+    (schema.js:355-362 resolves dynamic refs against the root only)."""
+    if isinstance(node, dict):
+        nid = node.get("$id")
+        if isinstance(nid, str):
+            base_url = nid.split("#")[0]
+        out = {}
+        for k, v in node.items():
+            if (k in ("$ref", "$dynamicRef") and isinstance(v, str)
+                    and v.startswith("#")):
+                out[k] = base_url + v
+            else:
+                out[k] = _rewrite_local_refs(v, base_url)
+        return out
+    if isinstance(node, list):
+        return [_rewrite_local_refs(x, base_url) for x in node]
+    return node
 
 
 def _carry_siblings(node: dict, keyword: str) -> dict:
@@ -318,13 +393,23 @@ def _carry_siblings(node: dict, keyword: str) -> dict:
         "maxContains": ("contains", "minContains"),
         "if": ("then", "else"),
         "items": ("prefixItems",),
+        # additionalProperties only applies to keys unclaimed by its
+        # sibling matchers — dropping them would make the kernel treat
+        # every key as additional
+        "additionalProperties": ("properties", "patternProperties"),
+        # unevaluated*: carry the full applicator context, mirroring
+        # _DISQUALIFYING — keys/items claimed by any sibling (incl.
+        # schema-form dependencies and $dynamicRef targets) must stay
+        # visible to the kernel's sweep
         "unevaluatedProperties": ("properties", "patternProperties",
                                    "additionalProperties", "allOf", "anyOf",
                                    "oneOf", "not", "if", "then", "else",
-                                   "dependentSchemas", "$ref"),
-        "unevaluatedItems": ("prefixItems", "items", "contains", "allOf",
+                                   "dependentSchemas", "dependencies",
+                                   "$ref", "$dynamicRef"),
+        "unevaluatedItems": ("prefixItems", "items", "contains",
+                              "minContains", "maxContains", "allOf",
                               "anyOf", "oneOf", "not", "if", "then", "else",
-                              "$ref"),
+                              "$ref", "$dynamicRef"),
     }
     return {k: node[k] for k in deps.get(keyword, ()) if k in node}
 
@@ -701,7 +786,10 @@ def _matched_keys(node: dict, texpr: _TExpr) -> set:
     pprops = node.get("patternProperties")
     if isinstance(pprops, dict):
         for pattern in pprops:
-            rx = compile_js_regex(pattern)
+            try:
+                rx = compile_js_regex(pattern)
+            except UnsupportedRegexError as exc:
+                raise ColumnarUnsupported(str(exc)) from exc
             claimed |= {p for p in texpr.field_names() if rx.search(p)}
     return claimed
 
@@ -738,9 +826,13 @@ def _h_property_names(c, kw, sval, node, texpr, jt, is_null, add, descend,
     # static keys: evaluate the subschema against each literal name on
     # the driver with the kernel — free at runtime
     from jema_js_spark.kernel.kernel import validate as kernel_validate
-    bad = [p for p in texpr.field_names()
-           if not kernel_validate(sval if isinstance(sval, (dict, bool)) else {},
-                                  p)]
+    try:
+        bad = [p for p in texpr.field_names()
+               if not kernel_validate(
+                   sval if isinstance(sval, (dict, bool)) else {}, p)]
+    except Exception as exc:  # detached sval (e.g. $ref) → Plane B
+        raise ColumnarUnsupported(f"propertyNames needs the kernel: {exc}") \
+            from exc
     if not bad:
         add(kw, sval, F.lit(True))
         return
@@ -1042,7 +1134,10 @@ def _claimed_keys_static(node: dict, texpr: _TExpr, descend) :
     pprops = node.get("patternProperties")
     if isinstance(pprops, dict):
         for pattern in pprops:
-            rx = compile_js_regex(pattern)
+            try:
+                rx = compile_js_regex(pattern)
+            except UnsupportedRegexError as exc:
+                raise ColumnarUnsupported(str(exc)) from exc
             always |= {p for p in texpr.field_names() if rx.search(p)}
     if "additionalProperties" in node and node["additionalProperties"] is not None:
         always |= set(texpr.field_names())
@@ -1057,6 +1152,23 @@ def _claimed_keys_static(node: dict, texpr: _TExpr, descend) :
                     merge_conditional(name, guard)
 
     if "if" in node and node.get("if") is not None:
+        # the `if` probe itself claims keys (kernel records evaluated
+        # keys as the probe runs).  When the probe PASSES its claims are
+        # its full static claim set; when it FAILS the reference keeps
+        # only the claims made before the first error — an order-
+        # dependent partial set no static predicate can reproduce.  So:
+        # claims already covered elsewhere are fine, probe-pass claims
+        # merge under the p_if guard, and any probe-branch claim not
+        # otherwise covered forces Plane B.
+        if_branch = node["if"]
+        if isinstance(if_branch, dict):
+            i_always, i_cond = _claimed_keys_static(if_branch, texpr, descend)
+            uncovered = (i_always | set(i_cond)) - always
+            if uncovered:
+                raise ColumnarUnsupported(
+                    "unevaluated* with if-probe claims over "
+                    f"{sorted(uncovered)} needs the kernel "
+                    "(failed probes leave partial claims)")
         p_if = descend(node["if"], texpr)
         for branch_key, guard in (("then", p_if), ("else", ~p_if)):
             branch = node.get(branch_key)

@@ -161,6 +161,35 @@ SCHEMAS = [
                                  "nums": {}, "meta": {}},
                  "required": ["url"]},
                 {"properties": {"id": {}}, "required": ["id"]}]},
+    # ADVICE r1: the `if` PROBE itself claims keys (the kernel records
+    # them even when the probe fails — partial claims) — keys claimed
+    # only by the probe must route unevaluatedProperties to Plane B
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {},
+                     "score": {}, "flag": {}, "tags": {}, "nums": {},
+                     "meta": {}},
+     "if": {"properties": {"n": {"type": "string"}}}},
+    {"unevaluatedProperties": False,
+     "properties": {"b_never": {}},
+     "if": {"properties": {"lang": {"type": "string"}}}},
+    # ADVICE r1: $ref inside a Plane-B fallback subtree — the detached
+    # mini-schema must still resolve against the root's $defs (was:
+    # RefResolutionError swallowed as all-rows-invalid)
+    {"$defs": {"everything": {"properties": {
+         "id": {}, "url": {}, "text": {}, "lang": {}, "score": {},
+         "n": {}, "flag": {}, "tags": {}, "nums": {}, "meta": {}}}},
+     "$ref": "#/$defs/everything",
+     "unevaluatedProperties": False},
+    {"$defs": {"langish": {"enum": ["en", "de", "fr"]}},
+     "not": {"properties": {"lang": {"$ref": "#/$defs/langish"}},
+              "required": ["lang"],
+              "unevaluatedProperties": True}},
+    # ADVICE r1: schema-form `dependencies` claims keys — carried into
+    # the unevaluated* fallback so the kernel sweep sees them
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "text": {}, "lang": {}, "score": {}, "n": {},
+                     "flag": {}, "tags": {}, "nums": {}, "meta": {}},
+     "dependencies": {"id": {"properties": {"url": {}}}}},
 ]
 
 
@@ -249,6 +278,46 @@ def test_plane_coverage_flagship(spark, df):
     cov = plan.coverage()
     assert cov["plane_b_checks"] == 0, cov
     assert cov["plane_a_fraction"] == 1.0
+
+
+def test_untranslatable_pattern_props_falls_back(spark, df):
+    """ADVICE r1: an untranslatable patternProperties regex paired with
+    additionalProperties / unevaluatedProperties must fall back to
+    Plane B instead of crashing compile_plan with
+    UnsupportedRegexError."""
+    for schema in (
+        {"patternProperties": {r"^\p{Lu}": {}},
+         "additionalProperties": {"type": "string"}},
+        {"patternProperties": {r"^\p{Lu}": {}},
+         "unevaluatedProperties": False},
+    ):
+        plan = SchemaCompiler(schema).compile_plan(df)  # must not raise
+        assert plan.coverage()["plane_b_checks"] >= 1
+
+
+def test_coverage_reports_nested_plane_b(spark, df):
+    """ADVICE r1: a combinator that folds a Plane-B sub-predicate into
+    its Column must be reported as plane 'B' — coverage() may not claim
+    plane_a_fraction 1.0 while kernel UDFs execute."""
+    schema = {"properties": {"text": {
+        "anyOf": [{"format": "idn-email"}, {"minLength": 1000}]}}}
+    plan = SchemaCompiler(schema, format_assertion=True).compile_plan(df)
+    cov = plan.coverage()
+    assert cov["plane_b_checks"] >= 1, cov
+    assert cov["plane_a_fraction"] < 1.0, cov
+
+
+def test_plane_b_ref_fallback_not_all_false(spark, df):
+    """ADVICE r1 regression: the $ref+unevaluatedProperties idiom used
+    to compile into an always-False kernel predicate (detached
+    mini-schema lost the root's $defs)."""
+    schema = {"$defs": {"everything": {"properties": {
+                  "id": {}, "url": {}, "text": {}, "lang": {}, "score": {},
+                  "n": {}, "flag": {}, "tags": {}, "nums": {}, "meta": {}}}},
+              "$ref": "#/$defs/everything",
+              "unevaluatedProperties": False}
+    out = with_valid(df, schema).select("valid").collect()
+    assert all(r["valid"] for r in out)  # every key is claimed via the ref
 
 
 def test_static_unevaluated_is_plane_a(spark, df):
