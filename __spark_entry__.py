@@ -201,13 +201,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id_a", "id_b")
 
     def q_media_features(spark, sf_dir):
+        # synthesize REAL PNG headers (signature + IHDR) so the header
+        # parser runs against genuine container bytes, end to end:
+        # expression-built bytes → attach_media_metadata byte-slicing →
+        # mapInPandas decode — dims verifiable against a DuckDB twin
         from jema_js_spark.operators.multimodal import (
             attach_media_metadata, decode_image_features)
 
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+
+        def be32(col):
+            return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+        png = F.concat(
+            F.unhex(F.lit("89504E470D0A1A0A")),           # signature
+            F.unhex(F.lit("0000000D49484452")),           # len(13) + IHDR
+            be32(F.pmod(F.col("doc_id"), F.lit(240)) + 16),   # width
+            be32(F.pmod(F.col("n_chars"), F.lit(200)) + 16),  # height
+            F.unhex(F.lit("0802000000")),                 # depth8, RGB
+            F.encode("text", "UTF-8"))                    # opaque tail
         media = attach_media_metadata(
-            docs.select(F.col("doc_id").alias("media_id"),
-                        F.encode("text", "UTF-8").alias("payload")))
+            docs.select(F.col("doc_id").alias("media_id"), png.alias("payload")))
         return decode_image_features(media).select(
             "media_id", "width", "height")
 
@@ -642,6 +656,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "kw_dynamicref": """
             SELECT doc_id, (n_chars >= 100) AS valid FROM documents""",
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   (doc_id % 240 + 16)::INT AS width,
+                   (n_chars % 200 + 16)::INT AS height
+            FROM documents WHERE doc_id < 50""",
         "violations_page": """
             SELECT doc_id,
                    'properties.n_chars.minimum' AS "check",

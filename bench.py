@@ -58,7 +58,16 @@ def main() -> None:
     docs.count()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     emb.count()
-    pages = synthetic_pages(spark, N_PAGES, num_partitions=CPUS * 4)
+    # materialize the synthetic pages to parquet OUTSIDE the timed
+    # region: otherwise every page-table bench re-pays row generation
+    # inside its timing and the numbers measure the generator, not the
+    # plan (round-1 verdict: flagship was understated ~43×)
+    import shutil
+    import tempfile
+    pages_dir = tempfile.mkdtemp(prefix="jema_bench_pages_")
+    synthetic_pages(spark, N_PAGES, num_partitions=CPUS * 4) \
+        .write.mode("overwrite").parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -144,6 +153,7 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+    shutil.rmtree(pages_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -184,24 +184,34 @@ def minhash_dedup_report(df: DataFrame, id_col: str, text_col: str = "text",
 
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over word tokens: for each bit, the sign of the
-    (+1/−1) vote across token hashes.  Built from 64 filter/size
-    expressions over the token-hash array — heavy expression tree but
-    pure JVM codegen."""
+    (+1/−1) vote across token hashes.
+
+    ONE ``aggregate`` pass over the token-hash array accumulating a
+    63-slot vote vector (plus the count), instead of 63 separate
+    ``filter``+``size`` traversals — pure JVM codegen either way, but
+    one array walk per row instead of 63 (round-1 perf-weak item).
+    Bit 63 is excluded to keep the result non-negative."""
     hashes = F.transform(word_tokens(text), lambda t: F.xxhash64(t))
-    n = F.size(hashes)
+    masks = F.array(*[F.lit(1 << b) for b in range(63)])
 
-    def _bit_vote(b: int) -> Column:
-        # unary lambda: PySpark treats a second parameter as the index
-        mask = F.lit(1 << b)
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
-        return F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+    def _merge(acc: Column, h: Column) -> Column:
+        votes = F.zip_with(
+            acc["v"], masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(0))
+        return F.struct(votes.alias("v"), (acc["n"] + 1).alias("n"))
 
-    # bit 63 excluded: keep the result non-negative
-    bits = [_bit_vote(b) for b in range(63)]
-    out = bits[0]
-    for term in bits[1:]:
-        out = out.bitwiseOR(term)
-    return F.when(n > 0, out).otherwise(F.lit(None).cast("long"))
+    def _finish(acc: Column) -> Column:
+        bits = F.zip_with(
+            acc["v"], masks,
+            lambda v, m: F.when(v * 2 > acc["n"], m).otherwise(F.lit(0)))
+        out = F.aggregate(bits, F.lit(0).cast("long"),
+                          lambda s, t: s.bitwiseOR(t))
+        return F.when(acc["n"] > 0, out).otherwise(F.lit(None).cast("long"))
+
+    init = F.struct(
+        F.array_repeat(F.lit(0).cast("long"), 63).alias("v"),
+        F.lit(0).cast("long").alias("n"))
+    return F.aggregate(hashes, init, _merge, _finish)
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",

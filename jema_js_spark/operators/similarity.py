@@ -63,10 +63,18 @@ def fit_centroids(corpus: DataFrame, nlist: int = 16, vec_col: str = "embedding"
                   seed: int = 42) -> List[List[float]]:
     """Driver-side Lloyd iterations on a bounded sample — the coarse
     quantizer.  Sampling + numpy on ≤``sample_rows`` vectors keeps the
-    driver cost constant regardless of corpus size."""
+    driver cost constant regardless of corpus size.
+
+    The sample is the ``sample_rows`` smallest content hashes — a
+    deterministic uniform-ish draw that is independent of partition
+    count/order (a bare ``limit`` would take the first partitions: a
+    biased single-shard sample at scale) and executes as per-partition
+    top-n + driver merge, no full shuffle."""
     sample = np.array(
         [row[0] for row in
-         corpus.select(vec_col).limit(sample_rows).collect()],
+         corpus.select(vec_col)
+         .orderBy(F.xxhash64(F.col(vec_col)))
+         .limit(sample_rows).collect()],
         dtype=np.float64)
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)

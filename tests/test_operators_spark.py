@@ -249,6 +249,46 @@ def test_ivf_topk_recall(spark, emb):
         f"IVF recall {hit}/{5 * len(exact_sets)}"
 
 
+def test_simhash_single_pass_matches_63_filter_form(spark, docs):
+    """The one-aggregate-pass simhash64 must be bit-identical to the
+    round-1 63×(filter+size) formulation it replaced."""
+    from jema_js_spark.operators.dedup import simhash64
+    from jema_js_spark.operators.text import word_tokens
+
+    def simhash64_multipass(text):
+        hashes = F.transform(word_tokens(text), lambda t: F.xxhash64(t))
+        n = F.size(hashes)
+
+        def bit_vote(b):
+            mask = F.lit(1 << b)
+            ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+            return F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+
+        bits = [bit_vote(b) for b in range(63)]
+        out = bits[0]
+        for term in bits[1:]:
+            out = out.bitwiseOR(term)
+        return F.when(n > 0, out).otherwise(F.lit(None).cast("long"))
+
+    sample = docs.limit(50).withColumn("empty", F.lit("   "))
+    rows = sample.select(
+        simhash64(F.col("text")).alias("fast"),
+        simhash64_multipass(F.col("text")).alias("slow"),
+        simhash64(F.col("empty")).alias("fast_empty")).collect()
+    assert all(r["fast"] == r["slow"] for r in rows)
+    assert all(r["fast_empty"] is None for r in rows)
+
+
+def test_fit_centroids_partition_order_stable(spark, emb):
+    """The quantizer sample is content-hash ordered, so centroids must
+    not depend on partition count/order (round-1: .limit() took the
+    first partitions — a biased shard sample at scale)."""
+    a = fit_centroids(emb, nlist=4)
+    b = fit_centroids(emb.repartition(13), nlist=4)
+    c = fit_centroids(emb.coalesce(1), nlist=4)
+    assert a == b == c
+
+
 def test_embedding_near_dups(spark, emb):
     # plant exact duplicates of 5 vectors
     dup = emb.limit(5).select((F.col("vec_id") + 1000000).alias("vec_id"),

@@ -3,6 +3,7 @@ checkpoint/resume ledger (kill-resume without recompute)."""
 
 from __future__ import annotations
 
+import struct
 import tempfile
 
 import pytest
@@ -17,11 +18,65 @@ from jema_js_spark.operators.multimodal import (
 from jema_js_spark.runtime.checkpoint import CheckpointLedger, run_partitioned
 
 
+def _png(w, h, tail=b"", color_type=2):
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+            + tail)
+
+
+def _gif(w, h, tail=b""):
+    return b"GIF89a" + struct.pack("<HH", w, h) + tail
+
+
+def _bmp(w, h, tail=b"", bits=24):
+    return (b"BM" + struct.pack("<I", 54) + b"\x00\x00\x00\x00"
+            + struct.pack("<I", 54) + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h) + struct.pack("<H", 1)
+            + struct.pack("<H", bits) + tail)
+
+
+def _dims(i):
+    return 32 + i, 32 + (i * 3) % 40
+
+
 @pytest.fixture(scope="module")
 def media(spark):
-    rows = [(i, bytes([i % 251] * (100 + i * 7))) for i in range(20)]
+    makers = [_png, _gif, _bmp]
+    rows = []
+    for i in range(20):
+        w, h = _dims(i)
+        rows.append((i, makers[i % 3](w, h, bytes([i % 251] * (100 + i * 7)))))
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     return attach_media_metadata(df)
+
+
+def test_header_parse_exact(media):
+    """Real container-header parsing: the Catalyst byte-slicing
+    expressions must recover the exact dimensions written by the
+    struct.pack producers for all three formats."""
+    got = {r["media_id"]: r["meta"] for r in media.collect()}
+    for i in range(20):
+        w, h = _dims(i)
+        m = got[i]
+        assert (m["width"], m["height"]) == (w, h), (i, m)
+        assert m["channels"] == 3  # PNG ct=2, GIF, and 24-bit BMP → RGB
+    # unknown magic → NULL meta fields, not fabricated dims
+    unk = attach_media_metadata(
+        media.sparkSession.createDataFrame(
+            [(99, b"not an image at all")], "media_id long, payload binary"))
+    m = unk.collect()[0]["meta"]
+    assert m["width"] is None and m["height"] is None
+
+
+def test_header_parse_channel_variants(spark):
+    rows = [(0, _png(10, 11, color_type=6)),   # RGBA
+            (1, _png(12, 13, color_type=0)),   # gray
+            (2, _bmp(14, 15, bits=8))]         # palette
+    out = {r["media_id"]: r["meta"] for r in attach_media_metadata(
+        spark.createDataFrame(rows, "media_id long, payload binary")).collect()}
+    assert out[0]["channels"] == 4
+    assert out[1]["channels"] == 1
+    assert out[2]["channels"] == 1
 
 
 def test_decode_features(media):
