@@ -254,6 +254,23 @@ class SchemaCompiler:
         if not isinstance(node, dict):
             return []
 
+        # SOUNDNESS GATE (round-2, found by the randomized hunt): the
+        # kernel's evaluated set is shared per data value across ALL
+        # in-place applicators — an unevaluated* sweep inside one allOf
+        # element sees claims made by COUSIN elements (and by abandoned
+        # anyOf/oneOf/if probes under collecting mode).  A Plane-B
+        # fallback detached at the branch level cannot see those cousin
+        # claims, so if ANY in-place branch subtree contains
+        # unevaluated*, this whole node must run as ONE kernel check.
+        # unevaluated* directly AT this node stays on the existing path
+        # (static claim analysis, or a carried-sibling fallback that is
+        # whole-node-equivalent).
+        if any(self._contains_unevaluated_deep(sub)
+               for sub in self._inplace_subtrees(node)):
+            return [self._plane_b_check(
+                dict(node), texpr, spath + ("(unevaluated-context)",),
+                dpath, node, "unevaluated", owner_node=node)]
+
         checks: List[CheckSpec] = []
         # set by descend_pred when a combinator folded a Plane-B (kernel
         # UDF) predicate into the Column it returned — the emitted check
@@ -299,6 +316,50 @@ class SchemaCompiler:
                     texpr, spath + (keyword,), dpath, sval, keyword,
                     owner_node=node))
         return checks
+
+    # -- soundness-gate helpers --------------------------------------------
+    def _inplace_subtrees(self, node: dict) -> List[Any]:
+        """Subschemas applied IN PLACE (same data value) — the scopes
+        whose annotations flow into a shared evaluated set."""
+        subs: List[Any] = []
+        for kw in ("allOf", "anyOf", "oneOf"):
+            v = node.get(kw)
+            if isinstance(v, list):
+                subs.extend(v)
+        for kw in ("not", "if", "then", "else"):
+            if kw in node:
+                subs.append(node[kw])
+        ds = node.get("dependentSchemas")
+        if isinstance(ds, dict):
+            subs.extend(ds.values())
+        dp = node.get("dependencies")
+        if isinstance(dp, dict):
+            subs.extend(x for x in dp.values() if isinstance(x, (dict, bool)))
+        if "$ref" in node or "$dynamicRef" in node:
+            target = self.schema.registry.ref_targets.get(id(node))
+            if target is not None:
+                subs.append(target)
+        return subs
+
+    def _contains_unevaluated_deep(self, node: Any,
+                                   seen: Optional[set] = None) -> bool:
+        """unevaluated* anywhere in the subtree, following $ref targets
+        (a ref'd branch contributes claims exactly like an inline one)."""
+        from jema_js_spark.schema.frontend import iter_subschemas
+
+        if seen is None:
+            seen = set()
+        if not isinstance(node, dict) or id(node) in seen:
+            return False
+        seen.add(id(node))
+        if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+            return True
+        if "$ref" in node or "$dynamicRef" in node:
+            target = self.schema.registry.ref_targets.get(id(node))
+            if target is not None and self._contains_unevaluated_deep(target, seen):
+                return True
+        return any(self._contains_unevaluated_deep(sub, seen)
+                   for sub in iter_subschemas(node))
 
     # -- Plane-B bridge ---------------------------------------------------
     def _plane_b_check(self, sub_schema: dict, texpr: _TExpr,

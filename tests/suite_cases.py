@@ -56,6 +56,14 @@ REMOTES: Dict[str, Any] = {
         "type": "integer"
     },
     "http://localhost:1234/bool-schema.json": True,
+    # generic list whose item type is a $dynamicAnchor — the classic
+    # dynamic-scope override shape from the official dynamicRef suite
+    "http://localhost:1234/dyn/list.json": {
+        "$id": "http://localhost:1234/dyn/list.json",
+        "$defs": {"defaultT": {"$dynamicAnchor": "itemsT"}},
+        "type": "array",
+        "items": {"$dynamicRef": "#itemsT"},
+    },
     "http://localhost:1234/tree": {
         "$id": "http://localhost:1234/tree",
         "description": "tree of nodes",
@@ -920,6 +928,511 @@ _many("unevaluatedItems.json", {"unevaluatedItems": False}, [
 _many("unevaluatedProperties.json", {"unevaluatedProperties": False}, [
     ({}, "bare unevaluatedProperties: empty ok"),
     ({"a": 1}, "bare unevaluatedProperties rejects everything"),
+])
+
+
+# ---------------------------------------------------------------------------
+# round-2 densification (VERDICT r1, missing #3): push corpus density
+# toward the official suite's case count.  All unpinned verdicts come
+# from the jsonschema spec oracle at collection time; the spec-divergent
+# quirk space (float multipleOf, unevaluated* under probes / cousin
+# branches, regex dialect) is pinned above and deliberately NOT
+# regenerated here.
+# ---------------------------------------------------------------------------
+
+# -- numeric boundary matrix --------------------------------------------------
+for kw, bound, goods, bads in [
+    ("minimum", 5, [5, 5.0, 6, 5.0001, 10**15], [4.9999, 4, -5, 0, -10**15]),
+    ("maximum", 5, [5, 5.0, 4.9999, -10**15], [5.0001, 6, 10**15]),
+    ("exclusiveMinimum", 5, [5.0001, 6, 10**9], [5, 5.0, 4, -6]),
+    ("exclusiveMaximum", 5, [4.9999, -6], [5, 5.0, 6, 10**9]),
+]:
+    for g in goods:
+        _c(f"{kw}.json", {kw: bound}, g, f"{g!r} satisfies {kw} {bound}")
+    for b in bads:
+        _c(f"{kw}.json", {kw: bound}, b, f"{b!r} violates {kw} {bound}")
+    for ignored in ["5", None, [5], {"v": 5}, True]:
+        _c(f"{kw}.json", {kw: bound}, ignored,
+           f"non-number {ignored!r} ignored by {kw}")
+for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+    _c(f"{kw}.json", {kw: -0.0}, 0, f"0 vs {kw} -0.0 (same value zero)")
+    _c(f"{kw}.json", {kw: 0}, -0.0, f"-0.0 vs {kw} 0 (same value zero)")
+_many("minimum.json", {"minimum": 1.5}, [
+    (1.5, "float bound met exactly"), (1.4999, "just below float bound"),
+    (2, "int above float bound")])
+_many("maximum.json", {"maximum": -2.5}, [
+    (-2.5, "negative float bound met"), (-2, "above negative bound"),
+    (-3, "below negative bound")])
+
+# -- string length (code points, astral planes) -------------------------------
+_many("minLength.json", {"minLength": 2}, [
+    ("ab", "two ascii"), ("a", "one ascii"), ("", "empty"),
+    ("\U0001F600\U0001F600", "two astral code points"),
+    ("\U0001F600", "one astral code point"),
+    ("éx", "combining mark counts as its own point"),
+    (12, "non-string ignored"), (["ab"], "array ignored"),
+])
+_many("maxLength.json", {"maxLength": 2}, [
+    ("ab", "two ok"), ("abc", "three too many"),
+    ("\U0001F600\U0001F600", "two astral ok"),
+    ("\U0001F600\U0001F600\U0001F600", "three astral too many"),
+    (None, "null ignored"),
+])
+_many("minLength.json", {"minLength": 0}, [("", "zero min always ok")])
+_many("maxLength.json", {"maxLength": 0}, [
+    ("", "empty ok"), ("a", "one too many")])
+
+# -- array sizes ---------------------------------------------------------------
+for kw, n, goods, bads in [
+    ("minItems", 2, [[1, 2], [1, 2, 3]], [[1], []]),
+    ("maxItems", 2, [[1, 2], [], [1]], [[1, 2, 3]]),
+]:
+    for g in goods:
+        _c(f"{kw}.json", {kw: n}, g, f"{g!r} ok for {kw} {n}")
+    for b in bads:
+        _c(f"{kw}.json", {kw: n}, b, f"{b!r} bad for {kw} {n}")
+    _c(f"{kw}.json", {kw: n}, "12", f"string ignored by {kw}")
+    _c(f"{kw}.json", {kw: n}, {"a": 1, "b": 2, "c": 3}, f"object ignored by {kw}")
+
+# -- object sizes --------------------------------------------------------------
+for kw, n, goods, bads in [
+    ("minProperties", 2, [{"a": 1, "b": 2}, {"a": 1, "b": 2, "c": 3}],
+     [{"a": 1}, {}]),
+    ("maxProperties", 2, [{}, {"a": 1}, {"a": 1, "b": 2}],
+     [{"a": 1, "b": 2, "c": 3}]),
+]:
+    for g in goods:
+        _c(f"{kw}.json", {kw: n}, g, f"{len(g)} props ok for {kw} {n}")
+    for b in bads:
+        _c(f"{kw}.json", {kw: n}, b, f"{len(b)} props bad for {kw} {n}")
+    _c(f"{kw}.json", {kw: n}, [1, 2, 3], f"array ignored by {kw}")
+    _c(f"{kw}.json", {kw: n}, "abc", f"string ignored by {kw}")
+_many("minProperties.json", {"minProperties": 1, "maxProperties": 1}, [
+    ({"a": 1}, "exactly one"), ({}, "zero"), ({"a": 1, "b": 2}, "two")])
+
+# -- required ------------------------------------------------------------------
+_many("required.json", {"required": ["a", "b"]}, [
+    ({"a": 1, "b": 2}, "both present"),
+    ({"a": 1}, "one missing"),
+    ({"a": None, "b": None}, "null values still count as present"),
+    ({}, "both missing"),
+    ([], "array ignored"),
+    ("ab", "string ignored"),
+])
+_many("required.json", {"required": []}, [
+    ({}, "empty required always ok"), ({"x": 1}, "irrelevant key ok")])
+_many("required.json", {"required": ["~tilde", "sl/ash", "quo\"te"]}, [
+    ({"~tilde": 1, "sl/ash": 2, "quo\"te": 3}, "escaped-char names"),
+    ({"~tilde": 1}, "escaped-char names missing"),
+])
+
+# -- prefixItems / items -------------------------------------------------------
+_many("prefixItems.json",
+      {"prefixItems": [{"type": "integer"}, {"type": "string"}]}, [
+    ([1, "a"], "tuple matches"),
+    ([1, "a", True], "extra items unconstrained"),
+    ([1], "shorter tuple ok"),
+    ([], "empty ok"),
+    (["a", 1], "both wrong order"),
+    ([1, 2], "second slot wrong type"),
+    ([1.5, "a"], "first slot not integer"),
+])
+_many("prefixItems.json",
+      {"prefixItems": [True, False]}, [
+    ([1], "boolean-schema slots: one item ok"),
+    ([1, 2], "false slot rejects second item"),
+])
+_many("items.json",
+      {"prefixItems": [{"type": "integer"}], "items": {"type": "string"}}, [
+    ([1, "a", "b"], "tail all strings"),
+    ([1, "a", 2], "tail has integer"),
+    ([1], "no tail"),
+    (["x"], "prefix violated"),
+])
+_many("items.json", {"items": {"multipleOf": 2}}, [
+    ([2, 4, 6], "all multiples"), ([2, 3], "one not multiple"),
+    ([], "empty ok"), ({"a": 2}, "object ignored")])
+_many("items.json", {"items": False}, [
+    ([], "items:false empty ok"), ([1], "items:false any item fails")])
+_many("items.json",
+      {"prefixItems": [True], "items": False}, [
+    ([1], "one slot allowed"), ([1, 2], "beyond prefix rejected"),
+    ([], "empty ok")])
+
+# -- contains matrix -----------------------------------------------------------
+_many("contains.json", {"contains": {"type": "string"}}, [
+    (["a"], "one match"), ([1, "a", 2], "match among others"),
+    ([1, 2], "no match"), ([], "empty has no match"),
+    ("abc", "non-array ignored")])
+_many("minContains.json",
+      {"contains": {"minimum": 10}, "minContains": 2}, [
+    ([10, 20], "two matches"), ([10, 20, 30], "three matches"),
+    ([10, 1], "only one match"), ([1, 2], "no match"),
+    ([], "empty fails minContains 2")])
+_many("minContains.json",
+      {"contains": {"minimum": 10}, "minContains": 0}, [
+    ([], "minContains 0 allows empty"), ([1], "minContains 0 allows no match")])
+_many("maxContains.json",
+      {"contains": {"type": "integer"}, "maxContains": 2}, [
+    ([1, 2], "at limit"), ([1, 2, 3], "over limit"),
+    ([1, "a", 2], "non-matches not counted"),
+    (["a"], "zero matches fails default minContains 1")])
+
+# -- uniqueItems deep equality --------------------------------------------------
+_many("uniqueItems.json", {"uniqueItems": True}, [
+    ([{"a": 1, "b": 2}, {"b": 2, "a": 1}], "key order insensitive duplicate"),
+    ([[1, [2]], [1, [2]]], "nested array duplicate"),
+    ([[1, [2]], [1, [3]]], "nested array distinct"),
+    ([1, 1.0], "1 and 1.0 are the same JSON number"),
+    ([0, -0.0], "0 and -0.0 same value zero"),
+    ([1, True], "1 and true are distinct"),
+    ([0, False], "0 and false are distinct"),
+    ([None, 0, False, ""], "distinct falsy values"),
+    ([{}, []], "empty object vs empty array distinct"),
+])
+_many("uniqueItems.json", {"uniqueItems": False}, [
+    ([1, 1], "false allows duplicates")])
+
+# -- pattern (dialect-neutral) ---------------------------------------------------
+for pat, goods, bads in [
+    ("^a", ["abc", "a"], ["ba", ""]),
+    ("a+$", ["baaa", "a"], ["ab", "b"]),
+    ("^[0-9]{2}$", ["42"], ["4", "423", "ab"]),
+    ("a|b", ["xay", "b"], ["c", ""]),
+    ("^(ab)*$", ["", "abab"], ["aba", "ba"]),
+]:
+    for g in goods:
+        _c("pattern.json", {"pattern": pat}, g, f"{g!r} matches {pat}")
+    for b in bads:
+        _c("pattern.json", {"pattern": pat}, b, f"{b!r} fails {pat}")
+_c("pattern.json", {"pattern": "^a"}, 123, "non-string ignored by pattern")
+
+# -- propertyNames ----------------------------------------------------------------
+_many("propertyNames.json", {"propertyNames": {"pattern": "^[a-z]+$"}}, [
+    ({"abc": 1, "de": 2}, "all lowercase names"),
+    ({"abc": 1, "D": 2}, "uppercase name rejected"),
+    ({}, "empty ok"), ([1], "array ignored")])
+_many("propertyNames.json", {"propertyNames": False}, [
+    ({}, "false allows only empty object"),
+    ({"a": 1}, "false rejects any key")])
+_many("propertyNames.json", {"propertyNames": {"minLength": 2}}, [
+    ({"ab": 1}, "name long enough"), ({"a": 1}, "name too short")])
+
+# -- dependent* matrix --------------------------------------------------------------
+_many("dependentRequired.json",
+      {"dependentRequired": {"a": ["b"], "b": ["c"]}}, [
+    ({"a": 1, "b": 2, "c": 3}, "chain satisfied"),
+    ({"a": 1, "b": 2}, "second hop missing"),
+    ({"b": 2, "c": 3}, "only second dep triggered, satisfied"),
+    ({"c": 3}, "no trigger"),
+    ({}, "empty ok"),
+])
+_many("dependentSchemas.json",
+      {"dependentSchemas": {"credit": {"required": ["billing"],
+                                        "properties": {"billing":
+                                                        {"type": "string"}}}}}, [
+    ({"credit": 1, "billing": "addr"}, "dependent schema satisfied"),
+    ({"credit": 1, "billing": 5}, "dependent property wrong type"),
+    ({"credit": 1}, "dependent required missing"),
+    ({"billing": 5}, "no trigger, billing unconstrained"),
+])
+_many("dependentSchemas.json", {"dependentSchemas": {"x": False}}, [
+    ({"x": 1}, "false dependent schema rejects trigger"),
+    ({"y": 1}, "no trigger, false schema dormant"),
+])
+_many("dependencies.json", {"dependencies": {"a": ["b"]}}, [
+    ({"a": 1, "b": 2}, "draft4 array form satisfied"),
+])
+_c("dependencies.json", {"dependencies": {"a": ["b"]}}, {"a": 1},
+   "draft4 array form violated", pinned=False,
+   why="2020-12 removed `dependencies`, so the spec oracle ignores it; "
+       "the reference still ships the draft-4 shim (schema.js:615-642)")
+_many("dependencies.json",
+      {"dependencies": {"a": {"properties": {"b": {"type": "integer"}}}}}, [
+    ({"a": 1, "b": 2}, "draft4 schema form satisfied"),
+    ({"b": "x"}, "no trigger"),
+])
+_c("dependencies.json",
+   {"dependencies": {"a": {"properties": {"b": {"type": "integer"}}}}},
+   {"a": 1, "b": "x"}, "draft4 schema form violated", pinned=False,
+   why="2020-12 removed `dependencies`; reference shim asserts it")
+
+# -- combinator nesting matrix ---------------------------------------------------
+_many("allOf.json",
+      {"allOf": [{"minimum": 0}, {"maximum": 10}, {"multipleOf": 2}]}, [
+    (4, "all three pass"), (5, "multipleOf fails"),
+    (-2, "minimum fails"), (12, "maximum fails")])
+_many("allOf.json", {"allOf": [True, True]}, [(1, "all boolean-true")])
+_many("allOf.json", {"allOf": [True, False]}, [(1, "one boolean-false")])
+_many("anyOf.json",
+      {"anyOf": [{"type": "string"}, {"minimum": 5}]}, [
+    ("x", "first branch"), (7, "second branch"),
+    (3, "neither"), (5, "boundary of second")])
+_many("anyOf.json", {"anyOf": [{"anyOf": [{"const": 1}]},
+                                {"anyOf": [{"const": 2}]}]}, [
+    (1, "nested anyOf first"), (2, "nested anyOf second"), (3, "neither")])
+_many("oneOf.json",
+      {"oneOf": [{"type": "integer"}, {"minimum": 2}]}, [
+    (1, "integer only"), (2.5, "minimum only"),
+    (3, "both branches match -> fail"), (1.5, "neither")])
+_many("oneOf.json", {"oneOf": [True, True]}, [
+    (1, "two true schemas both match -> fail")])
+_many("not.json", {"not": {"not": {"const": 5}}}, [
+    (5, "double negation keeps const"), (6, "double negation rejects others")])
+_many("not.json", {"not": True}, [(1, "not true always fails")])
+_many("not.json", {"not": False}, [(1, "not false always passes")])
+_many("if-then-else.json", {"if": {"minimum": 5}, "then": {"multipleOf": 2}}, [
+    (6, "probe passes, then passes"), (7, "probe passes, then fails"),
+    (3, "probe fails, no else -> ok")])
+_many("if-then-else.json", {"if": {"minimum": 5}, "else": {"multipleOf": 2}}, [
+    (7, "probe passes, no then -> ok"), (4, "probe fails, else passes"),
+    (3, "probe fails, else fails")])
+_many("if-then-else.json", {"then": {"const": 1}, "else": {"const": 2}}, [
+    (3, "then/else without if are ignored")])
+_many("boolean_schema.json", {"properties": {"a": True, "b": False}}, [
+    ({"a": 1}, "true property schema"),
+    ({"b": 1}, "false property schema rejects"),
+    ({}, "absent keys fine"),
+])
+
+# -- enum/const value-space --------------------------------------------------------
+_many("enum.json", {"enum": [1]}, [
+    (1, "int member"), (1.0, "1.0 equals 1"),
+    (True, "true is not 1"), ("1", "string not member")])
+_many("enum.json", {"enum": [True, False]}, [
+    (True, "bool member"), (1, "1 is not true"), (0, "0 is not false")])
+_many("enum.json", {"enum": [None]}, [
+    (None, "null member"), (0, "0 not null"), (False, "false not null")])
+_many("enum.json", {"enum": [{"a": 1}, []]}, [
+    ({"a": 1}, "object member"), ([], "empty array member"),
+    ({"a": 1.0}, "1.0 inside object equals 1"), ({}, "empty object not member")])
+_many("const.json", {"const": 0}, [
+    (0, "zero"), (0.0, "0.0 equals 0"), (-0.0, "-0.0 equals 0"),
+    (False, "false is not 0")])
+_many("const.json", {"const": {"a": [1, {"b": None}]}}, [
+    ({"a": [1, {"b": None}]}, "deep equal"),
+    ({"a": [1, {"b": 0}]}, "deep leaf differs"),
+    ({"a": [1, {}]}, "deep key missing")])
+
+# -- type matrix additions -----------------------------------------------------------
+_many("type.json", {"type": ["null", "number", "array"]}, [
+    (None, "triple union null"), (2.5, "triple union number"),
+    ([1], "triple union array"), ("x", "triple union miss"),
+    (True, "boolean not number in union")])
+_many("type.json", {"type": "integer"}, [
+    (-1.0, "-1.0 integral"), (1e100, "huge integral double"),
+    (0.5, "fraction"), (-0.0, "-0.0 integral")])
+
+# -- object applicator interplay ------------------------------------------------------
+_many("properties.json",
+      {"properties": {"a": {"type": "integer"}},
+       "patternProperties": {"^a": {"minimum": 0}},
+       "additionalProperties": {"type": "string"}}, [
+    ({"a": 1}, "properties+pattern both apply to a"),
+    ({"a": -1}, "pattern bound fails on a"),
+    ({"a": 1, "ax": 5, "b": "s"}, "all three applicators satisfied"),
+    ({"a": 1, "b": 7}, "additional not a string"),
+    ({"ax": -3}, "pattern-only key fails bound"),
+])
+_many("additionalProperties.json",
+      {"patternProperties": {"^x": True}, "additionalProperties": False}, [
+    ({"x1": 1, "x2": 2}, "pattern-claimed only"),
+    ({"x1": 1, "y": 2}, "unclaimed key present"),
+    ({}, "empty ok")])
+_many("patternProperties.json",
+      {"patternProperties": {"^a": {"type": "integer"},
+                              "a$": {"minimum": 0}}}, [
+    ({"aba": 1}, "both patterns apply"),
+    ({"aba": -1}, "second pattern bound fails"),
+    ({"aba": "s"}, "first pattern type fails"),
+    ({"b": "anything"}, "no pattern matches"),
+])
+
+# -- id.json / defs.json / anchor.json / ref.json (priority files) --------------------
+_many("id.json",
+      {"$id": "http://ex.test/root.json",
+       "$defs": {"A": {"type": "integer"}},
+       "$ref": "#/$defs/A"}, [
+    (1, "root-id pointer ref ok"), ("1", "root-id pointer ref fails")])
+_many("id.json",
+      {"$id": "http://ex.test/r2.json",
+       "$defs": {"B": {"$id": "http://ex.test/b.json", "type": "string"}},
+       "properties": {"x": {"$ref": "http://ex.test/b.json"}}}, [
+    ({"x": "s"}, "absolute ref to embedded resource"),
+    ({"x": 1}, "absolute ref to embedded resource fails")])
+_many("id.json",
+      {"$id": "http://ex.test/base/root.json",
+       "$defs": {"leaf": {"$id": "leaf.json", "type": "boolean"}},
+       "properties": {"x": {"$ref": "leaf.json"}}}, [
+    ({"x": True}, "relative ref resolved against base"),
+    ({"x": 1}, "relative ref resolved against base fails")])
+_many("id.json",
+      {"$id": "http://ex.test/nested-base/root.json",
+       "$defs": {"mid": {"$id": "mid/mid.json",
+                          "$defs": {"deep": {"$id": "deep.json",
+                                              "type": "null"}}}},
+       "properties": {"x": {"$ref": "mid/deep.json"}}}, [
+    ({"x": None}, "base chains through nested $id"),
+    ({"x": 0}, "base chains through nested $id fails")])
+_many("defs.json",
+      {"$defs": {"a": {"$ref": "#/$defs/b"}, "b": {"type": "integer"}},
+       "$ref": "#/$defs/a"}, [
+    (3, "ref-to-ref chain"), ("3", "ref-to-ref chain fails")])
+_many("defs.json",
+      {"$defs": {"outer": {"$defs": {"inner": {"const": 7}}}},
+       "$ref": "#/$defs/outer/$defs/inner"}, [
+    (7, "pointer through nested $defs"), (8, "nested $defs fails")])
+_many("defs.json",
+      {"$defs": {"pos": {"minimum": 0}},
+       "properties": {"n": {"$ref": "#/$defs/pos", "maximum": 10}}}, [
+    ({"n": 5}, "$ref with sibling keyword, both pass"),
+    ({"n": -1}, "$ref side fails"),
+    ({"n": 11}, "sibling side fails")])
+_many("defs.json", {"$defs": {"never": False}, "$ref": "#/$defs/never"}, [
+    (1, "ref to boolean false schema")])
+_many("defs.json", {"$defs": {"always": True}, "$ref": "#/$defs/always"}, [
+    (1, "ref to boolean true schema")])
+_many("anchor.json",
+      {"$defs": {"a": {"$anchor": "num", "type": "number"}},
+       "properties": {"x": {"$ref": "#num"}}}, [
+    ({"x": 1.5}, "plain anchor ref"), ({"x": "s"}, "plain anchor ref fails")])
+_many("anchor.json",
+      {"$defs": {"lvl1": {"$defs": {"lvl2": {"$anchor": "deepanchor",
+                                              "maxLength": 2}}}},
+       "items": {"$ref": "#deepanchor"}}, [
+    (["ab", "c"], "anchor found at depth"),
+    (["abc"], "anchor found at depth fails")])
+_many("anchor.json",
+      {"$defs": {"t": {"$dynamicAnchor": "dyn", "type": "integer"}},
+       "properties": {"x": {"$ref": "#dyn"}}}, [
+    ({"x": 1}, "$ref resolves a dynamicAnchor lexically"),
+    ({"x": "s"}, "$ref resolves a dynamicAnchor lexically, fails")])
+_many("ref.json",
+      {"$defs": {"sl/ash": {"type": "integer"},
+                  "til~de": {"type": "string"},
+                  "per%cent": {"type": "boolean"}},
+       "properties": {"a": {"$ref": "#/$defs/sl~1ash"},
+                       "b": {"$ref": "#/$defs/til~0de"},
+                       "c": {"$ref": "#/$defs/per%25cent"}}}, [
+    ({"a": 1, "b": "s", "c": True}, "pointer escapes ~1 ~0 %25"),
+    ({"a": "x"}, "escaped pointer target enforces type"),
+    ({"b": 1}, "tilde-escaped target enforces type"),
+    ({"c": 1}, "percent-escaped target enforces type")])
+_many("ref.json",
+      {"properties": {"tree": {"$ref": "http://localhost:1234/tree"}}}, [
+    ({"tree": {"meta": "root", "nodes": [
+        {"value": 1, "subtree": {"meta": "x", "nodes": []}}]}},
+     "recursive remote tree valid"),
+    ({"tree": {"meta": "root", "nodes": [{"value": "bad"}]}},
+     "recursive remote tree node type fails"),
+    ({"tree": {"meta": "root"}}, "recursive remote tree missing nodes")])
+_many("refRemote.json",
+      {"$ref": "http://localhost:1234/subSchemas.json#/$defs/refToInteger"}, [
+    (1, "remote ref-to-ref"), ("1", "remote ref-to-ref fails")])
+_many("refRemote.json",
+      {"items": {"$ref": "http://localhost:1234/integer.json"}}, [
+    ([1, 2], "remote ref under items"), ([1, "x"], "remote ref under items fails")])
+_many("refRemote.json",
+      {"$ref": "http://localhost:1234/bool-schema.json"}, [
+    ({"anything": 1}, "remote boolean-true schema")])
+_many("refRemote.json",
+      {"$ref": ("http://localhost:1234/draft2020-12/"
+                 "locationIndependentIdentifier.json#/$defs/refToInteger")}, [
+    (42, "remote anchor-based ref"), ("42", "remote anchor-based ref fails")])
+
+# -- content.json (annotation-only carry, schema.js parity) ---------------------------
+_many("content.json", {"contentEncoding": "base64"}, [
+    ("aGVsbG8=", "valid base64 accepted"),
+    ("not base64 !!!", "invalid base64 STILL accepted (annotation only)"),
+    (7, "non-string ignored")])
+_many("content.json",
+      {"contentMediaType": "application/json",
+       "contentEncoding": "base64"}, [
+    ("e30=", "encoded json accepted"),
+    ("%%%", "garbage accepted (annotation only)")])
+_many("content.json", {"contentSchema": {"type": "object"}}, [
+    ("[1]", "contentSchema never asserted")])
+
+# -- format (annotation-only default, matching the shipped reference) ------------------
+for fmt, sample in [("email", "not an email"), ("ipv4", "999.999.1.1"),
+                    ("uuid", "nope"), ("date-time", "yesterday"),
+                    ("uri", "::::"), ("hostname", "-bad-"),
+                    ("json-pointer", "no-slash")]:
+    _c("format.json", {"format": fmt}, sample,
+       f"invalid {fmt} accepted — format is annotation-only by default")
+    _c("format.json", {"format": fmt}, 5, f"non-string ignored for {fmt}")
+
+# -- dynamicRef.json (priority file) ---------------------------------------------------
+_many("dynamicRef.json",
+      {"$defs": {"t": {"$dynamicAnchor": "T", "type": "integer"}},
+       "properties": {"x": {"$dynamicRef": "#T"}}}, [
+    ({"x": 1}, "in-document dynamic resolution"),
+    ({"x": "s"}, "in-document dynamic resolution fails")])
+_many("dynamicRef.json",
+      {"$id": "http://ex.test/numberList.json",
+       "$defs": {"numbers": {"$dynamicAnchor": "itemsT", "type": "number"}},
+       "$ref": "http://localhost:1234/dyn/list.json"}, [
+    ([1, 2.5], "dynamic anchor overridden by outer scope: numbers ok"),
+    (["x"], "dynamic anchor overridden by outer scope: string rejected"),
+    ([], "empty list fine")])
+_many("dynamicRef.json",
+      {"$ref": "http://localhost:1234/dyn/list.json"}, [
+    ([1, "x", None], "no outer override: list default T accepts anything")])
+_many("dynamicRef.json",
+      {"$defs": {"fallback": {"$dynamicAnchor": "maybe", "minimum": 0}},
+       "$dynamicRef": "#maybe"}, [
+    (1, "dynamicRef at root resolves in own scope"),
+    (-1, "dynamicRef at root resolves in own scope, fails")])
+
+# -- unevaluated* (spec-aligned shapes only: adjacent applicators) ---------------------
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True},
+       "patternProperties": {"^b": True},
+       "unevaluatedProperties": {"type": "string"}}, [
+    ({"a": 1, "b1": 2, "z": "s"}, "unclaimed key satisfies schema"),
+    ({"a": 1, "z": 3}, "unclaimed key violates schema"),
+    ({"a": 1, "b1": 2}, "everything claimed"),
+])
+_many("unevaluatedProperties.json",
+      {"allOf": [{"properties": {"a": True}}],
+       "properties": {"b": True},
+       "unevaluatedProperties": False}, [
+    ({"a": 1, "b": 2}, "claims from adjacent allOf + own properties"),
+    ({"a": 1, "c": 2}, "unclaimed c rejected"),
+])
+_many("unevaluatedProperties.json",
+      {"dependentSchemas": {"a": {"properties": {"extra": True}}},
+       "properties": {"a": True},
+       "unevaluatedProperties": False}, [
+    ({"a": 1, "extra": 2}, "dependentSchemas claims when triggered"),
+    ({"extra": 2}, "no trigger: extra unevaluated"),
+])
+_many("unevaluatedItems.json",
+      {"prefixItems": [True, True], "unevaluatedItems": {"type": "integer"}}, [
+    ([None, "x", 3, 4], "tail integers ok"),
+    ([None, "x", 3, "y"], "tail non-integer rejected"),
+    ([None], "within prefix only"),
+])
+_many("unevaluatedItems.json",
+      {"allOf": [{"prefixItems": [True]}],
+       "prefixItems": [True, True],
+       "unevaluatedItems": False}, [
+    ([1, 2], "longest adjacent prefix wins"),
+    ([1, 2, 3], "beyond all prefixes rejected"),
+])
+_many("unevaluatedItems.json",
+      {"contains": {"type": "integer"}, "unevaluatedItems": {"type": "string"}}, [
+    ([1, "a", 2], "contains-claimed ints, rest strings"),
+    ([1, None], "null neither claimed nor string"),
+])
+
+# -- infinite-loop-detection extras ----------------------------------------------------
+_many("infinite-loop-detection.json",
+      {"$defs": {"int": {"type": "integer"}},
+       "allOf": [{"properties": {"foo": {"$ref": "#/$defs/int"}}},
+                  {"additionalProperties": {"$ref": "#/$defs/int"}}]}, [
+    ({"foo": 1}, "same ref through two applicators"),
+    ({"foo": "x"}, "same ref through two applicators fails"),
 ])
 
 

@@ -23,7 +23,62 @@ _ALL_COLS = ["id", "url", "text", "lang", "score", "n", "flag", "tags",
 
 def _leaf(rng: random.Random) -> dict:
     kind = rng.choice(["str", "num", "arr", "enum", "type",
-                       "objapp", "uneval"])
+                       "objapp", "uneval", "uneval_probe", "refs", "deps"])
+    if kind == "uneval_probe":
+        # round-2: unevaluated* with a claiming if-probe / combinator
+        # sibling — must fall back to Plane B and match the kernel's
+        # partial-claim probe semantics
+        claimed = rng.sample(_ALL_COLS, rng.randint(4, 9))
+        probe_col = rng.choice(_ALL_COLS)
+        probe = {"properties": {probe_col: {
+            "type": rng.choice(["string", "number", "boolean"])}}}
+        if rng.random() < 0.5:
+            probe["required"] = [probe_col]
+        out = {"properties": {c: True for c in claimed},
+               "unevaluatedProperties": rng.choice(
+                   [False, {"type": rng.choice(["string", "number"])}]),
+               "if": probe}
+        if rng.random() < 0.5:
+            out["then"] = {"properties": {rng.choice(_ALL_COLS): True}}
+        return out
+    if kind == "refs":
+        # round-2: $ref inside (or beside) a Plane-B fallback subtree —
+        # the detached mini-schema must resolve against the root's
+        # anchor table.  $anchor (not a '#/$defs/…' pointer) because the
+        # leaf may be embedded at any depth by the combinator wrapper.
+        anchor = f"a{rng.randrange(1 << 30):x}"
+        target = rng.choice([
+            {"type": rng.choice(["string", "number"])},
+            {"properties": {c: True for c in rng.sample(_ALL_COLS, 6)}},
+            {"minimum": rng.randint(-5, 5)},
+        ])
+        target = {"$anchor": anchor, **target}
+        body = {"$defs": {"t": target}}
+        ref = {"$ref": f"#{anchor}"}
+        shape = rng.random()
+        if shape < 0.4 and "properties" in target:
+            body.update({**ref,
+                         "unevaluatedProperties": rng.choice(
+                             [False, {"type": "string"}])})
+        elif shape < 0.7:
+            body["not"] = {**ref, "unevaluatedProperties": True}
+        else:
+            col = rng.choice(_NUM_COLS if "minimum" in target else _STR_COLS)
+            body["properties"] = {col: {"anyOf": [ref, {"type": "null"}]}}
+        return body
+    if kind == "deps":
+        trigger = rng.choice(_ALL_COLS)
+        dep = rng.choice([
+            rng.sample(_ALL_COLS, 2),
+            {"properties": {rng.choice(_ALL_COLS): True},
+             "required": rng.sample(_ALL_COLS, 1)},
+        ])
+        out = {"dependencies": {trigger: dep}}
+        if rng.random() < 0.4:
+            out.update({"properties": {c: True for c in
+                                        rng.sample(_ALL_COLS, 8)},
+                        "unevaluatedProperties": False})
+        return out
     if kind == "objapp":
         return rng.choice([
             {"patternProperties": {rng.choice(["^t", "s$", "n"]):

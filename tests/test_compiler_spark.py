@@ -190,6 +190,37 @@ SCHEMAS = [
      "properties": {"id": {}, "text": {}, "lang": {}, "score": {}, "n": {},
                      "flag": {}, "tags": {}, "nums": {}, "meta": {}},
      "dependencies": {"id": {"properties": {"url": {}}}}},
+    # round-2 randomized-hunt find (seed 13/95, minimized): the kernel's
+    # evaluated set is SHARED across in-place applicator cousins — the
+    # unevaluatedProperties sweep inside allOf[1] sees 'id' claimed by
+    # the abandoned anyOf branch in allOf[0].  A branch-detached Plane-B
+    # fallback missed that claim; the whole node must be one kernel check.
+    {"allOf": [
+        {"anyOf": [
+            {"properties": {"text": True, "meta": True, "score": True,
+                             "url": True, "id": True, "tags": True,
+                             "n": True, "lang": True},
+             "unevaluatedProperties": {"type": "number"},
+             "if": {"properties": {"url": {"type": "string"}},
+                     "required": ["url"]},
+             "then": {"properties": {"text": True}}},
+            {"properties": {"lang": {"maxLength": 45}}}]},
+        {"allOf": [
+            {"properties": {"tags": True, "meta": True, "score": True,
+                             "url": True, "n": True, "lang": True,
+                             "nums": True},
+             "unevaluatedProperties": False,
+             "if": {"properties": {"text": {"type": "boolean"}}},
+             "then": {"properties": {"score": True}}}]},
+    ]},
+    # cousin claims at a CHILD location: allOf[1] claims meta.zip, the
+    # sweep lives under allOf[0] — same shared-evaluated-set hazard one
+    # descent down
+    {"allOf": [
+        {"properties": {"meta": {"unevaluatedProperties": False,
+                                  "properties": {"depth": True}}}},
+        {"properties": {"meta": {"properties": {"zip": True}}}},
+    ]},
 ]
 
 

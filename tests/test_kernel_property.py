@@ -18,16 +18,19 @@ from hypothesis import assume, given, settings, strategies as st
 from jema_js_spark.kernel.kernel import validate
 
 # Keywords whose subschemas the reference evaluates with annotation
-# suppression (``not``, schema.js:183,409-412) or as abandonable probes
-# (``if``/``anyOf``/``oneOf``/``contains``) — an ``unevaluated*`` keyword
-# inside such a subtree deliberately diverges from the strict 2020-12
-# spec (verified against the reference on
-# {"not": {"prefixItems": [true], "unevaluatedItems": false}} / [null]:
-# both the reference and the kernel return true, jsonschema says false).
-# Those combinations are pinned below and covered by the kernel-vs-
-# compiler differential; the spec oracle only grades the spec-aligned
-# remainder.
-_SUPPRESSING = ("not", "if", "anyOf", "oneOf", "contains")
+# suppression (``not``, schema.js:183,409-412), as abandonable probes
+# (``if``/``anyOf``/``oneOf``/``contains``), or whose claims flow into
+# a SHARED per-value evaluated set visible to cousin branches
+# (``allOf``/``then``/``else`` — strict spec scopes annotations to the
+# branch) — an ``unevaluated*`` keyword inside such a subtree
+# deliberately diverges from the strict 2020-12 spec (verified against
+# the reference on {"not": {"prefixItems": [true], "unevaluatedItems":
+# false}} / [null]: both the reference and the kernel return true,
+# jsonschema says false).  Those combinations are pinned below and
+# covered by the kernel-vs-compiler differential; the spec oracle only
+# grades the spec-aligned remainder.
+_SUPPRESSING = ("not", "if", "then", "else", "anyOf", "oneOf", "contains",
+                "allOf")
 
 
 def _unevaluated_under_probe(schema, in_probe=False):
