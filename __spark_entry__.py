@@ -238,6 +238,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("id_a", "id_b",
                         F.round(inter / union, 6).alias("jaccard")))
 
+    def q_verified_pairs(spark, sf_dir):
+        # the scale-safe candidate-verification path: equi-join the pair
+        # list back to the texts, score with exact n-gram Jaccard —
+        # deterministic consecutive-id pairs here so DuckDB can twin it
+        from jema_js_spark.operators.dedup import verify_pairs
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") <= 20) \
+            .select("doc_id", "text")
+        pairs = docs.select(F.col("doc_id").alias("id_a"),
+                            (F.col("doc_id") + 1).alias("id_b")) \
+            .filter(F.col("id_b") <= 20)
+        return verify_pairs(docs, pairs, "doc_id").select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
     def q_windowed_verdicts(spark, sf_dir):
         # the batch analog of the streaming windowed-verdict surface:
         # hourly event-time buckets of contract verdicts
@@ -278,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ks_drift": q_ks_drift,
         "windowed_verdicts": q_windowed_verdicts,
+        "verified_pairs": q_verified_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "media_features": q_media_features,
         "token_jaccard": q_token_jaccard,
@@ -700,6 +715,23 @@ def oracle_sql() -> dict[str, str]:
                             ('click','view','purchase','signup','error'),
                             FALSE))::BIGINT) AS BIGINT) AS n_valid
             FROM events GROUP BY 1""",
+        "verified_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+              FROM documents WHERE doc_id <= 20),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, least(greatest(length(norm) - 4, 0), 512) + 1),
+                       i -> substring(norm, i, 5))) AS sh
+              FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(
+                     len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE
+                     / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1),
+                     6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
         "token_jaccard": f"""
             WITH t AS (
               SELECT doc_id, list_distinct({toks}) AS toks

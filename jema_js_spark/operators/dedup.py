@@ -28,7 +28,7 @@ from jema_js_spark.operators.text import char_ngrams, fingerprint64, word_tokens
 
 __all__ = ["exact_dedup", "exact_dup_groups", "minhash_signature",
            "minhash_candidates", "minhash_dedup_report", "simhash64",
-           "simhash_candidates", "ngram_jaccard"]
+           "simhash_candidates", "ngram_jaccard", "verify_pairs"]
 
 
 # ---------------------------------------------------------------------------
@@ -275,3 +275,22 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 5,
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                 text_col: str = "text", n: int = 5,
+                 max_ngrams: int = 512) -> DataFrame:
+    """Exact n-gram Jaccard for a candidate-pair list: two equi-joins on
+    id bring the texts to the pairs, then :func:`ngram_jaccard` scores
+    each pair — THE documented verification path after
+    :func:`minhash_candidates` / :func:`simhash_candidates`.  Never a
+    crossJoin: the work is O(|pairs|), and the joins shuffle on the id
+    key (or broadcast when the pair list is small), so it survives
+    unbounded corpus sizes."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard",
+                        ngram_jaccard(F.col("__ta"), F.col("__tb"),
+                                      n, max_ngrams))
+            .drop("__ta", "__tb"))

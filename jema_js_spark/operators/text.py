@@ -119,8 +119,12 @@ def char_ngrams(text: Column, n: int = 5, max_ngrams: int = 512) -> Column:
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
     length = F.length(norm)
     count = F.least(F.greatest(length - (n - 1), F.lit(0)), F.lit(max_ngrams))
-    return F.transform(F.sequence(F.lit(1), count),
-                       lambda i: norm.substr(i, F.lit(n)))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard the
+    # too-short-text case to an empty shingle set explicitly
+    return F.when(count > 0,
+                  F.transform(F.sequence(F.lit(1), count),
+                              lambda i: norm.substr(i, F.lit(n)))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint64(text: Column, normalize: bool = True) -> Column:

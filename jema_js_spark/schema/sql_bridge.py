@@ -33,7 +33,7 @@ from typing import Any, Dict, List, Optional, Tuple
 from pyspark.sql import types as T
 
 __all__ = ["schema_to_ddl", "schema_to_create_table", "struct_to_schema",
-           "layout_hints"]
+           "layout_hints", "autoincrement_columns", "with_autoincrement"]
 
 # signed integral ranges, narrowest first — the Spark analog of the
 # reference's width table (toSql.js:79-95 / defs/main.json:2-39)
@@ -130,6 +130,68 @@ def schema_to_create_table(schema: dict, table: str,
 
 def _as_list(v) -> List[str]:
     return [v] if isinstance(v, str) else list(v)
+
+
+def autoincrement_columns(schema: dict) -> List[str]:
+    """Property names declaring ``x_autoincrement: true``
+    (toSql.js:47,69-75,114)."""
+    props = schema.get("properties")
+    if not isinstance(props, dict):
+        return []
+    return [name for name, sub in props.items()
+            if isinstance(sub, dict) and sub.get("x_autoincrement")]
+
+
+def with_autoincrement(df, schema_or_col, dense: bool = False):
+    """Generation-side mapping of ``x_autoincrement`` (the reference
+    emits ``AUTO_INCREMENT`` DDL, toSql.js:114; Spark has no engine
+    sequence, so the engine generates the ids): adds the declared
+    column(s) as 64-bit unique ids.
+
+    Default (``dense=False``): ``monotonically_increasing_id`` — unique,
+    partition-gapped, zero coordination; the only O(1) form at cluster
+    scale.  ``dense=True``: gap-free 0..N-1 ids via the two-pass
+    partition-offset plan (count per partition, cumulative offsets
+    broadcast, offset + local row number) — no global sort, no single
+    partition, one extra scan."""
+    from pyspark.sql import functions as F
+
+    names = ([schema_or_col] if isinstance(schema_or_col, str)
+             else autoincrement_columns(schema_or_col))
+    if not names:
+        return df
+    if not dense:
+        for name in names:
+            df = df.withColumn(name, F.monotonically_increasing_id())
+        return df
+    # NOTE: the dense path scans twice (count pass + generate pass);
+    # the input must be a stable source (file scan / cached) so both
+    # passes see the same partitioning.
+    mono = df.withColumn("__pid", F.spark_partition_id()) \
+             .withColumn("__mono", F.monotonically_increasing_id())
+    counts = {r["__pid"]: r["cnt"] for r in
+              mono.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt"))
+                  .collect()}
+    if not counts:
+        for name in names:
+            df = df.withColumn(name, F.lit(None).cast("long"))
+        return df
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                       for x in (pid, offsets[pid])]),
+        F.col("__pid"))
+    # monotonically_increasing_id is (partition_id << 33) + local index
+    # by construction, so the local index falls out with no window and
+    # no shuffle
+    local = F.col("__mono") - F.shiftleft(F.col("__pid").cast("long"), 33)
+    out = mono
+    for name in names:
+        out = out.withColumn(name, (offset_expr + local).cast("long"))
+    return out.drop("__pid", "__mono")
 
 
 def layout_hints(schema: dict) -> Dict[str, List[str]]:

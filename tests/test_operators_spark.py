@@ -279,6 +279,43 @@ def test_simhash_single_pass_matches_63_filter_form(spark, docs):
     assert all(r["fast_empty"] is None for r in rows)
 
 
+def test_verify_pairs_matches_direct_jaccard(spark, docs):
+    """verify_pairs (join-back verification, never a crossJoin) must
+    score exactly what ngram_jaccard gives on the texts directly, and
+    minhash candidates verified through it must surface the planted
+    near-dups with high jaccard."""
+    from jema_js_spark.operators.dedup import minhash_candidates, verify_pairs
+
+    base = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    near = base.select((F.col("doc_id") + 10**6).alias("doc_id"),
+                       F.concat("text", F.lit(" tail")).alias("text"))
+    corpus = base.union(near)
+    cands = minhash_candidates(corpus, "doc_id", "text",
+                               jaccard_threshold=0.5)
+    verified = verify_pairs(corpus, cands.select("id_a", "id_b"),
+                            "doc_id", "text")
+    rows = verified.collect()
+    assert rows, "no candidates verified"
+    planted = {(r["doc_id"], r["doc_id"] + 10**6) for r in base.collect()}
+    high = {(r["id_a"], r["id_b"]) for r in rows if r["jaccard"] >= 0.8}
+    assert len(planted & high) >= 0.8 * len(planted)
+    # spot-check one score against the direct column form
+    a, b = rows[0]["id_a"], rows[0]["id_b"]
+    ta = {r["doc_id"]: r["text"] for r in corpus.filter(
+        F.col("doc_id").isin([a, b])).collect()}
+    direct = spark.createDataFrame([(ta[a], ta[b])], "x string, y string") \
+        .select(ngram_jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
+    assert abs(direct - rows[0]["jaccard"]) < 1e-12
+
+
+def test_char_ngrams_short_text_empty(spark):
+    from jema_js_spark.operators.text import char_ngrams
+
+    df = spark.createDataFrame([("",), ("abc",), ("abcde",)], "t string")
+    out = df.select(F.size(char_ngrams(F.col("t"), 5)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 0, 1]
+
+
 def test_fit_centroids_partition_order_stable(spark, emb):
     """The quantizer sample is content-hash ordered, so centroids must
     not depend on partition count/order (round-1: .limit() took the

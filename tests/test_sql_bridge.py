@@ -4,6 +4,7 @@ meta-validation (schemaErrors, reference §3.4)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jema_js_spark.schema.frontend import Schema
@@ -106,3 +107,36 @@ class TestSchemaErrors:
     def test_nested_bad_schema_caught(self):
         errs = Schema({"properties": {"a": {"maxItems": "five"}}}).schema_errors()
         assert errs
+
+
+class TestAutoincrement:
+    """x_autoincrement generation op (toSql.js:47,69-75,114)."""
+
+    SCHEMA = {"type": "object",
+              "properties": {"rid": {"type": "integer",
+                                      "x_autoincrement": True},
+                              "v": {"type": "integer"}}}
+
+    def test_detects_declared_columns(self):
+        from jema_js_spark.schema.sql_bridge import autoincrement_columns
+        assert autoincrement_columns(self.SCHEMA) == ["rid"]
+        assert autoincrement_columns({"properties": {"v": {}}}) == []
+
+    def test_sparse_ids_unique(self, spark):
+        from jema_js_spark.schema.sql_bridge import with_autoincrement
+        df = spark.range(1000).repartition(7).select(F.col("id").alias("v"))
+        out = with_autoincrement(df, self.SCHEMA).collect()
+        ids = [r["rid"] for r in out]
+        assert len(set(ids)) == 1000
+
+    def test_dense_ids_gap_free(self, spark):
+        from jema_js_spark.schema.sql_bridge import with_autoincrement
+        df = spark.range(500).repartition(9).select(F.col("id").alias("v"))
+        out = with_autoincrement(df, "rid", dense=True).collect()
+        ids = sorted(r["rid"] for r in out)
+        assert ids == list(range(500))
+
+    def test_dense_empty_input(self, spark):
+        from jema_js_spark.schema.sql_bridge import with_autoincrement
+        df = spark.range(0).select(F.col("id").alias("v"))
+        assert with_autoincrement(df, "rid", dense=True).count() == 0
