@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # flagship scale: enough rows that per-task constant overheads amortize
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
 
 
 def _sf_label(path: str) -> float:
@@ -79,6 +79,11 @@ def main() -> None:
         return result
 
     # 1. flagship: contract validation over N_PAGES synthetic pages
+    # warm pass first (JIT + OS page cache) so the timed number is the
+    # steady-state scan-bound throughput, same protocol as
+    # bench_scaling.py
+    with_valid(pages, PAGE_CONTRACT).agg(F.count(F.lit(1))).collect()
+
     def flagship():
         v = with_valid(pages, PAGE_CONTRACT)
         return v.agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("long"))).collect()
