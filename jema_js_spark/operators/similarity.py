@@ -95,11 +95,21 @@ def fit_centroids(corpus: DataFrame, nlist: int = 16, vec_col: str = "embedding"
 
 def _best_centroids(vec: Column, centroids: List[List[float]], n: int) -> Column:
     """Array of the ``n`` nearest centroid ids for a vector — pure
-    expression: score each centroid, sort the (score, id) structs."""
+    expression: score each centroid, sort the (score, id) structs.
+
+    Ranking by cosine equals ranking by dot product against UNIT
+    centroids (the query-vector norm is a common positive factor), so
+    the centroids are normalized driver-side and the per-row work is
+    one dot product per centroid — no per-centroid ``l2_norm(vec)``
+    recomputation (2·nlist array passes saved per row)."""
+    units = []
+    for c in centroids:
+        nrm = float(np.linalg.norm(c)) or 1.0
+        units.append([float(x) / nrm for x in c])
     scored = F.array(*[
-        F.struct(cosine_sim(vec, F.array(*[F.lit(float(x)) for x in c]))
-                 .alias("s"), F.lit(i).alias("c"))
-        for i, c in enumerate(centroids)
+        F.struct(dot(vec, F.array(*[F.lit(x) for x in u])).alias("s"),
+                 F.lit(i).alias("c"))
+        for i, u in enumerate(units)
     ])
     top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
     return F.transform(top, lambda t: t["c"])
