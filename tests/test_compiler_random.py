@@ -151,6 +151,60 @@ def _schema(rng: random.Random, depth: int = 0) -> dict:
                    for _ in range(rng.randint(1, 3))]}
 
 
+def _random_row(rng: random.Random, i: int):
+    """One random row for ROWS_SCHEMA — hostile value space: NaN/Inf,
+    -0.0, huge ints/doubles, astral strings, empty/None containers."""
+    def s():
+        return rng.choice([
+            None, "", "a", "en", "https://x.example/p", "x" * 60,
+            "\U0001F600", "é́", "UP low 42", " white  space "])
+
+    def num():
+        return rng.choice([
+            None, 0.0, -0.0, 1.0, -1.5, 0.5, float("nan"), float("inf"),
+            float("-inf"), 1e308, -1e308, 1e-7, 2.0, 3.0, 97.5])
+
+    def n_int():
+        return rng.choice([None, 0, 1, -1, 7, 50, 96, -100,
+                           9223372036854775807, -9223372036854775808])
+
+    tags = rng.choice([None, [], [""], ["a"], ["a", "a"],
+                       ["a", "b", "c", "d", "e"], ["\U0001F4A9"]])
+    nums = rng.choice([None, [], [0.0], [1.0, 1.0], [2.5, -0.0],
+                       [float("nan")], [float("inf"), 0.5], [1.0, 2.0, 3.0]])
+    meta = rng.choice([None, ("8000", 2), ("", None), (None, 0),
+                       ("9999", -1)])
+    return (i, s(), s(), s(), num(), n_int(),
+            rng.choice([None, True, False]), tags, nums, meta)
+
+
+def test_random_rows_columnar_vs_kernel(spark):
+    """Second hunt axis: the same random schema generator over RANDOM
+    row values (hostile numerics, astral strings, empty containers) —
+    catches value-space bugs the 9 fixed edge rows miss."""
+    rng = random.Random(777)
+    rows = [_random_row(rng, i) for i in range(40)]
+    schemas = [_schema(rng) for _ in range(60)]
+    df = spark.createDataFrame(rows, ROWS_SCHEMA)
+
+    cols = [F.col("id").alias("__row_id")]
+    for i, sch in enumerate(schemas):
+        plan = SchemaCompiler(dict(sch)).compile_plan(df)
+        cols.append(plan.valid_column().alias(f"v{i}"))
+    got = {r["__row_id"]: r for r in df.select(*cols).collect()}
+
+    collected = df.collect()
+    mismatches = []
+    for i, sch in enumerate(schemas):
+        v = Validator(Schema(dict(sch)))
+        for row in collected:
+            value = _row_to_json_value(row, ROWS_SCHEMA)
+            expected = v.validate(value)
+            if got[row["id"]][f"v{i}"] != expected:
+                mismatches.append((i, sch, row["id"], value, expected))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
 def test_random_schemas_columnar_vs_kernel(spark):
     rng = random.Random(42)
     schemas = [_schema(rng) for _ in range(150)]
