@@ -492,12 +492,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from jema_js_spark.operators.text import _LANG_MARKERS
     from jema_js_spark.sources.pages import (
         CRAWL_DAYS, CRAWL_START, PAGES_FROM_DOCUMENTS_SQL)
 
     pages_cte = f"WITH pages AS ({PAGES_FROM_DOCUMENTS_SQL})"
     day0 = CRAWL_START // 86400
     toks = (r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')")
+    # word_tokens twin: lowercase, split on whitespace, drop empties
+    wtoks = (r"list_filter(string_split_regex(lower(text), '\s+'),"
+             r" t -> t <> '')")
+
+    def _duck_list(words: list[str]) -> str:
+        return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+    lang_names = list(_LANG_MARKERS.keys())
+    lang_scores = ",".join(
+        f"len(list_filter(toks, x -> list_contains("
+        f"{_duck_list(_LANG_MARKERS[lg])}, x)))"
+        for lg in lang_names)
+    en_stop = _duck_list(_LANG_MARKERS["en"])
 
     sql = {
         "unique_url": f"""{pages_cte}
@@ -532,6 +546,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "token_count": f"""
             SELECT doc_id, len({toks}) AS n_tokens FROM documents""",
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {wtoks} AS toks FROM documents),
+            s AS (SELECT doc_id, [{lang_scores}] AS scores FROM t)
+            SELECT doc_id,
+                   CASE WHEN list_max(scores) <= 0 THEN 'unknown'
+                        ELSE ({_duck_list(lang_names)})[
+                               list_position(scores, list_max(scores))]
+                   END AS lang_pred
+            FROM s""",
+        "quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {wtoks} AS toks,
+                     greatest(length(text), 1)::DOUBLE AS safe_chars,
+                     greatest(len({wtoks}), 1)::DOUBLE AS safe_toks
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     length(text) / safe_toks AS mean_word_len,
+                     length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                       / safe_chars AS punct_ratio,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / safe_chars AS digit_ratio,
+                     len(list_filter(toks, x -> list_contains({en_stop}, x)))
+                       / safe_toks AS stopword_ratio
+              FROM t)
+            SELECT doc_id,
+                   round(least(greatest(
+                     1.0
+                     * (CASE WHEN n_tokens < 5 THEN 0.1
+                             WHEN n_tokens > 100000 THEN 0.5 ELSE 1.0 END)
+                     * (CASE WHEN mean_word_len < 2 OR mean_word_len > 15
+                             THEN 0.3 ELSE 1.0 END)
+                     * (CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 1.0 END)
+                     * (CASE WHEN digit_ratio > 0.3 THEN 0.4 ELSE 1.0 END)
+                     * (CASE WHEN stopword_ratio < 0.01 THEN 0.5 ELSE 1.0 END),
+                     0.0), 1.0), 6) AS quality
+            FROM f""",
         "exact_dedup_count": r"""
             WITH doubled AS (
               SELECT * FROM documents
