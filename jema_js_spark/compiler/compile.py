@@ -739,7 +739,61 @@ _FORMAT_REGEX = {
     "relative-json-pointer": r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)$",
     "uri-template": r"^(?:[^{}]|\{[^{}]+\})*$",
     "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$",
-    "date": r"^\d{4}-\d{2}-\d{2}$",
+}
+
+
+def _format_date_pred(s: Column) -> Column:
+    """Columnar mirror of kernel ``valid_date`` (formats.py:38-56,
+    schema.js:692-703), quirks included: month 00 / day 00 pass when
+    day <= 28; day > 28 requires a real calendar day (Gregorian leap
+    rule)."""
+    shape = s.rlike(r"^\d{4}-\d{2}-\d{2}$")
+    y = F.substring(s, 1, 4).try_cast("int")
+    mo = F.substring(s, 6, 2).try_cast("int")
+    d = F.substring(s, 9, 2).try_cast("int")
+    leap = ((F.pmod(y, F.lit(4)) == 0) & (F.pmod(y, F.lit(100)) != 0)) | \
+        (F.pmod(y, F.lit(400)) == 0)
+    max_days = (F.when(mo == 2, F.when(leap, 29).otherwise(28))
+                .when(mo.isin(4, 6, 9, 11), 30).otherwise(31))
+    deep = (mo <= 12) & (d <= 31) & \
+        ((d <= 28) | ((mo >= 1) & (d <= max_days)))
+    return shape & F.coalesce(deep, F.lit(False))
+
+
+def _format_time_pred(s: Column) -> Column:
+    """Columnar mirror of kernel ``valid_time`` (formats.py:59-82,
+    schema.js:704-724) incl. the leap-second rule (``:60`` only at
+    23:59 UTC / 00:-1 after the offset shift) and the quirk that the
+    offset minutes are subtracted unsigned."""
+    shape = s.rlike(
+        r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$")
+    hours = F.substring(s, 1, 2).try_cast("int")
+    minutes = F.substring(s, 4, 2).try_cast("int")
+    seconds = F.substring(s, 7, 2).try_cast("int")
+    has_off = ~F.upper(F.right(s, F.lit(1))).eqNullSafe("Z")
+    oh = F.substring(F.right(s, F.lit(6)), 1, 3).try_cast("int")
+    om = F.right(s, F.lit(2)).try_cast("int")
+    base = (hours <= 23) & (minutes <= 59) & (seconds <= 60)
+    off_ok = ~has_off | ((oh <= 23) & (oh >= -23) & (om <= 59))
+    m_utc = minutes - F.when(has_off, om).otherwise(F.lit(0))
+    h_utc = hours - F.when(has_off, oh).otherwise(F.lit(0))
+    leap_ok = (seconds != 60) | (m_utc.isin(59, -1) & h_utc.isin(23, 0))
+    return shape & F.coalesce(base & off_ok & leap_ok, F.lit(False))
+
+
+def _format_date_time_pred(s: Column) -> Column:
+    """Kernel ``valid_date_time`` (formats.py:86-90): split once on
+    [Tt], both halves must pass their own format."""
+    parts = F.split(s, "[Tt]", 2)
+    return (F.size(parts) == 2) & \
+        _format_date_pred(F.try_element_at(parts, F.lit(1))) & \
+        _format_time_pred(F.try_element_at(parts, F.lit(2)))
+
+
+_FORMAT_PRED = {
+    "date": _format_date_pred,
+    "time": _format_time_pred,
+    "date-time": _format_date_time_pred,
 }
 
 
@@ -757,12 +811,8 @@ def _h_format(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
     if sval in _FORMAT_REGEX:
         add(kw, sval, is_null | texpr.string_col().rlike(_FORMAT_REGEX[sval]))
         return
-    if sval == "date-time":
-        s = texpr.string_col()
-        add(kw, sval, is_null | (
-            s.rlike(r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$")
-            & F.to_timestamp(F.regexp_replace(s, r"[Zz]$", "+00:00"),
-                             "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX").isNotNull()))
+    if sval in _FORMAT_PRED:
+        add(kw, sval, is_null | _FORMAT_PRED[sval](texpr.string_col()))
         return
     raise ColumnarUnsupported(f"format {sval} needs the kernel")
 

@@ -311,6 +311,41 @@ def test_plane_coverage_flagship(spark, df):
     assert cov["plane_a_fraction"] == 1.0
 
 
+def test_format_assert_columnar_matches_kernel(spark):
+    """Columnar date/time/date-time format assertions must be
+    bit-identical to the kernel's (calendar validity, leap-second rule,
+    and the reference's month-00/day-00 quirks) — round-2 fix: the old
+    loose regex accepted 2023-02-29 while the kernel rejected it."""
+    battery = {
+        "date": ["2024-02-29", "2023-02-29", "2024-13-01", "2024-00-10",
+                  "2024-04-31", "2024-12-31", "2024-01-00", "0000-01-01",
+                  "2400-02-29", "2100-02-29", "1999-1-01", "x", ""],
+        "time": ["12:34:56Z", "12:34:56z", "23:59:60Z", "23:59:60+00:00",
+                  "12:34:60Z", "08:29:60+05:30", "23:59:60-08:00",
+                  "24:00:00Z", "12:60:00Z", "12:34:61Z", "12:34:56",
+                  "12:34:56.789+05:30", "12:34:56+24:00", "12:34:56-23:59",
+                  "1:34:56Z", ""],
+        "date-time": ["2024-02-29T12:34:56Z", "2023-02-29T12:34:56Z",
+                       "2024-01-01t23:59:60z", "2024-01-01T24:00:00Z",
+                       "2024-01-01 12:34:56Z", "2024-01-01T12:34:56",
+                       "2024-01-01T12:34:56.5+01:00", "T", ""],
+    }
+    from jema_js_spark.kernel.kernel import Validator
+    from jema_js_spark.validation.engine import with_valid
+
+    for fmt, values in battery.items():
+        schema = {"properties": {"v": {"format": fmt}}}
+        kv = Validator(Schema(dict(schema)), format_assertion=True)
+        dfv = spark.createDataFrame([(x,) for x in values], "v string")
+        got = {r["v"]: r["valid"] for r in
+               with_valid(dfv, schema, format_assertion=True).collect()}
+        plan = SchemaCompiler(schema, format_assertion=True).compile_plan(dfv)
+        assert plan.coverage()["plane_b_checks"] == 0, fmt
+        for x in values:
+            expected = kv.validate({"v": x})
+            assert got[x] == expected, (fmt, x, got[x], expected)
+
+
 def test_untranslatable_pattern_props_falls_back(spark, df):
     """ADVICE r1: an untranslatable patternProperties regex paired with
     additionalProperties / unevaluatedProperties must fall back to
