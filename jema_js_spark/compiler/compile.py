@@ -790,10 +790,69 @@ def _format_date_time_pred(s: Column) -> Column:
         _format_time_pred(F.try_element_at(parts, F.lit(2)))
 
 
+def _format_hostname_pred(s: Column) -> Column:
+    """Kernel ``valid_hostname`` (formats.py:93-104, schema.js:731-741)
+    as pure regex algebra: charset, total length, and per-label
+    non-empty / ≤63 / no edge-dash rules."""
+    return ((F.length(s) <= 255)
+            & s.rlike(r"^[a-zA-Z0-9\-.]+$")
+            & ~s.rlike(r"^[.]|[.][.]|[.]$")      # empty label
+            & ~s.rlike(r"(^|[.])-")               # label starts with -
+            & ~s.rlike(r"-([.]|$)")               # label ends with -
+            & ~s.rlike(r"[^.]{64}"))              # label longer than 63
+
+
+_DUR_DATE_PAT = r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?$"
+_DUR_TIME_PAT = r"^(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?$"
+
+
+def _format_duration_pred(s: Column) -> Column:
+    """Kernel ``valid_duration`` (formats.py:215-233, schema.js:794-809),
+    quirks included: split on EVERY 'T' but only parts[1] is the time
+    part (junk after a second T is ignored), a trailing empty time part
+    is invalid, an unparseable time part contributes no components but
+    does not itself fail, weeks are exclusive, and at least one
+    component must be present."""
+    parts = F.split(s, "T")
+    date_part = F.try_element_at(parts, F.lit(1))
+    time_part = F.try_element_at(parts, F.lit(2))
+    dm_ok = date_part.rlike(_DUR_DATE_PAT)
+
+    def dgrp(i: int) -> Column:
+        return F.regexp_extract(date_part, _DUR_DATE_PAT, i)
+
+    y, mo, w, d = dgrp(1), dgrp(2), dgrp(3), dgrp(4)
+    weeks_ok = (w == "") | ((y == "") & (mo == "") & (d == ""))
+    tm_ok = F.coalesce(time_part.rlike(_DUR_TIME_PAT), F.lit(False))
+
+    def tgrp(i: int) -> Column:
+        return F.when(tm_ok,
+                      F.regexp_extract(time_part, _DUR_TIME_PAT, i)
+                      ).otherwise(F.lit(""))
+
+    any_component = _or_all([g != "" for g in
+                             (y, mo, w, d, tgrp(1), tgrp(2), tgrp(3))])
+    time_not_empty = F.coalesce(time_part != "", F.lit(True))
+    return F.coalesce(
+        dm_ok & weeks_ok & time_not_empty & any_component, F.lit(False))
+
+
 _FORMAT_PRED = {
     "date": _format_date_pred,
     "time": _format_time_pred,
     "date-time": _format_date_time_pred,
+    "hostname": _format_hostname_pred,
+    "duration": _format_duration_pred,
+    # reference: `new URL(value)` succeeds — scheme + no raw whitespace
+    # (formats.py:236-239, schema.js:510)
+    "uri": lambda s: s.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$"),
+    "iri": lambda s: s.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$"),
+    # reference: `new URL(value, base)` — reject only raw whitespace
+    # (formats.py:242-246, schema.js:512)
+    "uri-reference": lambda s: ~F.coalesce(
+        s.rlike("[ \t\n\r]"), F.lit(False)),
+    "iri-reference": lambda s: ~F.coalesce(
+        s.rlike("[ \t\n\r]"), F.lit(False)),
 }
 
 

@@ -329,6 +329,16 @@ def test_format_assert_columnar_matches_kernel(spark):
                        "2024-01-01t23:59:60z", "2024-01-01T24:00:00Z",
                        "2024-01-01 12:34:56Z", "2024-01-01T12:34:56",
                        "2024-01-01T12:34:56.5+01:00", "T", ""],
+        "hostname": ["example.com", "a-b.c-d", "-bad.com", "bad-.com",
+                      "a..b", ".a", "a.", "a" * 63 + ".com", "a" * 64,
+                      "x" * 256, "under_score.com", "caps.EXAMPLE.Com", ""],
+        "duration": ["P1D", "PT1H", "P1DT2H3M4S", "P2W", "P2W1D", "P",
+                      "PT", "P1DT", "P1DTxx", "PT0S", "P0D", "1D", "",
+                      "P1Y2M3D", "P1S", "PT1D"],
+        "uri": ["http://example.com/a", "urn:x:y", "mailto:a@b", "//rel",
+                 "http://e.com/a b", "1http://x", "", "a:"],
+        "uri-reference": ["/a/b", "", "a b", "\trel", "#frag",
+                           "http://x/y"],
     }
     from jema_js_spark.kernel.kernel import Validator
     from jema_js_spark.validation.engine import with_valid
