@@ -339,6 +339,15 @@ def test_format_assert_columnar_matches_kernel(spark):
                  "http://e.com/a b", "1http://x", "", "a:"],
         "uri-reference": ["/a/b", "", "a b", "\trel", "#frag",
                            "http://x/y"],
+        "ipv6": ["::", "::1", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8:9",
+                  "::ffff:1.2.3.4", "1:2:3:4:5:6:1.2.3.4", "1::2::3",
+                  "fe80::1%eth0", "12345::", "1:2:3:4:5:6:7", "g::1",
+                  "1:2::3:4:1.2.3.4", "::ffff:01.2.3.4", ""],
+        "email": ["a@example.com", "a.b@x.y", ".a@x.y", "a.@x.y",
+                   "a..b@x.y", "\"quoted\"@x.y", "\"q@q\"@x.y",
+                   "a@-bad.com", "A@x.y", "a@[1.2.3.4]", "a@[IPv6:::1]",
+                   "a@[IPv6:zz]", "a@[256.1.1.1]", "@x.y", "a@", "ab",
+                   "x@y@z.example", "a!#$%@x.y", ""],
     }
     from jema_js_spark.kernel.kernel import Validator
     from jema_js_spark.validation.engine import with_valid
