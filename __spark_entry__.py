@@ -447,6 +447,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return with_valid(d, {"properties": {"ip": {"format": "ipv4"}}},
                           format_assertion=True).select("doc_id", "valid")
 
+    def q_kw_format_date(spark, sf_dir):
+        # calendar-exact date assertion (incl. leap years and the
+        # reference's month-00 quirk) — synthesized dates hit invalid
+        # months/days and Feb-29 on both leap and non-leap years
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(
+                "-",
+                (F.lit(2000) + F.pmod(F.col("doc_id"), F.lit(30))).cast("string"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(15)).cast("string"), 2, "0"),
+                F.lpad(F.pmod(F.col("n_chars"), F.lit(35)).cast("string"), 2, "0"),
+            ).alias("day"))
+        return with_valid(d, {"properties": {"day": {"format": "date"}}},
+                          format_assertion=True).select("doc_id", "valid")
+
     def q_kw_dynamicref(spark, sf_dir):
         return _doc_valid({
             "$defs": {"num": {"$dynamicAnchor": "bound", "minimum": 100}},
@@ -471,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kw_unevaluatedprops_if"] = q_kw_unevaluatedprops_if
     out["kw_exclusiveminimum"] = q_kw_exclusiveminimum
     out["kw_format"] = q_kw_format
+    out["kw_format_date"] = q_kw_format_date
     out["kw_dynamicref"] = q_kw_dynamicref
     out["violations_page"] = q_violations_page
 
@@ -721,6 +737,24 @@ def oracle_sql() -> dict[str, str]:
                      '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
                      AS valid
             FROM documents""",
+        "kw_format_date": """
+            -- kernel valid_date mirror: month<=12, day<=31, day>28
+            -- needs a real calendar day; month 00 passes when day<=28
+            WITH d AS (
+              SELECT doc_id,
+                     2000 + doc_id % 30 AS y,
+                     doc_id % 15 AS m,
+                     n_chars % 35 AS dd
+              FROM documents)
+            SELECT doc_id,
+                   (m <= 12 AND dd <= 31 AND (dd <= 28 OR (m >= 1 AND
+                      dd <= CASE WHEN m = 2 THEN
+                                   CASE WHEN (y % 4 = 0 AND y % 100 <> 0)
+                                             OR y % 400 = 0
+                                        THEN 29 ELSE 28 END
+                                 WHEN m IN (4, 6, 9, 11) THEN 30
+                                 ELSE 31 END))) AS valid
+            FROM d""",
         "kw_dynamicref": """
             SELECT doc_id, (n_chars >= 100) AS valid FROM documents""",
         "media_features": """
