@@ -102,6 +102,18 @@ def minhash_signature(text: Column, k: int = 64, shingle_n: int = 5,
         shingle_hashes(text, shingle_n, max_shingles), k)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the executors before a CPU-heavy
+    per-row pass: a filtered slice of a few-file parquet table arrives
+    with 1-2 partitions and would otherwise run the whole string pass
+    on one core.  No-op when the input is already wide (the 100-TB
+    case), so no extra shuffle at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
     parts = [F.element_at(sig, band * rows_per_band + r + 1)
              for r in range(rows_per_band)]
@@ -130,8 +142,9 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     # band hashes and both join sides re-inlines the signature).  At
     # cluster scale these are the natural write-signatures-to-storage
     # points.
-    hashed = df.select(F.col(id_col).alias("id"),
-                       shingle_hashes(F.col(text_col), shingle_n).alias("hv"))
+    hashed = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", shingle_hashes(F.col("__t"), shingle_n).alias("hv"))
     hashed = hashed.localCheckpoint(eager=True)
     sigs = hashed.select(
         "id", minhash_sig_from_hashes(F.col("hv"), k).alias("sig"))
@@ -230,9 +243,10 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
         max_hamming = blocks - 1
     width = 64 // blocks
     mask = (1 << width) - 1
-    sh = df.select(F.col(id_col).alias("id"),
-                   simhash64(F.col(text_col)).alias("sh")).filter(
-                       F.col("sh").isNotNull())
+    sh = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", simhash64(F.col("__t")).alias("sh")).filter(
+        F.col("sh").isNotNull())
     # eager barrier — same expression-duplication hazard as MinHash:
     # each block projection and both join sides re-inline the 63-vote
     # simhash expression otherwise
