@@ -294,6 +294,41 @@ def test_partition_verdicts(spark, df):
     assert sum(r["n_invalid"] for r in verdicts) == 1  # row 2 only
 
 
+def _physical_plan(df_out) -> str:
+    return df_out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_plan_shape_scale_properties(spark, tmp_path):
+    """The properties that make the flagship viable at 100 TB, pinned
+    as plan-string assertions: scan → fused predicate projection →
+    partial agg, with NO shuffle before the partial agg, NO Python
+    eval, and column pruning + predicate pushdown reaching the parquet
+    scan."""
+    import __spark_entry__ as entry_mod
+
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(
+        [(i, f"https://x.example/{i}", "body text", "en") for i in range(64)],
+        "doc_id long, url string, text string, lang string",
+    ).write.parquet(p)
+    pages = spark.read.parquet(p)
+
+    valid = with_valid(pages, entry_mod.PAGE_CONTRACT)
+    agg = valid.groupBy().agg(F.sum(F.col("valid").cast("long")))
+    plan = _physical_plan(agg)
+    assert "EvalPython" not in plan, "Plane-A flagship must not run Python"
+    # exactly one exchange: the single-partition final agg; the map-side
+    # partial agg must come before it
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" in plan
+
+    # pruning: a 2-column projection must not read text/lang
+    slim = pages.filter(F.col("doc_id") > 10).select("doc_id", "url")
+    splan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in splan.split("ReadSchema:")[-1]
+    assert "PushedFilters: [" in splan and "GreaterThan(doc_id,10)" in splan
+
+
 def test_plane_coverage_flagship(spark, df):
     """The flagship page contract must be 100% Plane A (SURVEY.md §7.2)."""
     flagship = {
