@@ -1435,6 +1435,231 @@ _many("infinite-loop-detection.json",
     ({"foo": "x"}, "same ref through two applicators fails"),
 ])
 
+# -- second densification wave: interaction space --------------------------------------
+# deep combinator nesting
+_many("allOf.json",
+      {"allOf": [{"anyOf": [{"type": "integer"}, {"type": "string"}]},
+                  {"not": {"const": 3}},
+                  {"oneOf": [{"minimum": 0}, {"maxLength": 2}]}]}, [
+    (1, "int, not-3, minimum branch"),
+    (3, "not-3 rejects"),
+    ("ab", "string, maxLength branch"),
+    ("abc", "string, no oneOf branch"),
+    (-1, "int below minimum, no oneOf branch"),
+    (1.5, "neither type in anyOf"),
+])
+_many("anyOf.json", {"anyOf": [
+    {"allOf": [{"minimum": 0}, {"maximum": 10}]},
+    {"allOf": [{"minimum": 100}, {"maximum": 110}]}]}, [
+    (5, "first window"), (105, "second window"),
+    (50, "between windows"), (-1, "below both"),
+])
+_many("oneOf.json", {"oneOf": [
+    {"not": {"type": "string"}}, {"maxLength": 3}]}, [
+    (5, "non-string: first only"), ("ab", "short string: second only"),
+    ("abcd", "long string: neither"),
+])
+_many("not.json", {"not": {"anyOf": [{"type": "string"},
+                                       {"type": "integer"}]}}, [
+    (1.5, "float escapes both"), ("x", "string caught"), (3, "int caught"),
+    (None, "null escapes"), ([], "array escapes"),
+])
+_many("if-then-else.json",
+      {"if": {"type": "object"},
+       "then": {"required": ["a"]},
+       "else": {"if": {"type": "array"}, "then": {"minItems": 1}}}, [
+    ({"a": 1}, "object branch ok"), ({}, "object branch missing a"),
+    ([1], "nested else-if array ok"), ([], "nested else-if array empty"),
+    ("s", "scalar falls through both"),
+])
+
+# object/array applicator interplay
+_many("properties.json",
+      {"properties": {"p": {"properties": {"q": {"properties":
+          {"r": {"const": 1}}}}}}}, [
+    ({"p": {"q": {"r": 1}}}, "three levels deep ok"),
+    ({"p": {"q": {"r": 2}}}, "three levels deep fails"),
+    ({"p": {"q": {}}}, "inner key absent ok"),
+    ({"p": 5}, "non-object mid-path ignored"),
+])
+_many("items.json",
+      {"items": {"items": {"type": "integer"}}}, [
+    ([[1, 2], [3]], "nested arrays of ints"),
+    ([[1, "x"]], "inner type fails"),
+    ([[], []], "empty inners ok"),
+    ([1], "outer element not array — inner items vacuous"),
+])
+_many("contains.json",
+      {"contains": {"contains": {"const": 7}}}, [
+    ([[7]], "nested contains hit"),
+    ([[1], [2, 7]], "hit in second"),
+    ([[1], [2]], "no nested hit"),
+    ([7], "scalar element has no contains"),
+])
+_many("propertyNames.json",
+      {"propertyNames": {"not": {"pattern": "^_"}}}, [
+    ({"a": 1, "b": 2}, "no underscore names"),
+    ({"_hidden": 1}, "underscore name rejected"),
+])
+_many("patternProperties.json",
+      {"patternProperties": {"^n": {"type": "number"}},
+       "properties": {"n_special": {"maximum": 5}}}, [
+    ({"n_special": 3}, "both applicators pass"),
+    ({"n_special": 7}, "properties bound fails"),
+    ({"n_special": "x"}, "pattern type fails"),
+    ({"nx": 1, "other": "free"}, "pattern-only key plus free key"),
+])
+_many("additionalProperties.json",
+      {"properties": {"a": True}, "additionalProperties":
+       {"properties": {"deep": {"type": "integer"}}}}, [
+    ({"a": 1, "b": {"deep": 2}}, "additional with deep constraint"),
+    ({"a": 1, "b": {"deep": "x"}}, "additional deep type fails"),
+])
+
+# type × full value matrix
+for val, desc in [(0, "zero int"), (-1, "negative int"), (1.5, "float"),
+                  (-0.0, "negative zero"), ("", "empty string"),
+                  ("0", "numeric string"), (True, "true"), (False, "false"),
+                  (None, "null"), ([], "empty array"), ([0], "array"),
+                  ({}, "empty object"), ({"a": 1}, "object")]:
+    for t in ["integer", "number", "string", "boolean", "null", "array",
+              "object"]:
+        _c("type.json", {"type": t}, val, f"{desc} vs type {t}")
+
+# const/enum value space (astral, nested, numeric aliasing)
+_many("const.json", {"const": "\U0001F600"}, [
+    ("\U0001F600", "astral const equal"), ("\U0001F601", "astral differs"),
+    ("\\U0001F600", "escaped text is different")])
+_many("enum.json", {"enum": ["é", "é"]}, [
+    ("é", "precomposed member"), ("é", "decomposed member"),
+    ("e", "plain e not a member")])
+_many("const.json", {"const": [0.0]}, [
+    ([0], "int 0 equals 0.0 inside array"), ([-0.0], "-0.0 equals 0.0"),
+    ([False], "false is not 0.0")])
+_many("enum.json", {"enum": [{"k": 1.0}]}, [
+    ({"k": 1}, "int aliases float inside object"),
+    ({"k": True}, "true does not alias 1")])
+
+# multipleOf integral space
+_many("multipleOf.json", {"multipleOf": 2}, [
+    (4, "even"), (5, "odd"), (-6, "negative even"), (0, "zero"),
+    (4.0, "float-typed even"), (4.5, "fraction"),
+    ("4", "string ignored")])
+_many("multipleOf.json", {"multipleOf": 0.5}, [
+    (1.5, "half steps"), (1.25, "quarter step fails"), (3, "int is x.0")])
+
+# ref / anchor chains
+_many("ref.json",
+      {"$defs": {"a": {"$ref": "#/$defs/b"},
+                  "b": {"$ref": "#/$defs/c"},
+                  "c": {"maxLength": 2}},
+       "$ref": "#/$defs/a"}, [
+    ("ab", "three-hop ref chain ok"), ("abc", "three-hop ref chain fails")])
+_many("ref.json",
+      {"$defs": {"node": {"properties": {"next": {"$ref": "#/$defs/node"},
+                                          "v": {"type": "integer"}}}},
+       "$ref": "#/$defs/node"}, [
+    ({"v": 1, "next": {"v": 2, "next": {"v": 3}}}, "recursive chain ok"),
+    ({"v": 1, "next": {"v": "x"}}, "recursive chain inner type fails"),
+    ({}, "empty node ok")])
+_many("anchor.json",
+      {"$defs": {"outer": {"$anchor": "shared", "type": "integer"}},
+       "allOf": [{"$ref": "#shared"}]}, [
+    (5, "anchor via allOf ref"), ("5", "anchor via allOf ref fails")])
+_many("defs.json",
+      {"$defs": {"choice": {"oneOf": [{"type": "string"},
+                                       {"minimum": 100}]}},
+       "items": {"$ref": "#/$defs/choice"}}, [
+    (["a", 200], "ref to combinator per element"),
+    ([50], "element matches neither branch"),
+    ([150.5], "numeric branch"),
+])
+
+# dependent* / required interplay
+_many("dependentRequired.json",
+      {"dependentRequired": {"a": ["b"]}, "required": ["a"]}, [
+    ({"a": 1, "b": 2}, "required trigger satisfied"),
+    ({"a": 1}, "required trigger, dep missing"),
+    ({"b": 2}, "required itself missing"),
+])
+_many("dependentSchemas.json",
+      {"dependentSchemas": {"mode": {"oneOf": [
+          {"properties": {"mode": {"const": "a"}}, "required": ["x"]},
+          {"properties": {"mode": {"const": "b"}}, "required": ["y"]}]}}}, [
+    ({"mode": "a", "x": 1}, "discriminated union branch a"),
+    ({"mode": "b", "y": 1}, "discriminated union branch b"),
+    ({"mode": "a", "y": 1}, "branch a missing x"),
+    ({"mode": "c", "x": 1}, "unknown discriminator"),
+    ({"x": 1}, "no discriminator, no trigger"),
+])
+
+# contains bounds full matrix
+for min_c, max_c, data, desc in [
+    (0, 0, [1, "a"], "maxContains 0 with a match"),
+    (0, 0, ["a", "b"], "maxContains 0 without matches"),
+    (2, 2, [1, 2], "exactly two"),
+    (2, 2, [1, 2, 3], "three matches over max"),
+    (2, 2, [1, "a", 2], "two matches among noise"),
+    (3, None, [1, 2], "under min 3"),
+]:
+    schema = {"contains": {"type": "integer"}, "minContains": min_c}
+    if max_c is not None:
+        schema["maxContains"] = max_c
+    _c("minContains.json" if max_c is None else "maxContains.json",
+       schema, data, desc)
+
+# unevaluated* spec-aligned additions
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True},
+       "propertyNames": {"maxLength": 5},
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "propertyNames does not claim, a claimed"),
+    ({"a": 1, "bb": 2}, "bb unclaimed despite passing propertyNames"),
+])
+_many("unevaluatedItems.json",
+      {"prefixItems": [{"type": "integer"}],
+       "unevaluatedItems": {"type": "boolean"}}, [
+    ([1, True, False], "tail booleans"),
+    ([1, 1], "tail integer rejected"),
+    (["x", True], "prefix fails, sweep moot"),
+])
+_many("unevaluatedProperties.json",
+      {"unevaluatedProperties": {"type": "integer"}}, [
+    ({"a": 1, "b": 2}, "bare unevaluated schema applies to all"),
+    ({"a": "x"}, "bare unevaluated schema rejects string"),
+    ({}, "empty ok"),
+])
+
+# string boundaries
+_many("minLength.json", {"minLength": 2, "maxLength": 4}, [
+    ("ab", "at min"), ("abcd", "at max"), ("a", "below"),
+    ("abcde", "above"), ("\U0001F600\U0001F600", "astral at min")])
+_many("pattern.json", {"pattern": "^[a-z]+@[a-z]+$",
+                        "minLength": 5}, [
+    ("ab@cd", "pattern and length"), ("a@b", "too short"),
+    ("AB@CD", "case fails pattern")])
+
+# numeric keyword stacking
+_many("minimum.json",
+      {"minimum": 0, "maximum": 100, "multipleOf": 5,
+       "exclusiveMaximum": 100}, [
+    (95, "all four pass"), (100, "exclusiveMaximum boundary"),
+    (97, "multipleOf fails"), (-5, "minimum fails"),
+])
+
+# boolean schemas in every applicator position
+_many("boolean_schema.json", {"items": True}, [([1, "x"], "items true")])
+_many("boolean_schema.json", {"contains": True}, [
+    ([1], "contains true needs one element"),
+    ([], "contains true fails on empty")])
+_many("boolean_schema.json", {"not": {"items": False}}, [
+    ([1], "inner items:false fails, not flips"),
+    ([], "empty passes items:false, not flips to invalid")])
+_many("boolean_schema.json", {"dependentSchemas": {"x": True}}, [
+    ({"x": 1}, "true dependent schema")])
+_many("boolean_schema.json", {"propertyNames": True}, [
+    ({"anything": 1}, "propertyNames true")])
+
 
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
