@@ -344,7 +344,14 @@ class SchemaCompiler:
     def _contains_unevaluated_deep(self, node: Any,
                                    seen: Optional[set] = None) -> bool:
         """unevaluated* anywhere in the subtree, following $ref targets
-        (a ref'd branch contributes claims exactly like an inline one)."""
+        (a ref'd branch contributes claims exactly like an inline one).
+
+        NOTE: iter_subschemas mirrors the reference's traversal, which
+        yields the patternProperties CONTAINER (not its values) and
+        skips draft-4 ``dependencies`` entirely — for THIS analysis
+        those subschemas must be walked too (round-2 review find: an
+        unevaluated* inside a patternProperties value slipped past the
+        whole-node gate)."""
         from jema_js_spark.schema.frontend import iter_subschemas
 
         if seen is None:
@@ -358,6 +365,15 @@ class SchemaCompiler:
             target = self.schema.registry.ref_targets.get(id(node))
             if target is not None and self._contains_unevaluated_deep(target, seen):
                 return True
+        extra = []
+        pprops = node.get("patternProperties")
+        if isinstance(pprops, dict):
+            extra.extend(pprops.values())
+        deps = node.get("dependencies")
+        if isinstance(deps, dict):
+            extra.extend(v for v in deps.values() if isinstance(v, dict))
+        if any(self._contains_unevaluated_deep(sub, seen) for sub in extra):
+            return True
         return any(self._contains_unevaluated_deep(sub, seen)
                    for sub in iter_subschemas(node))
 
@@ -406,12 +422,29 @@ class SchemaCompiler:
 _PLANB_ROOT_URL = "http://jema.invalid/planb-root"
 
 
-def _contains_refs(node: Any) -> bool:
+# keyword containers whose values are literal DATA, not schemas — a
+# '$ref' key inside a const/enum value is part of the value, and the
+# Plane-B rebase must not touch or be triggered by it
+_DATA_KEYWORDS = ("const", "enum", "default", "examples")
+# keyword containers that map NAMES → schemas: their keys are property
+# names / patterns / def names, never keywords themselves
+_NAME_MAP_KEYWORDS = ("properties", "patternProperties", "$defs",
+                      "definitions", "dependentSchemas", "dependencies")
+
+
+def _contains_refs(node: Any, at_schema: bool = True) -> bool:
     if isinstance(node, dict):
+        if not at_schema:  # name→schema map: values are schemas
+            return any(_contains_refs(v) for v in node.values())
         for k, v in node.items():
+            if k in _DATA_KEYWORDS:
+                continue
             if k in ("$ref", "$dynamicRef") and isinstance(v, str):
                 return True
-            if _contains_refs(v):
+            if k in _NAME_MAP_KEYWORDS and isinstance(v, dict):
+                if _contains_refs(v, at_schema=False):
+                    return True
+            elif _contains_refs(v):
                 return True
         return False
     if isinstance(node, list):
@@ -419,7 +452,8 @@ def _contains_refs(node: Any) -> bool:
     return False
 
 
-def _rewrite_local_refs(node: Any, base_url: str) -> Any:
+def _rewrite_local_refs(node: Any, base_url: str,
+                        at_schema: bool = True) -> Any:
     """Rebase '#…'-local ``$ref``/``$dynamicRef`` pointers inside a
     detached Plane-B fallback copy to absolute ``<base_url>#…`` refs,
     so they resolve against the registered owning document instead of
@@ -428,14 +462,21 @@ def _rewrite_local_refs(node: Any, base_url: str) -> Any:
     degrades to its lexical anchor — the reference's own behavior
     (schema.js:355-362 resolves dynamic refs against the root only)."""
     if isinstance(node, dict):
+        if not at_schema:  # name→schema map: every value is a schema
+            return {k: _rewrite_local_refs(v, base_url)
+                    for k, v in node.items()}
         nid = node.get("$id")
         if isinstance(nid, str):
             base_url = nid.split("#")[0]
         out = {}
         for k, v in node.items():
-            if (k in ("$ref", "$dynamicRef") and isinstance(v, str)
+            if k in _DATA_KEYWORDS:
+                out[k] = v  # literal data — never rewrite inside
+            elif (k in ("$ref", "$dynamicRef") and isinstance(v, str)
                     and v.startswith("#")):
                 out[k] = base_url + v
+            elif k in _NAME_MAP_KEYWORDS and isinstance(v, dict):
+                out[k] = _rewrite_local_refs(v, base_url, at_schema=False)
             else:
                 out[k] = _rewrite_local_refs(v, base_url)
         return out
@@ -734,11 +775,11 @@ def _h_pattern(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
 
 # regex-shaped format assertions reusable as rlike (schema.js:513,516-518)
 _FORMAT_REGEX = {
-    "uuid": r"^[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$",
-    "json-pointer": r"^(?:/(?:[^~/]|~0|~1)*)*$",
-    "relative-json-pointer": r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)$",
-    "uri-template": r"^(?:[^{}]|\{[^{}]+\})*$",
-    "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$",
+    "uuid": r"^[0-9a-fA-F]{8}(?:-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}\z",
+    "json-pointer": r"^(?:/(?:[^~/]|~0|~1)*)*\z",
+    "relative-json-pointer": r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)\z",
+    "uri-template": r"^(?:[^{}]|\{[^{}]+\})*\z",
+    "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\z",
 }
 
 
@@ -747,7 +788,7 @@ def _format_date_pred(s: Column) -> Column:
     schema.js:692-703), quirks included: month 00 / day 00 pass when
     day <= 28; day > 28 requires a real calendar day (Gregorian leap
     rule)."""
-    shape = s.rlike(r"^\d{4}-\d{2}-\d{2}$")
+    shape = s.rlike(r"^\d{4}-\d{2}-\d{2}\z")
     y = F.substring(s, 1, 4).try_cast("int")
     mo = F.substring(s, 6, 2).try_cast("int")
     d = F.substring(s, 9, 2).try_cast("int")
@@ -766,7 +807,7 @@ def _format_time_pred(s: Column) -> Column:
     23:59 UTC / 00:-1 after the offset shift) and the quirk that the
     offset minutes are subtracted unsigned."""
     shape = s.rlike(
-        r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$")
+        r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})\z")
     hours = F.substring(s, 1, 2).try_cast("int")
     minutes = F.substring(s, 4, 2).try_cast("int")
     seconds = F.substring(s, 7, 2).try_cast("int")
@@ -795,15 +836,15 @@ def _format_hostname_pred(s: Column) -> Column:
     as pure regex algebra: charset, total length, and per-label
     non-empty / ≤63 / no edge-dash rules."""
     return ((F.length(s) <= 255)
-            & s.rlike(r"^[a-zA-Z0-9\-.]+$")
+            & s.rlike(r"^[a-zA-Z0-9\-.]+\z")
             & ~s.rlike(r"^[.]|[.][.]|[.]$")      # empty label
             & ~s.rlike(r"(^|[.])-")               # label starts with -
             & ~s.rlike(r"-([.]|$)")               # label ends with -
             & ~s.rlike(r"[^.]{64}"))              # label longer than 63
 
 
-_DUR_DATE_PAT = r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?$"
-_DUR_TIME_PAT = r"^(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?$"
+_DUR_DATE_PAT = r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?\z"
+_DUR_TIME_PAT = r"^(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?\z"
 
 
 def _format_duration_pred(s: Column) -> Column:
@@ -841,7 +882,9 @@ def _format_duration_pred(s: Column) -> Column:
 # ipaddress.IPv6Address acceptance (formats.py:176-189; fuzz-verified on
 # 120k adversarial strings, zero divergence). '%' zone ids never match.
 _H16 = "[0-9A-Fa-f]{1,4}"
-_LS32 = (f"({_H16}:{_H16}|" + _FORMAT_REGEX["ipv4"][1:-1] + ")")
+# unanchored ipv4 core: strip the leading '^' and trailing '\z'
+_V4_CORE = _FORMAT_REGEX["ipv4"][1:-2]
+_LS32 = (f"({_H16}:{_H16}|" + _V4_CORE + ")")
 _IPV6_PAT = "^(" + "|".join([
     f"({_H16}:){{6}}{_LS32}",
     f"::({_H16}:){{5}}{_LS32}",
@@ -852,13 +895,19 @@ _IPV6_PAT = "^(" + "|".join([
     f"(({_H16}:){{0,4}}{_H16})?::{_LS32}",
     f"(({_H16}:){{0,5}}{_H16})?::{_H16}",
     f"(({_H16}:){{0,6}}{_H16})?::",
-]) + ")$"
+]) + r")\z"
+
+# Python-\S as an explicit Java class: Python's re.\s (Unicode mode)
+# is [ \t-\r] + \x1c-\x1f + NEL + NBSP + the Zs/Zl/Zp categories
+_PY_NOT_WS = ("[^ \\t-\\r\\x1C-\\x1F\\x85\\xA0\\u1680"
+              "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]")
+_URI_PAT = r"^[A-Za-z][A-Za-z0-9+.\-]*:" + _PY_NOT_WS + r"*\z"
 
 # mirror of _EMAIL_LOCAL_RE (formats.py:32-33) — Java supports the
 # lookarounds verbatim
 _EMAIL_LOCAL_PAT = (
     r"^(?!\.)(\"([^\"\r\\]|\\[\"\r\\])*\""
-    r"|([-a-z0-9!#$%&'*+/=?^_`{|}~]|(?<!\.)\.)*)(?<!\.)$")
+    r"|([-a-z0-9!#$%&'*+/=?^_`{|}~]|(?<!\.)\.)*)(?<!\.)\z")
 
 
 def _format_email_pred(s: Column) -> Column:
@@ -892,9 +941,11 @@ _FORMAT_PRED = {
     "ipv6": lambda s: F.coalesce(s.rlike(_IPV6_PAT), F.lit(False)),
     "email": _format_email_pred,
     # reference: `new URL(value)` succeeds — scheme + no raw whitespace
-    # (formats.py:236-239, schema.js:510)
-    "uri": lambda s: s.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$"),
-    "iri": lambda s: s.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$"),
+    # (formats.py:236-239, schema.js:510).  The kernel uses Python's
+    # Unicode \S; Java's default \S is ASCII-only, so spell Python's
+    # whitespace set out explicitly (\x1c-\x1f, NEL, NBSP, Zs/Zl/Zp).
+    "uri": lambda s: s.rlike(_URI_PAT),
+    "iri": lambda s: s.rlike(_URI_PAT),
     # reference: `new URL(value, base)` — reject only raw whitespace
     # (formats.py:242-246, schema.js:512)
     "uri-reference": lambda s: ~F.coalesce(
@@ -1248,6 +1299,17 @@ def _contains_unevaluated(node: Any, seen: Optional[set] = None) -> bool:
         return False
     seen.add(id(node))
     if "unevaluatedProperties" in node or "unevaluatedItems" in node:
+        return True
+    # iter_subschemas yields the patternProperties CONTAINER, not its
+    # values, and skips draft-4 dependencies — walk those explicitly
+    pprops = node.get("patternProperties")
+    if isinstance(pprops, dict) and any(
+            _contains_unevaluated(v, seen) for v in pprops.values()):
+        return True
+    deps = node.get("dependencies")
+    if isinstance(deps, dict) and any(
+            _contains_unevaluated(v, seen) for v in deps.values()
+            if isinstance(v, dict)):
         return True
     return any(_contains_unevaluated(sub, seen) for sub in iter_subschemas(node))
 

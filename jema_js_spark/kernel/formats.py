@@ -20,19 +20,19 @@ from calendar import monthrange
 
 __all__ = ["check_format"]
 
-_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})\Z")
 _TIME_RE = re.compile(
-    r"^(\d{2}):(\d{2}):(\d{2})(?:\.\d+)?(?:Z|([+-]\d{2}):(\d{2}))$", re.IGNORECASE)
-_UUID_RE = re.compile(r"^[0-9a-f]{8}(?:-[0-9a-f]{4}){3}-[0-9a-f]{12}$", re.IGNORECASE)
-_JSON_POINTER_RE = re.compile(r"^(?:/(?:[^~/]|~0|~1)*)*$")
-_REL_JSON_POINTER_RE = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)$")
-_URI_TEMPLATE_RE = re.compile(r"^(?:[^{}]|\{[^{}]+\})*$")
-_HOSTNAME_RE = re.compile(r"^[a-zA-Z0-9\-.]+$")
-_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:\S*$")
+    r"^(\d{2}):(\d{2}):(\d{2})(?:\.\d+)?(?:Z|([+-]\d{2}):(\d{2}))\Z", re.IGNORECASE)
+_UUID_RE = re.compile(r"^[0-9a-f]{8}(?:-[0-9a-f]{4}){3}-[0-9a-f]{12}\Z", re.IGNORECASE)
+_JSON_POINTER_RE = re.compile(r"^(?:/(?:[^~/]|~0|~1)*)*\Z")
+_REL_JSON_POINTER_RE = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~0|~1)*)*)\Z")
+_URI_TEMPLATE_RE = re.compile(r"^(?:[^{}]|\{[^{}]+\})*\Z")
+_HOSTNAME_RE = re.compile(r"^[a-zA-Z0-9\-.]+\Z")
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:\S*\Z")
 _EMAIL_LOCAL_RE = re.compile(
-    r"^(?!\.)(\"([^\"\r\\]|\\[\"\r\\])*\"|([-a-z0-9!#$%&'*+/=?^_`{|}~]|(?<!\.)\.)*)(?<!\.)$")
-_DUR_DATE_RE = re.compile(r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?$")
-_DUR_TIME_RE = re.compile(r"^(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?$")
+    r"^(?!\.)(\"([^\"\r\\]|\\[\"\r\\])*\"|([-a-z0-9!#$%&'*+/=?^_`{|}~]|(?<!\.)\.)*)(?<!\.)\Z")
+_DUR_DATE_RE = re.compile(r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?\Z")
+_DUR_TIME_RE = re.compile(r"^(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?\Z")
 
 
 def valid_date(value: str) -> bool:
@@ -162,7 +162,7 @@ def valid_idn_hostname(hostname: str) -> bool:
     return True
 
 
-_IPV4_RE = re.compile(r"^((?!0\d)\d{1,3}\.){3}(?!0\d)\d{1,3}$")
+_IPV4_RE = re.compile(r"^((?!0\d)\d{1,3}\.){3}(?!0\d)\d{1,3}\Z")
 
 
 def valid_ipv4(ip: str) -> bool:

@@ -102,20 +102,29 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
     is_gif = F.hex(F.substring(p, 1, 4)) == "47494638"
     is_bmp = F.hex(F.substring(p, 1, 2)) == "424D"
     png_ct = _byte(p, 26)
+
+    def _i32(u: F.Column) -> F.Column:
+        # interpret a little-endian u32 as SIGNED i32: BMP biHeight is
+        # negative for top-down bitmaps — a plain int cast would throw
+        # CAST_OVERFLOW under ANSI mode and kill the task
+        return F.when(u >= (1 << 31), u - (1 << 32)).otherwise(u)
+
     width = (F.when(is_png, _be_u32(p, 17))
              .when(is_gif, _le_u16(p, 7))
-             .when(is_bmp, _le_u32(p, 19)))
+             .when(is_bmp, F.abs(_i32(_le_u32(p, 19)))))
     height = (F.when(is_png, _be_u32(p, 21))
               .when(is_gif, _le_u16(p, 9))
-              .when(is_bmp, _le_u32(p, 23)))
+              .when(is_bmp, F.abs(_i32(_le_u32(p, 23)))))
     channels = (F.when(is_png, F.when(png_ct == 2, 3).when(png_ct == 6, 4)
                                .when(png_ct == 4, 2).otherwise(1))
                 .when(is_gif, F.lit(3))
                 .when(is_bmp, F.floor(_le_u16(p, 29) / 8).cast("long")))
+    # try_cast: corrupt headers must degrade to NULL meta fields (and a
+    # per-row decode error downstream), never a CAST_OVERFLOW task kill
     return df.withColumn("meta", F.struct(
-        width.cast("int").alias("width"),
-        height.cast("int").alias("height"),
-        channels.cast("int").alias("channels"),
+        width.try_cast("int").alias("width"),
+        height.try_cast("int").alias("height"),
+        channels.try_cast("int").alias("channels"),
         F.lit(None).cast("int").alias("sample_rate"),
         F.when(is_png | is_gif | is_bmp, F.lit(1)).cast("int")
             .alias("n_frames"),

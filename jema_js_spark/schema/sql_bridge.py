@@ -180,7 +180,10 @@ def with_autoincrement(df, schema_or_col, dense: bool = False):
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_expr = F.element_at(
+    # try_element_at: ANSI mode throws MAP_KEY_DOES_NOT_EXIST on a miss;
+    # if the second pass sees a partition id the count pass did not
+    # (non-stable source), ids degrade to NULL instead of killing the job
+    offset_expr = F.try_element_at(
         F.create_map(*[F.lit(x) for pid in sorted(offsets)
                        for x in (pid, offsets[pid])]),
         F.col("__pid"))

@@ -346,6 +346,54 @@ def test_plane_coverage_flagship(spark, df):
     assert cov["plane_a_fraction"] == 1.0
 
 
+def test_uneval_under_pattern_props_and_dependencies_gates(spark, df):
+    """Round-2 review find: iter_subschemas yields the patternProperties
+    CONTAINER (not its values) and skips draft-4 dependencies, so an
+    unevaluated* hidden there slipped past the whole-node Plane-B gate
+    and Plane A diverged from the kernel."""
+    schemas = [
+        {"anyOf": [{"patternProperties": {"^me": {
+             "properties": {"zip": True},
+             "unevaluatedProperties": False}}},
+          {"type": "object"}],
+         "properties": {"meta": {"unevaluatedProperties": {"type": "string"}}}},
+        {"allOf": [{"dependencies": {"id": {
+             "properties": {"meta": {"properties": {"zip": True},
+                                      "unevaluatedProperties": False}}}}}],
+         "properties": {"meta": {"properties": {"depth": True}}}},
+    ]
+    from jema_js_spark.kernel.kernel import Validator
+
+    for schema in schemas:
+        out = {r["id"]: r["valid"] for r in
+               with_valid(df, schema).select("id", "valid").collect()}
+        v = Validator(Schema(dict(schema)))
+        for row in df.collect():
+            value = _row_to_json_value(row, ROWS_SCHEMA)
+            assert out[row["id"]] == v.validate(value), (schema, value)
+
+
+def test_plane_b_rewrite_never_touches_const_enum_data(spark, df):
+    """Round-2 review find: the Plane-B ref rebase must not rewrite a
+    '$ref' key INSIDE const/enum literal data, nor treat it as a reason
+    to ship remotes."""
+    schema = {"properties": {"meta": {
+        "anyOf": [{"const": {"$ref": "#section-2"}},
+                   {"format": "idn-email"},
+                   {"type": "object"}]}},
+        # force Plane B for the whole anyOf via an untranslatable format
+    }
+    plan = SchemaCompiler(schema, format_assertion=True).compile_plan(df)
+    out = with_valid(df, schema, format_assertion=True) \
+        .select("id", "valid").collect()
+    from jema_js_spark.kernel.kernel import Validator
+    v = Validator(Schema(dict(schema)), format_assertion=True)
+    for row in df.collect():
+        value = _row_to_json_value(row, ROWS_SCHEMA)
+        got = {r["id"]: r["valid"] for r in out}[row["id"]]
+        assert got == v.validate(value), value
+
+
 def test_format_assert_columnar_matches_kernel(spark):
     """Columnar date/time/date-time format assertions must be
     bit-identical to the kernel's (calendar validity, leap-second rule,
@@ -371,10 +419,21 @@ def test_format_assert_columnar_matches_kernel(spark):
                       "PT", "P1DT", "P1DTxx", "PT0S", "P0D", "1D", "",
                       "P1Y2M3D", "P1S", "PT1D"],
         "uri": ["http://example.com/a", "urn:x:y", "mailto:a@b", "//rel",
-                 "http://e.com/a b", "1http://x", "", "a:"],
+                 "http://e.com/a b", "1http://x", "", "a:",
+                 # Python-\S vs Java-\S: non-ASCII whitespace after the
+                 # scheme must fail like the kernel says
+                 "a:\xa0", "b:\u2028", "c:\x85", "d:\x1c", "e:\u3000"],
         "uri-reference": ["/a/b", "", "a b", "\trel", "#frag",
                            "http://x/y"],
+        # trailing line terminators: JS $ (the reference) is absolute
+        # end-of-string; Python $ would allow one trailing \n and Java $
+        # any trailing line terminator — both planes must now be strict
+        "uuid": ["123e4567-e89b-12d3-a456-426614174000",
+                  "123e4567-e89b-12d3-a456-426614174000\n",
+                  "123e4567-e89b-12d3-a456-426614174000\r"],
+        "ipv4": ["1.2.3.4", "1.2.3.4\n", "1.2.3.4\r", "1.2.3.4 "],
         "ipv6": ["::", "::1", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8:9",
+                  "::1\n", "::1\r",
                   "::ffff:1.2.3.4", "1:2:3:4:5:6:1.2.3.4", "1::2::3",
                   "fe80::1%eth0", "12345::", "1:2:3:4:5:6:7", "g::1",
                   "1:2::3:4:1.2.3.4", "::ffff:01.2.3.4", ""],

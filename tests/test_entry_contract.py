@@ -54,6 +54,12 @@ ORACLES = entry_mod.oracle_sql()
 # when every value is equal — exactly the round-1 stats_profile /
 # windowed_verdicts failure. Unknown Spark types are skipped.
 _ARROW_OK = {
+    # Empirical calibration from round 1: cosine_topk (Spark int32 rank
+    # vs DuckDB int64 row_number) was hash-GREEN, while HUGEINT
+    # (decimal128 → pylist Decimal) was hash-RED — the driver compares
+    # pylist VALUES, not arrow widths.  So integral widths are
+    # interchangeable; what must never appear is a decimal/float against
+    # an integral column.
     "bigint": {"int64", "int32"},
     "int": {"int64", "int32"},
     "double": {"double"},

@@ -68,6 +68,21 @@ def test_header_parse_exact(media):
     assert m["width"] is None and m["height"] is None
 
 
+def test_header_parse_topdown_bmp_and_corrupt_headers(spark):
+    """Round-2 review find: a top-down BMP stores biHeight as a negative
+    i32 (u32 ~4.29e9), which a plain ANSI int cast turned into a
+    CAST_OVERFLOW task kill.  Corrupt headers must degrade to NULL
+    fields, never an exception."""
+    rows = [(0, _bmp(40, -32)),                      # top-down BMP
+            (1, _png(0xFFFFFFFF, 10)),               # corrupt huge width
+            (2, _bmp(-1, -1))]                       # nonsense dims
+    out = {r["media_id"]: r["meta"] for r in attach_media_metadata(
+        spark.createDataFrame(rows, "media_id long, payload binary")).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (40, 32)
+    assert out[1]["width"] is None and out[1]["height"] == 10
+    assert out[2]["width"] == 1 and out[2]["height"] == 1  # abs(i32 -1)
+
+
 def test_header_parse_channel_variants(spark):
     rows = [(0, _png(10, 11, color_type=6)),   # RGBA
             (1, _png(12, 13, color_type=0)),   # gray
