@@ -773,7 +773,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE n_chars < 150
             UNION ALL
             SELECT doc_id, 'required.0', 'required', '["required", 0]', '[]',
-                   'lang', 'object does not match required:lang'
+                   'lang', 'object missing required property 0:lang'
             FROM documents WHERE lang IS NULL""",
         # propertyNames maxLength 6: only 'n_chars' (7 chars) violates,
         # and only when present (non-null under the relational bridge)

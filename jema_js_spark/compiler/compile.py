@@ -72,6 +72,13 @@ class CheckSpec:
     def message(self) -> str:
         # static part of the reference message template (value prefix is
         # appended columnar-side in the violations projection)
+        if self.keyword == "required":
+            # special template (schema.js:593): the stack's last keyword
+            # is the required-array INDEX, e.g. "missing required
+            # property 0:url"
+            idx = self.schema_path[-1] if self.schema_path else 0
+            return (f"missing required property "
+                    f"{idx}:{js_to_string(self.schema_value)}")
         return f"does not match {self.keyword}:{js_to_string(self.schema_value)}"
 
 
@@ -281,7 +288,18 @@ class SchemaCompiler:
         def add(keyword: str, schema_value: Any, pred: Column,
                 extra_path: Tuple = ()) -> None:
             sp = spath + (keyword,) + extra_path
-            vcol = None if texpr.is_row else texpr.col.cast("string")
+            # pre-rendered print form of the offending value, matching
+            # the reference (schema.js:665-674): containers print as
+            # bare 'array'/'object', scalars as quoted strings
+            if texpr.is_row:
+                vcol = None
+            elif isinstance(texpr.dtype, T.ArrayType):
+                vcol = F.when(texpr.col.isNotNull(), F.lit("array"))
+            elif isinstance(texpr.dtype, (T.StructType, T.MapType)):
+                vcol = F.when(texpr.col.isNotNull(), F.lit("object"))
+            else:
+                vcol = F.concat(F.lit('"'), texpr.col.cast("string"),
+                                F.lit('"'))
             plane = "B" if saw_plane_b[0] else "A"
             saw_plane_b[0] = False
             checks.append(CheckSpec(
@@ -1591,8 +1609,7 @@ class CompiledPlan:
         (mirror of the reference's error stream, §2.10)."""
         elems = []
         for c in self.checks:
-            value_str = (F.coalesce(F.concat(F.lit('"'), c.value_col, F.lit('"')),
-                                    F.lit("object"))
+            value_str = (F.coalesce(c.value_col, F.lit("object"))
                          if c.value_col is not None else F.lit("object"))
             elems.append(F.when(~c.predicate, F.struct(
                 F.lit(c.name).alias("check"),

@@ -287,6 +287,38 @@ def test_violation_rows_shape(spark, df):
     assert '"ftp://bad/x" does not match pattern:^https?://' in msgs
 
 
+def test_violation_messages_match_kernel_errors(spark, df):
+    """§2.10 north star: 'byte-identical violation rows' — for Plane-A
+    schemas the columnar violation messages must equal the kernel's
+    errors() messages exactly (quoted scalars, bare 'array'/'object'
+    containers, the special required template)."""
+    from jema_js_spark.kernel.kernel import Validator
+
+    schemas = [
+        {"required": ["url", "lang"],
+         "properties": {"url": {"pattern": "^https://", "maxLength": 25},
+                         "n": {"minimum": 0, "multipleOf": 2},
+                         "tags": {"minItems": 1}}},
+        {"properties": {"meta": {"minProperties": 2},
+                         "nums": {"uniqueItems": True, "maxItems": 2},
+                         "flag": {"const": True},
+                         "lang": {"enum": ["en", "de"]}}},
+        {"properties": {"text": {"minLength": 3, "type": "string"}},
+         "required": ["text"]},
+    ]
+    for schema in schemas:
+        rows = violation_rows(df, schema, id_cols=["id"]).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["id"], set()).add(r["message"])
+        v = Validator(Schema(dict(schema)))
+        for row in df.collect():
+            value = _row_to_json_value(row, ROWS_SCHEMA)
+            kmsgs = {e.message for e in v.iter_errors(value)}
+            assert got.get(row["id"], set()) == kmsgs, (
+                schema, row["id"], got.get(row["id"], set()), kmsgs)
+
+
 def test_partition_verdicts(spark, df):
     schema = {"required": ["url"]}
     verdicts = partition_verdicts(df.repartition(3), schema).collect()
