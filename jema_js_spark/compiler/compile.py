@@ -79,6 +79,19 @@ class CheckSpec:
             idx = self.schema_path[-1] if self.schema_path else 0
             return (f"missing required property "
                     f"{idx}:{js_to_string(self.schema_value)}")
+        if self.keyword == "false-schema":
+            # special template (schema.js:186): the stack ends at the
+            # edge NAME under which the false schema sits ('null' at
+            # the root, where the stack is empty)
+            last = js_to_string(self.schema_path[-1]) \
+                if self.schema_path else "null"
+            return f"fails, false-schema at: {last}:false"
+        # NOTE (bounded divergence, documented): for contains-bounds and
+        # combinator errors the reference's lastKeyword is whatever
+        # evaluation-order residue sits on its mutable schema stack —
+        # data-dependent and not expressible in a static column; the
+        # columnar message renders the canonical keyword instead.  All
+        # other fields (check, keyword, paths, schema_value) match.
         return f"does not match {self.keyword}:{js_to_string(self.schema_value)}"
 
 
@@ -257,7 +270,8 @@ class SchemaCompiler:
             return []
         if node is False:
             return [CheckSpec("/".join(map(str, spath)) or "$", "false-schema",
-                              spath, dpath, False, F.lit(False), "A")]
+                              spath, dpath, False, F.lit(False), "A",
+                              value_col=_print_col(texpr))]
         if not isinstance(node, dict):
             return []
 
@@ -288,18 +302,7 @@ class SchemaCompiler:
         def add(keyword: str, schema_value: Any, pred: Column,
                 extra_path: Tuple = ()) -> None:
             sp = spath + (keyword,) + extra_path
-            # pre-rendered print form of the offending value, matching
-            # the reference (schema.js:665-674): containers print as
-            # bare 'array'/'object', scalars as quoted strings
-            if texpr.is_row:
-                vcol = None
-            elif isinstance(texpr.dtype, T.ArrayType):
-                vcol = F.when(texpr.col.isNotNull(), F.lit("array"))
-            elif isinstance(texpr.dtype, (T.StructType, T.MapType)):
-                vcol = F.when(texpr.col.isNotNull(), F.lit("object"))
-            else:
-                vcol = F.concat(F.lit('"'), texpr.col.cast("string"),
-                                F.lit('"'))
+            vcol = _print_col(texpr)
             plane = "B" if saw_plane_b[0] else "A"
             saw_plane_b[0] = False
             checks.append(CheckSpec(
@@ -532,6 +535,20 @@ def _carry_siblings(node: dict, keyword: str) -> dict:
                               "$ref", "$dynamicRef"),
     }
     return {k: node[k] for k in deps.get(keyword, ()) if k in node}
+
+
+def _print_col(texpr: "_TExpr") -> Optional[Column]:
+    """Pre-rendered print form of the offending value, matching the
+    reference (schema.js:665-674): containers print as bare
+    'array'/'object', scalars as quoted strings; the row itself (and a
+    NULL value, JS typeof null == 'object') prints as 'object'."""
+    if texpr.is_row:
+        return None
+    if isinstance(texpr.dtype, T.ArrayType):
+        return F.when(texpr.col.isNotNull(), F.lit("array"))
+    if isinstance(texpr.dtype, (T.StructType, T.MapType)):
+        return F.when(texpr.col.isNotNull(), F.lit("object"))
+    return F.concat(F.lit('"'), texpr.col.cast("string"), F.lit('"'))
 
 
 def _and_all(preds: List[Column]) -> Column:

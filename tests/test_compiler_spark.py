@@ -305,6 +305,10 @@ def test_violation_messages_match_kernel_errors(spark, df):
                          "lang": {"enum": ["en", "de"]}}},
         {"properties": {"text": {"minLength": 3, "type": "string"}},
          "required": ["text"]},
+        # special templates: false-schema prints the child value and the
+        # edge name it hangs under
+        {"properties": {"text": False}},
+        {"properties": {"meta": False}, "required": ["meta"]},
     ]
     for schema in schemas:
         rows = violation_rows(df, schema, id_cols=["id"]).collect()
