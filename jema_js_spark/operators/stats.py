@@ -32,7 +32,19 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
     for c in cols:
         dtype = by_name[c]
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
-        aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}_approx_distinct"))
+        if isinstance(dtype, (T.StringType, T.BinaryType)):
+            # pre-hash long values to 8 bytes before the HLL sketch:
+            # one xxhash64 pass replaces the sketch's internal hashing
+            # of the full multi-KB string, same estimate distribution.
+            # NULLs must stay NULL (approx_count_distinct skips them;
+            # xxhash64 of a NULL argument is a non-NULL seed constant).
+            hashed = F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
+            aggs.append(
+                F.approx_count_distinct(hashed, rsd)
+                .alias(f"{c}_approx_distinct"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(c, rsd).alias(f"{c}_approx_distinct"))
         if not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType,
                                   T.BinaryType)):
             aggs.append(F.min(c).alias(f"{c}_min"))

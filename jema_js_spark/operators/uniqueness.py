@@ -4,15 +4,28 @@ SQL-bridge keywords (tools/toSql.js:43-44,115) lifted to table scope
 
 Scale design (the north rule's explicit skew handling):
 
-- **Two-stage salted aggregation.**  Stage 1 groups on ``(key, salt)``
-  — salt derived from a row-level hash — bounding any single reducer's
-  share of a hot key to ``1/S``; stage 2 merges the per-salt partial
-  counts.  For plain COUNT, Spark's map-side partial aggregation
-  already de-skews; salting matters the moment the aggregation carries
-  payload (here: example row-ids per duplicate key, which WOULD
-  otherwise funnel every occurrence of a hot url into one task).
+- **Fingerprint pre-pass.**  The first (full-table) aggregation groups
+  on ``xxhash64(key)`` — 8 shuffled bytes per row instead of the full
+  url string (multi-KB keys at 10^12 rows would otherwise dominate the
+  shuffle).  Only fingerprints seen more than once survive; the exact
+  key strings travel in a second pass restricted to those (rare)
+  candidate rows.  64-bit collisions merge two distinct keys into one
+  candidate fingerprint (expected ~n²/2^65 — thousands at 10^12 rows),
+  so the second pass re-groups by the REAL key and re-applies the
+  ``> 1`` filter: a collision costs a few extra candidate rows, never a
+  wrong answer.
+- **Two-stage salted aggregation.**  Both passes group on ``(key,
+  salt)`` first — salt derived from a row-level hash — bounding any
+  single reducer's share of a hot key to ``1/S``; stage 2 merges the
+  per-salt partial counts.  For plain COUNT, Spark's map-side partial
+  aggregation already de-skews; salting matters the moment the
+  aggregation carries payload (here: example row-ids per duplicate key,
+  which WOULD otherwise funnel every occurrence of a hot url into one
+  task).
 - AQE skew handling stays on as the runtime backstop; salting is the
-  static guarantee.
+  static guarantee.  The candidate semi-join is left unhinted: AQE
+  broadcasts it at runtime when the duplicate set is small (the normal
+  case).
 """
 
 from __future__ import annotations
@@ -25,19 +38,11 @@ from pyspark.sql import functions as F
 __all__ = ["duplicate_keys", "uniqueness_report"]
 
 
-def duplicate_keys(df: DataFrame, key: str | Sequence[str],
-                   salt_buckets: int = 64,
-                   examples_per_key: int = 3,
-                   example_col: Optional[str] = None) -> DataFrame:
-    """Keys appearing more than once: ``(key..., n_rows, examples)``.
-
-    ``examples`` carries up to ``examples_per_key`` sample values of
-    ``example_col`` per duplicate key, collected skew-safely: capped
-    per (key, salt) group in stage 1, so a url occurring 10^9 times
-    contributes at most ``salt_buckets * examples_per_key`` strings to
-    stage 2 instead of 10^9.
-    """
-    keys = [key] if isinstance(key, str) else list(key)
+def _salted_dup_agg(df: DataFrame, keys: Sequence[str], salt_buckets: int,
+                    examples_per_key: int,
+                    example_col: Optional[str]) -> DataFrame:
+    """Two-stage salted exact aggregation over ``keys`` → ``(key...,
+    n_rows[, examples])`` filtered to ``n_rows > 1``."""
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys],
                              F.monotonically_increasing_id()),
                   F.lit(salt_buckets)).alias("__salt")
@@ -60,6 +65,47 @@ def duplicate_keys(df: DataFrame, key: str | Sequence[str],
 
     return (stage1.groupBy(*keys).agg(*stage2_aggs)
             .filter(F.col("n_rows") > 1))
+
+
+def duplicate_keys(df: DataFrame, key: str | Sequence[str],
+                   salt_buckets: int = 64,
+                   examples_per_key: int = 3,
+                   example_col: Optional[str] = None) -> DataFrame:
+    """Keys appearing more than once: ``(key..., n_rows, examples)``.
+
+    Plan (see module docstring for the scale rationale):
+
+    1. full-table count over the 8-byte ``xxhash64(key)`` fingerprint
+       (two-stage salted) → candidate fingerprints with count > 1;
+    2. semi-join the input to the candidates (AQE broadcasts when the
+       duplicate set is small) and re-aggregate the surviving rows by
+       the REAL key — exact output, immune to 64-bit collisions, and
+       the only pass that ever shuffles key strings.
+
+    ``examples`` carries up to ``examples_per_key`` sample values of
+    ``example_col`` per duplicate key, collected skew-safely: capped
+    per (key, salt) group in stage 1, so a url occurring 10^9 times
+    contributes at most ``salt_buckets * examples_per_key`` strings to
+    stage 2 instead of 10^9.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    fp = F.xxhash64(*[F.col(k) for k in keys]).alias("__fp")
+    row_salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                      F.lit(salt_buckets)).alias("__salt")
+
+    candidates = (df.select(fp, row_salt)
+                  .groupBy("__fp", "__salt")
+                  .agg(F.count(F.lit(1)).alias("__cnt"))
+                  .groupBy("__fp")
+                  .agg(F.sum("__cnt").alias("__n"))
+                  .filter(F.col("__n") > 1)
+                  .select("__fp"))
+
+    wanted = keys + ([example_col] if example_col else [])
+    survivors = (df.select(*wanted, fp)
+                 .join(candidates, "__fp", "left_semi"))
+    return _salted_dup_agg(survivors, keys, salt_buckets,
+                           examples_per_key, example_col)
 
 
 def uniqueness_report(df: DataFrame, key: str | Sequence[str],

@@ -232,6 +232,44 @@ def test_brute_force_topk_vs_numpy(spark, emb):
         assert got_top == exp_top
 
 
+def test_brute_force_topk_two_phase_matches_single_window(spark, emb):
+    """The salted two-phase partial top-k must equal the naive single
+    global window per query (the round-2 funnel it replaced), including
+    tie-breaks on vec_id."""
+    from pyspark.sql import Window
+    from jema_js_spark.operators.similarity import cosine_sim
+
+    queries = emb.limit(4).select(F.col("query_id"), "embedding") \
+        if "query_id" in emb.columns else emb.limit(4).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+    got = brute_force_topk(emb, queries, k=7, partial_buckets=5).collect()
+    q = F.broadcast(queries.select("query_id",
+                                   F.col("embedding").alias("__qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    naive = (emb.select("vec_id", "embedding").crossJoin(q)
+             .select("query_id", "vec_id",
+                     cosine_sim(F.col("embedding"), F.col("__qvec"))
+                     .alias("cosine"))
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= 7).collect())
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in got]) == \
+        sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in naive])
+
+
+def test_duplicate_keys_string_key_fingerprint_path(spark, docs, duck):
+    """String keys exercise the xxhash64 fingerprint pre-pass: exact
+    counts and key strings must match the direct DuckDB group-by."""
+    # text truncated to 40 chars collides heavily → real multi-row keys
+    keyed = docs.select(F.substring("text", 1, 40).alias("k"), "doc_id")
+    got = {(r["k"], r["n_rows"])
+           for r in duplicate_keys(keyed, "k").collect()}
+    exp = {(r[0], r[1]) for r in duck.execute(
+        "SELECT substring(text, 1, 40) AS k, count(*) FROM documents "
+        "GROUP BY 1 HAVING count(*) > 1").fetchall()}
+    assert got == exp
+
+
 def test_ivf_topk_recall(spark, emb):
     cents = fit_centroids(emb, nlist=8)
     assigned = ivf_assign(emb, cents).cache()
