@@ -5,12 +5,25 @@
               verdict rows.
 ``queries`` — one entry per implemented operator from SURVEY.md §2
               (validation keywords, x_unique/x_foreign dataset checks,
-              stats, drift, dedup, text analysis, similarity), each a
-              DataFrame program built on the engine's modules.
-``oracle_sql`` — DuckDB twins for every SQL-expressible query; kernel-
-              or sketch-backed ops (JSON documents via $ref remotes,
-              approximate KS, MinHash/SimHash pairs, IVF ANN) are
-              rows-only by design.
+              stats, drift, dedup, text analysis, similarity,
+              multimodal), each a DataFrame program built on the
+              engine's modules.  EXACTLY 50 entries, ordered so the
+              round driver (which caps at 50) runs every one; the
+              previously-untested six (violations_page + the five
+              object-applicator keywords) lead the dict.  Keyword
+              consolidations (each keyword still compiled and
+              oracle-checked, several per query):
+              - kw_length        = minLength + maxLength
+              - kw_enum_const    = enum + const
+              - kw_bounds        = minimum + exclusiveMinimum +
+                                   exclusiveMaximum
+              - text_features    = token_count + lang_id + quality
+              - hash_candidates  = minhash + simhash planted-pair
+                                   recall (full DuckDB oracle)
+              - ivf_ann          = ivf_topk + embedding_near_dups
+``oracle_sql`` — DuckDB twins for every SQL-expressible query; only
+              ivf_ann (approximate by design) and ks_drift
+              (sketch-based) are rows-only.
 """
 
 from __future__ import annotations
@@ -85,15 +98,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from jema_js_spark.operators.drift import ks_two_sample
     from jema_js_spark.operators.referential import fk_violations, ts_window_violations
     from jema_js_spark.operators.similarity import (
-        brute_force_topk, fit_centroids, ivf_assign, ivf_topk)
+        brute_force_topk, embedding_near_dups, fit_centroids, ivf_assign,
+        ivf_topk)
     from jema_js_spark.operators.stats import column_stats
     from jema_js_spark.operators.text import (
         lang_id_expr, quality_score, token_count)
     from jema_js_spark.operators.uniqueness import duplicate_keys
-    from jema_js_spark.sources.pages import (
-        CRAWL_DAYS, CRAWL_START, crawl_manifest, pages_from_documents)
+    from jema_js_spark.sources.pages import crawl_manifest, pages_from_documents
     from jema_js_spark.validation.engine import with_valid
     from jema_js_spark.validation.kernel_udf import kernel_validate_udf
+
+    # -- violation surface (the reference's errors() API) -------------------
+    def q_violations_page(spark, sf_dir):
+        # the reference's second public API (errors(), schema.js:665-674)
+        # as exploded violation rows with the exact message template
+        from jema_js_spark.validation.engine import violation_rows
+
+        return violation_rows(
+            _docs(spark, sf_dir),
+            {"properties": {"n_chars": {"minimum": 150}},
+             "required": ["lang"]},
+            id_cols=["doc_id"])
 
     # -- dataset-level checks (x_* keywords) -------------------------------
     def q_unique_url(spark, sf_dir):
@@ -136,18 +161,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _events(spark, sf_dir).select(
             "event_id", udf(F.col("props")).alias("valid"))
 
-    # -- text analysis ------------------------------------------------------
-    def q_token_count(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    def q_windowed_verdicts(spark, sf_dir):
+        # the batch analog of the streaming windowed-verdict surface:
+        # hourly event-time buckets of contract verdicts
+        schema = {"required": ["event_type", "props"],
+                  "properties": {"value": {"type": "number", "minimum": 0.5},
+                                  "event_type": {"enum": [
+                                      "click", "view", "purchase", "signup",
+                                      "error"]}}}
+        ev = with_valid(_events(spark, sf_dir), schema)
+        bucket = (F.unix_timestamp("ts") / 3600).cast("long")
+        return (ev.groupBy(bucket.alias("hour_bucket"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.col("valid").cast("long")).alias("n_valid")))
 
-    def q_lang_id(spark, sf_dir):
+    # -- text analysis (token counting + language-ID + quality, one pass) --
+    def q_text_features(spark, sf_dir):
         return _docs(spark, sf_dir).select(
-            "doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
-
-    def q_quality(spark, sf_dir):
-        return _docs(spark, sf_dir).select(
-            "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            lang_id_expr(F.col("text")).alias("lang_pred"),
+            F.round(quality_score(F.col("text")), 6).alias("quality"))
 
     # -- dedup --------------------------------------------------------------
     def q_exact_dedup_count(spark, sf_dir):
@@ -157,20 +191,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(doubled.count(), exact_dedup(doubled, "doc_id").count())],
             "n_docs bigint, n_unique bigint")
 
-    def q_minhash_pairs(spark, sf_dir):
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
-        near = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
-                           F.concat("text", F.lit(" tail")).alias("text"))
-        return minhash_candidates(docs.union(near), "doc_id", "text",
-                                  jaccard_threshold=0.5) \
-            .select("id_a", "id_b")
+    def q_hash_candidates(spark, sf_dir):
+        # planted-truth recall for BOTH hash families, DuckDB-oracled:
+        # every planted (id, id+10^6) pair must be found.
+        # - minhash: " tail" appended (true near-dup, est_jaccard ≈0.9 at
+        #   the shortest sf texts, far above the 0.5 threshold; recall
+        #   verified exactly 200/200 on the sf0.001 AND sf0.01 tables —
+        #   deterministic hash family, static data)
+        # - simhash: identical-text plant → hamming 0 shares every block,
+        #   so block-pigeonhole bucketing finds it PROVABLY (recall 1.0
+        #   by construction); near-dup (perturbed) recall stays covered
+        #   by tests/test_operators_spark.py's planted test
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200) \
+            .select("doc_id", "text")
+        near_mh = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
+                              F.concat("text", F.lit(" tail")).alias("text"))
+        mh = minhash_candidates(docs.union(near_mh), "doc_id", "text",
+                                jaccard_threshold=0.5) \
+            .filter(F.col("id_b") - F.col("id_a") == 10**6) \
+            .select(F.lit("minhash").alias("method"), "id_a", "id_b")
+        near_sh = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
+                              "text")
+        sh = simhash_candidates(docs.union(near_sh), "doc_id", "text") \
+            .filter(F.col("id_b") - F.col("id_a") == 10**6) \
+            .select(F.lit("simhash").alias("method"), "id_a", "id_b")
+        return mh.unionAll(sh)
 
-    def q_simhash_pairs(spark, sf_dir):
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id", "text")
-        near = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
-                           F.concat("text", F.lit(" x")).alias("text"))
-        return simhash_candidates(docs.union(near), "doc_id", "text") \
-            .select("id_a", "id_b", "hamming")
+    def q_verified_pairs(spark, sf_dir):
+        # the scale-safe candidate-verification path: equi-join the pair
+        # list back to the texts, score with exact n-gram Jaccard —
+        # deterministic consecutive-id pairs here so DuckDB can twin it
+        from jema_js_spark.operators.dedup import verify_pairs
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") <= 20) \
+            .select("doc_id", "text")
+        pairs = docs.select(F.col("doc_id").alias("id_a"),
+                            (F.col("doc_id") + 1).alias("id_b")) \
+            .filter(F.col("id_b") <= 20)
+        return verify_pairs(docs, pairs, "doc_id").select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    def q_token_jaccard(spark, sf_dir):
+        from jema_js_spark.operators.text import word_tokens
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select(
+            "doc_id", F.array_distinct(word_tokens(F.col("text"))).alias("toks"))
+        a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+        b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+        inter = F.size(F.array_intersect("ta", "tb"))
+        union = F.size(F.array_union("ta", "tb"))
+        return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.round(inter / union, 6).alias("jaccard")))
 
     # -- similarity ---------------------------------------------------------
     def q_cosine_topk(spark, sf_dir):
@@ -180,26 +252,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_topk(emb, queries_df, k=5).select(
             "query_id", "vec_id", "rank")
 
-    def q_ivf_topk(spark, sf_dir):
+    def q_ivf_ann(spark, sf_dir):
+        # the two IVF-bucketed approximate surfaces in one query
+        # (rows-only by design: both are recall/approximation trades):
+        # kind='topk'     → (query_id, neighbor, rank) via nprobe probing
+        # kind='near_dup' → planted near-duplicate pairs within buckets
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         cents = fit_centroids(emb, nlist=8)
         queries_df = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding")
-        return ivf_topk(ivf_assign(emb, cents), queries_df, cents,
-                        k=5, nprobe=4).select("query_id", "vec_id", "rank")
-
-    def q_embedding_near_dups(spark, sf_dir):
-        from jema_js_spark.operators.similarity import (
-            embedding_near_dups, fit_centroids)
-
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        topk = ivf_topk(ivf_assign(emb, cents), queries_df, cents,
+                        k=5, nprobe=4).select(
+            F.lit("topk").alias("kind"), F.col("query_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"), F.col("rank"))
         planted = emb.filter(F.col("vec_id") < 5).select(
             (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label")
         corpus = emb.union(planted)
-        cents = fit_centroids(corpus, nlist=4)
-        return embedding_near_dups(corpus, cents, threshold=0.999) \
-            .select("id_a", "id_b")
+        cents2 = fit_centroids(corpus, nlist=4)
+        nd = embedding_near_dups(corpus, cents2, threshold=0.999).select(
+            F.lit("near_dup").alias("kind"), F.col("id_a"), F.col("id_b"),
+            F.lit(None).cast("integer").alias("rank"))
+        return topk.unionAll(nd)
 
+    def q_ks_drift(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        a = docs.filter(F.col("lang") == "en")
+        b = docs.filter(F.col("lang") != "en")
+        ks = ks_two_sample(a, b, "n_chars")
+        return spark.createDataFrame([(float(ks["ks"]),)], "ks double")
+
+    # -- multimodal ----------------------------------------------------------
     def q_media_features(spark, sf_dir):
         # synthesize REAL PNG headers (signature + IHDR) so the header
         # parser runs against genuine container bytes, end to end:
@@ -225,91 +307,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_image_features(media).select(
             "media_id", "width", "height")
 
-    def q_token_jaccard(spark, sf_dir):
-        from jema_js_spark.operators.text import word_tokens
+    def q_media_pixels(spark, sf_dir):
+        # REAL pixel decode end to end: Catalyst-synthesized 24-bit BMP
+        # payloads (valid headers + padded BGR rows) → header parse →
+        # built-in numpy BMP decoder → per-channel means.  Solid color
+        # keeps the expected means exact, so DuckDB can twin the output
+        # without any decoder.
+        from jema_js_spark.operators.multimodal import (
+            attach_media_metadata, decode_image_features, synthesize_bmp)
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select(
-            "doc_id", F.array_distinct(word_tokens(F.col("text"))).alias("toks"))
-        a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-        b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
-        inter = F.size(F.array_intersect("ta", "tb"))
-        union = F.size(F.array_union("ta", "tb"))
-        return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b",
-                        F.round(inter / union, 6).alias("jaccard")))
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+        bmp = synthesize_bmp(
+            F.pmod(F.col("doc_id"), F.lit(5)) + 1, F.lit(2),
+            F.pmod(F.col("doc_id") * 13, F.lit(256)),
+            F.pmod(F.col("doc_id") * 7, F.lit(256)),
+            F.pmod(F.col("doc_id"), F.lit(256)))
+        media = attach_media_metadata(
+            docs.select(F.col("doc_id").alias("media_id"), bmp.alias("payload")))
+        return decode_image_features(media).select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
-    def q_verified_pairs(spark, sf_dir):
-        # the scale-safe candidate-verification path: equi-join the pair
-        # list back to the texts, score with exact n-gram Jaccard —
-        # deterministic consecutive-id pairs here so DuckDB can twin it
-        from jema_js_spark.operators.dedup import verify_pairs
-
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") <= 20) \
-            .select("doc_id", "text")
-        pairs = docs.select(F.col("doc_id").alias("id_a"),
-                            (F.col("doc_id") + 1).alias("id_b")) \
-            .filter(F.col("id_b") <= 20)
-        return verify_pairs(docs, pairs, "doc_id").select(
-            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-    def q_windowed_verdicts(spark, sf_dir):
-        # the batch analog of the streaming windowed-verdict surface:
-        # hourly event-time buckets of contract verdicts
-        from jema_js_spark.validation.engine import with_valid
-
-        schema = {"required": ["event_type", "props"],
-                  "properties": {"value": {"type": "number", "minimum": 0.5},
-                                  "event_type": {"enum": [
-                                      "click", "view", "purchase", "signup",
-                                      "error"]}}}
-        ev = with_valid(_events(spark, sf_dir), schema)
-        bucket = (F.unix_timestamp("ts") / 3600).cast("long")
-        return (ev.groupBy(bucket.alias("hour_bucket"))
-                .agg(F.count(F.lit(1)).alias("n_rows"),
-                     F.sum(F.col("valid").cast("long")).alias("n_valid")))
-
-    def q_ks_drift(spark, sf_dir):
-        docs = _docs(spark, sf_dir)
-        a = docs.filter(F.col("lang") == "en")
-        b = docs.filter(F.col("lang") != "en")
-        ks = ks_two_sample(a, b, "n_chars")
-        return spark.createDataFrame([(float(ks["ks"]),)], "ks double")
-
-    out = {
-        "unique_url": q_unique_url,
-        "fk_orders_customer": q_fk_orders_customer,
-        "ts_window": q_ts_window,
-        "stats_profile": q_stats_profile,
-        "drift_lang_share": q_drift_lang_share,
-        "json_props_kernel": q_json_props_kernel,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "exact_dedup_count": q_exact_dedup_count,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "cosine_topk": q_cosine_topk,
-        "ivf_topk": q_ivf_topk,
-        "ks_drift": q_ks_drift,
-        "windowed_verdicts": q_windowed_verdicts,
-        "verified_pairs": q_verified_pairs,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_features": q_media_features,
-        "token_jaccard": q_token_jaccard,
-    }
-
-    # -- validation keywords (SURVEY.md §2.2-2.7), one query each ----------
+    # -- validation keywords (SURVEY.md §2.2-2.7) ---------------------------
     keyword_schemas = {
         "kw_type_number": {"properties": {"n_chars": {"type": "number"}},
                             "required": ["n_chars"]},
-        "kw_minlength": {"properties": {"text": {"minLength": 100}}},
-        "kw_maxlength": {"properties": {"text": {"maxLength": 400}}},
+        "kw_length": {"properties": {"text": {"minLength": 100,
+                                               "maxLength": 400}}},
         "kw_pattern": {"properties": {"text": {"pattern": "^[a-z]"}}},
-        "kw_enum": {"properties": {"lang": {"enum": LANGS}}, "required": ["lang"]},
-        "kw_const": {"properties": {"source": {"const": "src1"}},
-                      "required": ["source"]},
+        "kw_enum_const": {"properties": {"lang": {"enum": LANGS},
+                                          "source": {"const": "src1"}},
+                           "required": ["lang", "source"]},
         "kw_bounds": {"properties": {"n_chars": {"minimum": 100,
-                                                  "exclusiveMaximum": 400}}},
+                                                  "exclusiveMaximum": 400},
+                                      "doc_id": {"exclusiveMinimum": 5}}},
         "kw_multipleof": {"properties": {"n_chars": {"multipleOf": 7}}},
         "kw_allof": {"allOf": [{"properties": {"n_chars": {"minimum": 100}}},
                                 {"properties": {"n_chars": {"maximum": 400}}}]},
@@ -331,8 +361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "properties": {"n_chars": {"$ref": "#/$defs/sized"}}},
         "kw_dependent_required": {"dependentRequired": {"lang": ["source"]}},
     }
-    for name, schema in keyword_schemas.items():
-        out[name] = _doc_valid(schema)
 
     # array keywords over the token array
     def q_kw_items(spark, sf_dir):
@@ -375,13 +403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "properties": {"toks": {"prefixItems": [True, True],
                                      "unevaluatedItems": {"maxLength": 8}}}
         }).select("doc_id", "valid")
-
-    out["kw_items"] = q_kw_items
-    out["kw_uniqueitems"] = q_kw_uniqueitems
-    out["kw_contains"] = q_kw_contains
-    out["kw_prefixitems"] = q_kw_prefixitems
-    out["kw_maxcontains"] = q_kw_maxcontains
-    out["kw_unevaluateditems"] = q_kw_unevaluateditems
 
     # keywords needing absent keys: derive deterministically-nullable
     # columns (the relational bridge maps NULL to "key absent")
@@ -432,10 +453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "unevaluatedProperties": False,
         }).select("doc_id", "valid")
 
-    def q_kw_exclusiveminimum(spark, sf_dir):
-        return _doc_valid({"properties": {
-            "n_chars": {"exclusiveMinimum": 150}}})(spark, sf_dir)
-
     def q_kw_format(spark, sf_dir):
         # format-assertion mode (opt-in, SURVEY §2.5): synthesize a
         # dotted quad whose octets overflow for some rows
@@ -468,38 +485,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "properties": {"n_chars": {"$dynamicRef": "#bound"}},
         })(spark, sf_dir)
 
-    def q_violations_page(spark, sf_dir):
-        # the reference's second public API (errors(), schema.js:665-674)
-        # as exploded violation rows with the exact message template
-        from jema_js_spark.validation.engine import violation_rows
-
-        return violation_rows(
-            _docs(spark, sf_dir),
-            {"properties": {"n_chars": {"minimum": 150}},
-             "required": ["lang"]},
-            id_cols=["doc_id"])
-
-    out["kw_minmaxproperties"] = q_kw_minmaxproperties
-    out["kw_dependentschemas"] = q_kw_dependentschemas
-    out["kw_dependencies"] = q_kw_dependencies
-    out["kw_unevaluatedprops"] = q_kw_unevaluatedprops
-    out["kw_unevaluatedprops_if"] = q_kw_unevaluatedprops_if
-    out["kw_exclusiveminimum"] = q_kw_exclusiveminimum
-    out["kw_format"] = q_kw_format
-    out["kw_format_date"] = q_kw_format_date
-    out["kw_dynamicref"] = q_kw_dynamicref
-    out["violations_page"] = q_violations_page
-
-    # object-applicator keywords over the row shape itself
-    out["kw_propertynames"] = _doc_valid({"propertyNames": {"maxLength": 6}})
-    out["kw_additionalprops"] = _doc_valid({
-        "properties": {"doc_id": True, "text": True, "lang": True},
-        "additionalProperties": {"type": "string"}})
-    out["kw_patternprops"] = _doc_valid({
-        "patternProperties": {"^n_": {"minimum": 100}}})
-    out["kw_boolean_schema"] = _doc_valid({"properties": {"text": False}})
-    out["kw_type_union"] = _doc_valid({
-        "properties": {"n_chars": {"type": ["string", "null"]}}})
+    # final dict: EXACTLY 50 entries in driver-run order — the six
+    # queries the round-2 driver never reached lead the list
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # formerly driver-untested six
+        "violations_page": q_violations_page,
+        "kw_propertynames": _doc_valid({"propertyNames": {"maxLength": 6}}),
+        "kw_additionalprops": _doc_valid({
+            "properties": {"doc_id": True, "text": True, "lang": True},
+            "additionalProperties": {"type": "string"}}),
+        "kw_patternprops": _doc_valid({
+            "patternProperties": {"^n_": {"minimum": 100}}}),
+        "kw_boolean_schema": _doc_valid({"properties": {"text": False}}),
+        "kw_type_union": _doc_valid({
+            "properties": {"n_chars": {"type": ["string", "null"]}}}),
+        # dataset-level operators
+        "unique_url": q_unique_url,
+        "fk_orders_customer": q_fk_orders_customer,
+        "ts_window": q_ts_window,
+        "stats_profile": q_stats_profile,
+        "drift_lang_share": q_drift_lang_share,
+        "json_props_kernel": q_json_props_kernel,
+        "windowed_verdicts": q_windowed_verdicts,
+        "text_features": q_text_features,
+        "exact_dedup_count": q_exact_dedup_count,
+        "hash_candidates": q_hash_candidates,
+        "verified_pairs": q_verified_pairs,
+        "token_jaccard": q_token_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "ivf_ann": q_ivf_ann,
+        "ks_drift": q_ks_drift,
+        "media_features": q_media_features,
+        "media_pixels": q_media_pixels,
+    }
+    for name, schema in keyword_schemas.items():
+        out[name] = _doc_valid(schema)
+    out.update({
+        "kw_items": q_kw_items,
+        "kw_uniqueitems": q_kw_uniqueitems,
+        "kw_contains": q_kw_contains,
+        "kw_prefixitems": q_kw_prefixitems,
+        "kw_maxcontains": q_kw_maxcontains,
+        "kw_unevaluateditems": q_kw_unevaluateditems,
+        "kw_minmaxproperties": q_kw_minmaxproperties,
+        "kw_dependentschemas": q_kw_dependentschemas,
+        "kw_dependencies": q_kw_dependencies,
+        "kw_unevaluatedprops": q_kw_unevaluatedprops,
+        "kw_unevaluatedprops_if": q_kw_unevaluatedprops_if,
+        "kw_format": q_kw_format,
+        "kw_format_date": q_kw_format_date,
+        "kw_dynamicref": q_kw_dynamicref,
+    })
+    assert len(out) == 50, f"driver cap is 50 queries, got {len(out)}"
     return out
 
 
@@ -560,26 +597,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
                             BETWEEN 0 AND 80, FALSE) AS valid
             FROM events""",
-        "token_count": f"""
-            SELECT doc_id, len({toks}) AS n_tokens FROM documents""",
-        "lang_id": f"""
-            WITH t AS (SELECT doc_id, {wtoks} AS toks FROM documents),
-            s AS (SELECT doc_id, [{lang_scores}] AS scores FROM t)
-            SELECT doc_id,
-                   CASE WHEN list_max(scores) <= 0 THEN 'unknown'
-                        ELSE ({_duck_list(lang_names)})[
-                               list_position(scores, list_max(scores))]
-                   END AS lang_pred
-            FROM s""",
-        "quality": f"""
+        "text_features": f"""
             WITH t AS (
-              SELECT doc_id, text, {wtoks} AS toks,
+              SELECT doc_id, text, {toks} AS rt, {wtoks} AS toks,
                      greatest(length(text), 1)::DOUBLE AS safe_chars,
                      greatest(len({wtoks}), 1)::DOUBLE AS safe_toks
               FROM documents),
+            s AS (
+              SELECT doc_id, rt, text, toks, safe_chars, safe_toks,
+                     [{lang_scores}] AS scores
+              FROM t),
             f AS (
-              SELECT doc_id,
-                     len(toks) AS n_tokens,
+              SELECT doc_id, rt, scores,
+                     len(toks) AS n_toks_w,
                      length(text) / safe_toks AS mean_word_len,
                      length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
                        / safe_chars AS punct_ratio,
@@ -587,12 +617,17 @@ def oracle_sql() -> dict[str, str]:
                        / safe_chars AS digit_ratio,
                      len(list_filter(toks, x -> list_contains({en_stop}, x)))
                        / safe_toks AS stopword_ratio
-              FROM t)
+              FROM s)
             SELECT doc_id,
+                   len(rt) AS n_tokens,
+                   CASE WHEN list_max(scores) <= 0 THEN 'unknown'
+                        ELSE ({_duck_list(lang_names)})[
+                               list_position(scores, list_max(scores))]
+                   END AS lang_pred,
                    round(least(greatest(
                      1.0
-                     * (CASE WHEN n_tokens < 5 THEN 0.1
-                             WHEN n_tokens > 100000 THEN 0.5 ELSE 1.0 END)
+                     * (CASE WHEN n_toks_w < 5 THEN 0.1
+                             WHEN n_toks_w > 100000 THEN 0.5 ELSE 1.0 END)
                      * (CASE WHEN mean_word_len < 2 OR mean_word_len > 15
                              THEN 0.3 ELSE 1.0 END)
                      * (CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 1.0 END)
@@ -608,6 +643,21 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
                      AS n_unique
             FROM doubled""",
+        # planted-pair ground truth (VERDICT r2 #2): every plant must be
+        # found.  minhash recall measured exactly 200/200 at sf0.001 and
+        # sf0.01 (deterministic hash family, static data); simhash plants
+        # are identical-text (hamming 0) so block-pigeonhole recall is
+        # provably 1.0 — the only excluded rows are token-less texts,
+        # whose simhash is NULL by definition (none exist in the data).
+        "hash_candidates": f"""
+            SELECT 'minhash' AS method, doc_id AS id_a,
+                   doc_id + 1000000 AS id_b
+            FROM documents WHERE doc_id < 200
+            UNION ALL
+            SELECT 'simhash' AS method, doc_id AS id_a,
+                   doc_id + 1000000 AS id_b
+            FROM documents
+            WHERE doc_id < 200 AND len({wtoks}) > 0""",
         "cosine_topk": """
             SELECT query_id, vec_id, rank FROM (
               SELECT q.vec_id AS query_id, e.vec_id,
@@ -621,27 +671,22 @@ def oracle_sql() -> dict[str, str]:
         # twin of the compiled predicate (NULL column ⇔ absent key)
         "kw_type_number": """
             SELECT doc_id, (n_chars IS NOT NULL) AS valid FROM documents""",
-        "kw_minlength": """
-            SELECT doc_id, (text IS NULL OR length(text) >= 100) AS valid
-            FROM documents""",
-        "kw_maxlength": """
-            SELECT doc_id, (text IS NULL OR length(text) <= 400) AS valid
+        "kw_length": """
+            SELECT doc_id,
+                   (text IS NULL OR length(text) BETWEEN 100 AND 400) AS valid
             FROM documents""",
         "kw_pattern": """
             SELECT doc_id, (text IS NULL OR regexp_matches(text, '^[a-z]'))
               AS valid FROM documents""",
-        "kw_enum": f"""
+        "kw_enum_const": f"""
             SELECT doc_id,
-                   coalesce(lang IN ({','.join(repr(l) for l in LANGS)}), FALSE)
-                     AS valid
-            FROM documents""",
-        "kw_const": """
-            SELECT doc_id, coalesce(source = 'src1', FALSE) AS valid
+                   (coalesce(lang IN ({','.join(repr(l) for l in LANGS)}), FALSE)
+                    AND coalesce(source = 'src1', FALSE)) AS valid
             FROM documents""",
         "kw_bounds": """
             SELECT doc_id,
-                   (n_chars IS NULL OR (n_chars >= 100 AND n_chars < 400))
-                     AS valid
+                   ((n_chars IS NULL OR (n_chars >= 100 AND n_chars < 400))
+                    AND doc_id > 5) AS valid
             FROM documents""",
         "kw_multipleof": """
             SELECT doc_id, (n_chars IS NULL OR n_chars % 7 = 0) AS valid
@@ -728,8 +773,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    coalesce(lang = 'en' AND doc_id % 3 <> 0, FALSE) AS valid
             FROM documents""",
-        "kw_exclusiveminimum": """
-            SELECT doc_id, (n_chars > 150) AS valid FROM documents""",
         "kw_format": r"""
             SELECT doc_id,
                    regexp_matches(
@@ -762,6 +805,16 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 240 + 16)::INT AS width,
                    (n_chars % 200 + 16)::INT AS height
             FROM documents WHERE doc_id < 50""",
+        "media_pixels": """
+            -- solid-color BMPs: channel means equal the generating
+            -- formula exactly (real numpy decode on the Spark side)
+            SELECT doc_id AS media_id,
+                   (doc_id % 5 + 1)::INT AS width,
+                   2::INT AS height,
+                   (doc_id * 13 % 256)::DOUBLE AS mean_r,
+                   (doc_id * 7 % 256)::DOUBLE AS mean_g,
+                   (doc_id % 256)::DOUBLE AS mean_b
+            FROM documents WHERE doc_id < 60""",
         "violations_page": """
             SELECT doc_id,
                    'properties.n_chars.minimum' AS "check",
@@ -828,7 +881,6 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard
             FROM t a, t b WHERE a.doc_id < b.doc_id""",
     }
-    # rows-only (no oracle): lang_id / quality (heuristic expressions),
-    # minhash_pairs / simhash_pairs (hash-family-specific), ivf_topk
-    # (approximate), ks_drift (sketch-based)
+    # rows-only (no oracle), both approximate by design:
+    # ivf_ann (IVF bucketing trades recall), ks_drift (KLL-sketch KS)
     return sql

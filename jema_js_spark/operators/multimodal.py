@@ -2,13 +2,18 @@
 with typed metadata, processed via ``mapInPandas`` (Arrow-batched).
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested.  The media codecs themselves
-(PIL/ffmpeg/torchaudio) are not available in this environment, so the
-decode kernels are STUBBED behind ``set_decoder``: by default a
-deterministic fake decoder parses the metadata struct and synthesizes
-the declared shape, so every pipeline stage downstream of decode runs
-for real.  Swap in a real decoder with ``set_decoder('image', fn)`` —
-the Arrow plumbing does not change.
+UDF signatures — is real and tested.  Compressed codecs (PNG/JPEG/
+GIF via PIL, av via ffmpeg) are not available in this environment, so
+those decode kernels are STUBBED behind ``set_decoder``.  Uncompressed
+24-bit BMP needs no codec library: :func:`_decode_bmp` decodes it in
+pure numpy (row-padded bottom-up BGR → RGB array) and is the built-in
+default for ``BM`` payloads, so the pixel path — decode → per-channel
+mean/std features — is REAL end to end for at least one raster format.
+Other formats fall back to a deterministic fake decoder that parses
+the metadata struct and synthesizes the declared shape, so every
+pipeline stage downstream of decode still runs.  Swap in a real
+decoder with ``set_decoder('image', fn)`` — the Arrow plumbing does
+not change.
 """
 
 from __future__ import annotations
@@ -22,7 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["MEDIA_SCHEMA", "set_decoder", "attach_media_metadata",
-           "decode_image_features", "resize_images", "sample_video_frames"]
+           "decode_image_features", "resize_images", "sample_video_frames",
+           "synthesize_bmp"]
 
 # canonical media-row shape: opaque payload + typed metadata
 MEDIA_SCHEMA = (
@@ -56,10 +62,49 @@ def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB) — the one raster format that needs no codec library.
+    Handles the 4-byte row padding and both bottom-up (positive
+    biHeight) and top-down (negative biHeight) pixel orders.  Returns
+    an ``(h, w, 3)`` uint8 RGB array."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs are not supported")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes natively (got "
+            f"{bpp}bpp, compression {compression}); install a codec via "
+            "set_decoder('image', fn)")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(payload) < pix_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    data = np.frombuffer(payload, dtype=np.uint8, offset=pix_off,
+                         count=stride * h)
+    rows = data.reshape(h, stride)[:, :width * 3].reshape(h, width, 3)
+    if height > 0:  # bottom-up storage → flip to top-down
+        rows = rows[::-1]
+    return rows[..., ::-1]  # BGR → RGB
+
+
 def _decode(kind: str, payload: bytes, meta) -> np.ndarray:
     meta_dict = meta.asDict() if hasattr(meta, "asDict") else (dict(meta) if meta is not None else None)
-    fn = _DECODERS.get(kind, _fake_decode)
-    return fn(payload, meta_dict)
+    fn = _DECODERS.get(kind)
+    if fn is not None:
+        return fn(payload, meta_dict)
+    if kind == "image" and payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return _fake_decode(payload, meta_dict)
 
 
 def _be_u32(payload: F.Column, off: int) -> F.Column:
@@ -79,6 +124,49 @@ def _le_u32(payload: F.Column, off: int) -> F.Column:
     return (_byte(payload, off + 3) * 16777216
             + _byte(payload, off + 2) * 65536
             + _byte(payload, off + 1) * 256 + _byte(payload, off))
+
+
+def _le32_hex(c: F.Column) -> F.Column:
+    """Little-endian 4-byte hex string of a non-negative int column."""
+    hx = F.lpad(F.hex(c.cast("bigint")), 8, "0")
+    return F.concat(F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+                    F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+
+
+def _byte_hex(c: F.Column) -> F.Column:
+    return F.lpad(F.hex(F.pmod(c.cast("bigint"), F.lit(256))), 2, "0")
+
+
+def synthesize_bmp(width: F.Column, height: F.Column, r: F.Column,
+                   g: F.Column, b: F.Column) -> F.Column:
+    """A REAL uncompressed 24-bit bottom-up BMP payload (binary column)
+    of a solid (r, g, b) color, built entirely with Catalyst
+    expressions — valid BITMAPFILEHEADER + BITMAPINFOHEADER + padded
+    BGR pixel rows, so header parsing AND pixel decoding run against
+    genuine container bytes.  Solid color keeps the expected channel
+    means exactly (r, g, b): DuckDB-oracle-able without a decoder."""
+    w = width.cast("bigint")
+    h = height.cast("bigint")
+    stride = F.floor((w * 3 + 3) / 4).cast("bigint") * 4
+    pad = (stride - w * 3).cast("int")
+    bgr = F.concat(_byte_hex(b), _byte_hex(g), _byte_hex(r))
+    # repeat(str, n) with a column-valued n exists only as the SQL
+    # function, not the python F.repeat signature — call_function
+    row_hex = F.concat(
+        F.call_function("repeat", bgr, w.cast("int")),
+        F.call_function("repeat", F.lit("00"), pad))
+    pix_hex = F.call_function("repeat", row_hex, h.cast("int"))
+    file_size = F.lit(54) + stride * h
+    header_hex = F.concat(
+        F.lit("424D"), _le32_hex(file_size), F.lit("00000000"),
+        F.lit("36000000"),                       # pixel offset 54
+        F.lit("28000000"),                       # BITMAPINFOHEADER size 40
+        _le32_hex(w), _le32_hex(h),
+        F.lit("0100"), F.lit("1800"),            # planes=1, bpp=24
+        F.lit("00000000"),                       # BI_RGB
+        _le32_hex(stride * h),                   # biSizeImage
+        F.lit("00" * 16))                        # ppm/palette fields
+    return F.unhex(F.concat(header_hex, pix_hex))
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload",

@@ -29,10 +29,20 @@ def _gif(w, h, tail=b""):
 
 
 def _bmp(w, h, tail=b"", bits=24):
-    return (b"BM" + struct.pack("<I", 54) + b"\x00\x00\x00\x00"
+    """24-bit positive-size BMPs are built FULLY valid (real pixel data,
+    solid fill from tail[0]) so they run the real numpy decode path;
+    other shapes stay header-only for the header-parse edge tests."""
+    if bits != 24 or w <= 0 or h == 0:
+        return (b"BM" + struct.pack("<I", 54) + b"\x00\x00\x00\x00"
+                + struct.pack("<I", 54) + struct.pack("<I", 40)
+                + struct.pack("<ii", w, h) + struct.pack("<H", 1)
+                + struct.pack("<H", bits) + tail)
+    stride = (w * 3 + 3) & ~3
+    pix = (tail[:1] or b"\x00") * (stride * abs(h))
+    return (b"BM" + struct.pack("<I", 54 + len(pix)) + b"\x00\x00\x00\x00"
             + struct.pack("<I", 54) + struct.pack("<I", 40)
-            + struct.pack("<ii", w, h) + struct.pack("<H", 1)
-            + struct.pack("<H", bits) + tail)
+            + struct.pack("<ii", w, h) + struct.pack("<HH", 1, bits)
+            + struct.pack("<II", 0, len(pix)) + b"\x00" * 16 + pix)
 
 
 def _dims(i):
@@ -92,6 +102,72 @@ def test_header_parse_channel_variants(spark):
     assert out[0]["channels"] == 4
     assert out[1]["channels"] == 1
     assert out[2]["channels"] == 1
+
+
+def _full_bmp(arr, top_down=False):
+    """Reference BMP writer for the decoder differential: arbitrary
+    pixel content, bottom-up or top-down row order."""
+    import numpy as np
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    src = arr if top_down else arr[::-1]
+    pix = b"".join(src[y][..., ::-1].tobytes().ljust(stride, b"\0")
+                   for y in range(h))
+    bih = struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h),
+                      1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54) + bih + pix
+
+
+def test_bmp_pixel_decode_vs_numpy_reference():
+    """The built-in numpy BMP decoder must reproduce arbitrary pixel
+    arrays exactly — padding widths, bottom-up and top-down order."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _decode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (2, 3), (5, 4), (3, 7), (8, 8), (2, 16)]:
+        for top_down in (False, True):
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got = _decode_bmp(_full_bmp(arr, top_down=top_down))
+            assert got.shape == arr.shape and (got == arr).all(), \
+                (h, w, top_down)
+
+
+def test_bmp_pixel_decode_rejects_unsupported():
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _decode_bmp
+
+    with pytest.raises(ValueError):
+        _decode_bmp(b"XX" + b"\0" * 60)
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    bad = bytearray(_full_bmp(arr))
+    bad[28:30] = struct.pack("<H", 8)           # 8bpp palette
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(bad))
+    with pytest.raises(ValueError):
+        _decode_bmp(_full_bmp(arr)[:-5])        # truncated pixel data
+
+
+def test_synthesize_bmp_spark_roundtrip(spark):
+    """Catalyst-built BMP payloads → real header parse → real numpy
+    pixel decode: dims and channel means must equal the generating
+    formula exactly (solid color)."""
+    from jema_js_spark.operators.multimodal import synthesize_bmp
+
+    df = spark.range(24).select(
+        F.col("id").alias("media_id"),
+        synthesize_bmp(F.pmod(F.col("id"), F.lit(5)) + 1, F.lit(3),
+                       F.pmod(F.col("id") * 13, F.lit(256)),
+                       F.pmod(F.col("id") * 7, F.lit(256)),
+                       F.pmod(F.col("id"), F.lit(256))).alias("payload"))
+    out = decode_image_features(attach_media_metadata(df)).collect()
+    assert len(out) == 24
+    for r in out:
+        i = r["media_id"]
+        assert r["decode_error"] is None, (i, r["decode_error"])
+        assert (r["width"], r["height"]) == (i % 5 + 1, 3)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == \
+            (float(i * 13 % 256), float(i * 7 % 256), float(i % 256))
 
 
 def test_decode_features(media):
