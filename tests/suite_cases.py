@@ -1661,6 +1661,542 @@ _many("boolean_schema.json", {"propertyNames": True}, [
     ({"anything": 1}, "propertyNames true")])
 
 
+# ---------------------------------------------------------------------------
+# wave 3 (round 3): densify to official-suite scale — long-tail cases per
+# file from the official draft2020-12 suite's coverage themes (pointer
+# escapes, deep-equality corners, annotation-only content, dynamic-scope
+# chains, unevaluated* interactions).  Verdicts from the spec oracle
+# unless pinned to the reference's shared-evaluated-set semantics.
+# ---------------------------------------------------------------------------
+
+# --- ref.json: pointer escapes, siblings, rebasing, boolean targets ------
+_many("ref.json", {"$defs": {"tilde~field": {"type": "integer"},
+                              "slash/field": {"type": "integer"},
+                              "percent%field": {"type": "integer"}},
+                    "properties": {
+                        "tilde": {"$ref": "#/$defs/tilde~0field"},
+                        "slash": {"$ref": "#/$defs/slash~1field"},
+                        "percent": {"$ref": "#/$defs/percent%25field"}}}, [
+    ({"tilde": 1}, "escaped tilde pointer token"),
+    ({"tilde": "x"}, "escaped tilde mismatch"),
+    ({"slash": 1}, "escaped slash pointer token"),
+    ({"slash": "x"}, "escaped slash mismatch"),
+    ({"percent": 1, "tilde": 2, "slash": 3}, "percent-encoded pointer"),
+    ({"percent": "x"}, "percent-encoded mismatch"),
+])
+_many("ref.json", {"$defs": {"a": {"type": "integer"}},
+                    "properties": {"x": {"$ref": "#/$defs/a",
+                                          "maximum": 5}}}, [
+    ({"x": 3}, "2020-12 ref with sibling keyword: both apply"),
+    ({"x": 7}, "sibling maximum fails beside ref"),
+    ({"x": "s"}, "ref target fails beside passing sibling"),
+])
+_c("ref.json", {"$ref": "#/$defs/b", "$defs": {"b": True}},
+   1, "ref to boolean true schema")
+_c("ref.json", {"$ref": "#/$defs/b", "$defs": {"b": False}},
+   1, "ref to boolean false schema")
+_many("ref.json", {"$defs": {"arr": {"prefixItems": [{"type": "integer"},
+                                                      {"type": "string"}]}},
+                    "$ref": "#/$defs/arr/prefixItems/1"}, [
+    ("s", "ref into a prefixItems index"),
+    (1, "ref into a prefixItems index mismatch"),
+])
+_many("ref.json", {"$defs": {
+        "a": {"$ref": "#/$defs/b"},
+        "b": {"$ref": "#/$defs/c"},
+        "c": {"type": "integer"}},
+      "$ref": "#/$defs/a"}, [
+    (5, "three-hop local ref chain"),
+    ("x", "three-hop local ref chain mismatch"),
+])
+_many("ref.json", {"$id": "http://example.com/w3-list",
+                    "type": "object",
+                    "properties": {"v": {"type": "integer"},
+                                    "next": {"$ref": "#"}},
+                    "required": ["v"]}, [
+    ({"v": 1, "next": {"v": 2}}, "recursive linked list valid"),
+    ({"v": 1, "next": {"v": "x"}}, "recursive list inner type mismatch"),
+    ({"v": 1, "next": {"next": {"v": 2}}}, "recursive list inner missing v"),
+    ({"v": 1, "next": {"v": 2, "next": {"v": 3}}}, "three levels deep"),
+])
+_many("ref.json", {"$id": "http://example.com/w3-root.json",
+                    "properties": {"x": {
+                        "$id": "http://example.com/w3-sub.json",
+                        "$defs": {"i": {"type": "integer"}},
+                        "$ref": "w3-sub.json#/$defs/i"}}}, [
+    ({"x": 3}, "subschema $id rebases its own ref"),
+    ({"x": "s"}, "subschema $id rebased ref mismatch"),
+])
+_many("ref.json", {"$id": "http://example.com/w3a/root.json",
+                    "$defs": {"leaf": {"$id": "leaf.json",
+                                        "type": "string"}},
+                    "properties": {
+                        "p": {"$ref": "http://example.com/w3a/leaf.json"}}}, [
+    ({"p": "ok"}, "relative $id registers under base URI"),
+    ({"p": 1}, "relative-$id target mismatch"),
+])
+_many("ref.json", {"$defs": {"": {"type": "integer"}},
+                    "$ref": "#/$defs/"}, [
+    (1, "empty-string key in pointer"),
+    ("x", "empty-string key mismatch"),
+])
+
+# --- dynamicRef.json: scope chains, plain-anchor fallback ----------------
+REMOTES["http://localhost:1234/dyn/mid.json"] = {
+    "$id": "http://localhost:1234/dyn/mid.json",
+    "$defs": {"numT": {"$dynamicAnchor": "itemsT", "type": "number"}},
+    "$ref": "http://localhost:1234/dyn/list.json",
+}
+_many("dynamicRef.json", {
+    "$id": "http://example.com/w3-dyn-str",
+    "$ref": "http://localhost:1234/dyn/list.json",
+    "$defs": {"strT": {"$dynamicAnchor": "itemsT", "type": "string"}}}, [
+    (["a", "b"], "entry scope overrides items to string"),
+    (["a", 1], "overridden items rejects number"),
+    ([], "empty list trivially valid"),
+])
+_many("dynamicRef.json", {
+    "$id": "http://example.com/w3-dyn-outer",
+    "$defs": {"intT": {"$dynamicAnchor": "itemsT", "type": "integer"}},
+    "$ref": "http://localhost:1234/dyn/mid.json"}, [
+    ([1, 2], "outermost dynamic scope wins over mid"),
+    ([1.5], "mid's number override loses to outer integer"),
+    (["s"], "both overrides reject string"),
+])
+_many("dynamicRef.json", {
+    "$id": "http://example.com/w3-dyn-none",
+    "$ref": "http://localhost:1234/dyn/list.json"}, [
+    ([1, "a", None], "no override: default anchor unconstrained"),
+])
+_many("dynamicRef.json", {
+    "$id": "http://example.com/w3-dyn-plain",
+    "type": "array",
+    "items": {"$dynamicRef": "#plain"},
+    "$defs": {"p": {"$anchor": "plain", "type": "string"}}}, [
+    (["x"], "dynamicRef to plain $anchor acts as $ref"),
+    ([1], "plain-anchor fallback still validates"),
+])
+_many("dynamicRef.json", {
+    "$id": "http://example.com/w3-dyn-local",
+    "$defs": {"t": {"$dynamicAnchor": "T", "type": "boolean"}},
+    "properties": {"b": {"$dynamicRef": "#T"}}}, [
+    ({"b": True}, "dynamicRef within one resource"),
+    ({"b": 1}, "dynamicRef within one resource mismatch"),
+])
+
+# --- uniqueItems.json: SameValueZero / deep-equality corners -------------
+_many("uniqueItems.json", {"uniqueItems": True}, [
+    ([0, False], "0 and false differ by type"),
+    ([1, True], "1 and true differ by type"),
+    ([1, 1.0], "1 and 1.0 are equal numbers"),
+    (["", 0], "empty string vs zero unique"),
+    ([None, None], "two nulls duplicate"),
+    ([[], []], "two empty arrays duplicate"),
+    ([{}, {}], "two empty objects duplicate"),
+    ([{"a": 1, "b": 2}, {"b": 2, "a": 1}], "object key order irrelevant"),
+    ([{"a": 1}, {"a": 2}], "same keys different values unique"),
+    ([[1, 2], [2, 1]], "array element order matters"),
+    ([[1, [2, 3]], [1, [2, 3]]], "nested arrays duplicate"),
+    ([{"a": [1, {"b": 2}]}, {"a": [1, {"b": 2}]}], "deep structure duplicate"),
+    ([{"a": [1, {"b": 2}]}, {"a": [1, {"b": 3}]}], "deep leaf differs"),
+    ([{"a": False}, {"a": 0}], "nested false vs 0 unique"),
+    ([{"a": True}, {"a": 1}], "nested true vs 1 unique"),
+    (["a", "b", "a"], "non-adjacent duplicate"),
+    ([1, 2, 3, 4, 5], "all-unique numbers"),
+    ([], "empty array trivially unique"),
+    ([7], "singleton unique"),
+    (["1", 1], "string '1' vs number 1 unique"),
+    ([{"a": None}, {"a": 0}], "nested null vs 0 unique"),
+    ([[["x"]], [["x"]]], "doubly nested duplicate"),
+])
+_many("uniqueItems.json", {"uniqueItems": False}, [
+    ([1, 1], "uniqueItems false permits duplicates"),
+    ([1, 2], "uniqueItems false permits unique"),
+])
+_many("uniqueItems.json", {"uniqueItems": True,
+                            "prefixItems": [{"type": "boolean"},
+                                             {"type": "boolean"}]}, [
+    ([True, False], "prefix booleans unique"),
+    ([True, True], "prefix booleans duplicate"),
+    ([False, True, "extra", "extra"], "duplicate beyond prefix"),
+])
+_many("uniqueItems.json", {"uniqueItems": True}, [
+    ({"a": 1}, "non-array ignored (object)"),
+    ("aa", "non-array ignored (repeated chars string)"),
+])
+
+# --- const.json / enum.json: deep equality corners -----------------------
+_many("const.json", {"const": {"a": [1, 2], "b": {"c": None}}}, [
+    ({"b": {"c": None}, "a": [1, 2]}, "deep const: key order irrelevant"),
+    ({"a": [2, 1], "b": {"c": None}}, "deep const: array order matters"),
+    ({"a": [1, 2], "b": {"c": 0}}, "deep const: null vs 0 leaf"),
+    ({"a": [1, 2]}, "deep const: missing key"),
+])
+_many("const.json", {"const": [{"x": 1}]}, [
+    ([{"x": 1}], "array-of-object const"),
+    ([{"x": 1.0}], "1.0 equals 1 inside const"),
+    ([{"x": True}], "true is not 1 inside const"),
+    ([{"x": 1}, {"x": 1}], "extra element differs"),
+])
+_many("const.json", {"const": 1}, [
+    (1.0, "1.0 equals const 1"),
+    (True, "true is not const 1"),
+    ("1", "string '1' is not const 1"),
+])
+_many("const.json", {"const": 0}, [
+    (0.0, "0.0 equals const 0"),
+    (False, "false is not const 0"),
+])
+_many("const.json", {"const": None}, [
+    (None, "null const"),
+    (0, "0 is not null"),
+    (False, "false is not null"),
+])
+_many("const.json", {"const": ""}, [
+    ("", "empty-string const"),
+    (" ", "whitespace differs"),
+])
+_many("const.json", {"const": "héllo wörld"}, [
+    ("héllo wörld", "unicode const match"),
+    ("hello world", "unicode const mismatch"),
+])
+_many("enum.json", {"enum": [[1, 2], {"a": 1}, "x", None, False]}, [
+    ([1, 2], "array enum member"),
+    ({"a": 1}, "object enum member"),
+    (None, "null enum member"),
+    (False, "false enum member"),
+    (0, "0 is not the false member"),
+    ([2, 1], "array order excludes membership"),
+])
+
+# --- content.json: pure annotations in 2020-12 ---------------------------
+_many("content.json", {"contentMediaType": "application/json"}, [
+    ('{"a":1}', "valid JSON payload (annotation only)"),
+    ('{not json', "invalid JSON payload STILL valid"),
+    (123, "non-string ignored"),
+])
+_many("content.json", {"contentEncoding": "base64"}, [
+    ("aGVsbG8=", "valid base64 (annotation only)"),
+    ("not~base64~", "invalid base64 still valid"),
+])
+_many("content.json", {"contentEncoding": "base64",
+                        "contentMediaType": "application/json",
+                        "contentSchema": {"type": "object"}}, [
+    ("eyJhIjoxfQ==", "full content stack is annotation-only"),
+    ("####", "garbage still valid under content stack"),
+    (None, "null ignored by content keywords"),
+])
+
+# --- contains / minContains / maxContains --------------------------------
+_many("contains.json", {"contains": {"minimum": 5}}, [
+    ([1, 6], "one match suffices"),
+    ([6, 7], "every element matches"),
+    ([1, 2], "no match"),
+    ([], "empty array never contains"),
+    ("str", "non-array ignored"),
+    ({"a": 6}, "object ignored"),
+])
+_many("minContains.json", {"contains": {"type": "integer"},
+                            "minContains": 0}, [
+    (["a"], "minContains 0 passes with zero matches"),
+    ([], "minContains 0 passes empty"),
+    ([1], "minContains 0 passes with matches"),
+])
+_many("minContains.json", {"contains": {"const": 1}, "minContains": 2}, [
+    ([1, 1], "exactly min matches"),
+    ([1], "below min"),
+    ([1, 1, 1], "above min"),
+    ([1, 2, 1], "interleaved matches count"),
+])
+_many("minContains.json", {"contains": {"const": 1}, "minContains": 0,
+                            "maxContains": 1}, [
+    ([], "min 0 on empty"),
+    ([1], "one match within max"),
+    ([1, 1], "over max"),
+])
+_many("maxContains.json", {"contains": {"const": 1}, "maxContains": 2,
+                            "minContains": 1}, [
+    ([1], "within bounds"),
+    ([1, 1], "at max"),
+    ([1, 1, 1], "over max"),
+    ([2], "no match fails minContains"),
+])
+
+# --- oneOf / anyOf / allOf / not -----------------------------------------
+_many("oneOf.json", {"oneOf": [{"type": "integer"}, {"minimum": 2}]}, [
+    (1, "first branch only"),
+    (2.5, "second branch only"),
+    (3, "both branches match → invalid"),
+    (1.5, "neither branch"),
+])
+_many("oneOf.json", {"oneOf": [{"type": "number"}, {"type": "integer"},
+                                {"type": "string"}]}, [
+    (1, "two of three match → invalid"),
+    (1.5, "only number matches"),
+    ("s", "only string matches"),
+])
+_many("oneOf.json", {"type": "object",
+                      "oneOf": [{"required": ["a"]}, {"required": ["b"]}]}, [
+    ({"a": 1}, "exactly one required satisfied"),
+    ({"a": 1, "b": 2}, "both required satisfied → invalid"),
+    ({}, "neither required satisfied"),
+])
+_many("not.json", {"not": True}, [(1, "not true is always invalid")])
+_many("not.json", {"not": False}, [(1, "not false is always valid")])
+_many("not.json", {"not": {"not": {"type": "integer"}}}, [
+    (1, "double negation accepts integer"),
+    ("s", "double negation rejects string"),
+])
+_many("not.json", {"properties": {"a": {"not": {"enum": [1, 2]}}}}, [
+    ({"a": 3}, "value outside negated enum"),
+    ({"a": 1}, "value inside negated enum invalid"),
+])
+_many("allOf.json", {"allOf": [True, {"type": "integer"}, True]}, [
+    (1, "boolean members of allOf"),
+    ("s", "middle member fails"),
+])
+_many("allOf.json", {"allOf": [{"multipleOf": 2}],
+                      "anyOf": [{"multipleOf": 3}]}, [
+    (6, "allOf and anyOf siblings both pass"),
+    (2, "anyOf sibling fails"),
+    (3, "allOf sibling fails"),
+])
+_many("anyOf.json", {"anyOf": [False, {"type": "integer"}]}, [
+    (1, "false member ignored when another passes"),
+    ("s", "all members fail"),
+])
+_c("anyOf.json", {"anyOf": [True]}, 1, "single true member")
+
+# --- properties / patternProperties / propertyNames / required -----------
+_many("properties.json", {"properties": {
+        "__proto__": {"type": "integer"},
+        "toString": {"type": "integer"},
+        "constructor": {"type": "integer"}}}, [
+    ({"__proto__": 1, "toString": 2, "constructor": 3},
+     "hostile property names validate"),
+    ({"__proto__": "x"}, "hostile property name mismatch"),
+])
+_many("properties.json", {"properties": {"a": True, "b": False}}, [
+    ({"a": 1}, "boolean-true property subschema"),
+    ({"b": 1}, "boolean-false property subschema"),
+    ({}, "absent keys pass boolean subschemas"),
+])
+_many("properties.json", {"properties": {
+        "a": {"properties": {"b": {"type": "null"}}}}}, [
+    ({"a": {"b": None}}, "nested properties valid"),
+    ({"a": {"b": 1}}, "nested properties mismatch"),
+])
+_many("patternProperties.json", {"patternProperties": {
+        "[0-9]{2,}": {"type": "boolean"}, "X_": {"type": "string"}}}, [
+    ({"answer 42": True}, "unanchored digit pattern matches inside key"),
+    ({"answer 42": 1}, "matched pattern enforces subschema"),
+    ({"a31b": True}, "embedded two digits match"),
+    ({"a_X_b": "x"}, "X_ substring pattern"),
+    ({"a_X_b": 3}, "X_ substring pattern mismatch"),
+])
+_many("patternProperties.json", {"patternProperties": {
+        "^a": {"minimum": 1}, "a$": {"maximum": 5}}}, [
+    ({"aba": 3}, "both overlapping patterns apply"),
+    ({"aba": 0}, "first overlapping pattern fails"),
+    ({"aba": 9}, "second overlapping pattern fails"),
+])
+_many("propertyNames.json", {"propertyNames": {"pattern": "^[a-z]+$"}}, [
+    ({"abc": 1}, "name pattern satisfied"),
+    ({"Abc": 1}, "uppercase name fails pattern"),
+    ({}, "empty object passes propertyNames"),
+    ([1], "array ignored by propertyNames"),
+])
+_c("required.json", {"required": []}, {}, "empty required list")
+_many("required.json", {"required": ["__proto__", "toString"]}, [
+    ({"__proto__": 1, "toString": 2}, "hostile required names present"),
+    ({"__proto__": 1}, "hostile required name missing"),
+])
+
+# --- format.json: annotation-only default accepts any garbage ------------
+for fmt in ["email", "ipv6", "uuid", "uri", "hostname", "duration",
+            "json-pointer", "time", "date-time", "regex", "idn-email",
+            "iri"]:
+    _c("format.json", {"format": fmt}, "definitely not a " + fmt,
+       f"{fmt}: annotation-only default accepts invalid value")
+
+# --- boolean_schema.json / items.json / prefixItems.json -----------------
+_many("boolean_schema.json", {"prefixItems": [False]}, [
+    ([], "no item reaches the false prefix slot"),
+    ([1], "false prefix slot rejects first item"),
+])
+_many("boolean_schema.json", {"additionalProperties": False,
+                               "properties": {"a": True}}, [
+    ({"a": 1}, "declared property only"),
+    ({"a": 1, "b": 2}, "extra property rejected"),
+])
+_many("boolean_schema.json", {"if": True, "then": {"type": "integer"},
+                               "else": {"type": "string"}}, [
+    (1, "boolean if selects then"),
+    ("s", "then branch enforced"),
+])
+_many("items.json", {"items": {"type": "integer"}, "minItems": 1}, [
+    ([1, 2], "all-integer items with minItems"),
+    ([], "minItems fails on empty"),
+    ([1, "a"], "mixed items fail"),
+])
+_many("items.json", {"prefixItems": [True], "items": False}, [
+    ([1], "prefix slot only"),
+    ([1, 2], "items false beyond prefix"),
+    ([], "empty ok under items false + prefix"),
+])
+_many("items.json", {"items": False}, [
+    ([], "items false on empty array"),
+    ([1], "items false rejects any element"),
+])
+_many("prefixItems.json", {"prefixItems": [{"type": "integer"},
+                                            {"type": "string"},
+                                            {"type": "boolean"}]}, [
+    ([1, "a", True], "all prefix slots valid"),
+    ([1, "a"], "shorter array ok"),
+    ([1], "single element ok"),
+    ([], "empty ok"),
+    (["a"], "first slot wrong type"),
+    ([1, 2], "second slot wrong type"),
+    ([1, "a", 0], "third slot wrong type"),
+    ([1, "a", True, {"beyond": 1}], "beyond prefix unconstrained"),
+])
+
+# --- refRemote.json / anchor.json ----------------------------------------
+_many("refRemote.json", {
+    "$ref": "http://localhost:1234/subSchemas.json#/$defs/refToInteger"}, [
+    (1, "remote internal ref hop"),
+    ("x", "remote internal ref hop mismatch"),
+])
+_many("refRemote.json", {"$id": "http://localhost:1234/baseUriChange/",
+                          "$ref": "folderInteger.json"}, [
+    (1, "base-URI-relative remote ref"),
+    ("x", "base-URI-relative remote mismatch"),
+])
+_many("refRemote.json", {
+    "$ref": "http://localhost:1234/draft2020-12/"
+            "locationIndependentIdentifier.json#/$defs/refToInteger"}, [
+    (1, "remote location-independent anchor hop"),
+    ("x", "remote anchor hop mismatch"),
+])
+_c("refRemote.json", {"$ref": "http://localhost:1234/bool-schema.json"},
+   {"whatever": 1}, "remote boolean-true schema")
+_many("anchor.json", {"$defs": {"A": {"$anchor": "w3foo",
+                                       "type": "integer"}},
+                       "$ref": "#w3foo"}, [
+    (1, "root-resource anchor"),
+    ("x", "root-resource anchor mismatch"),
+])
+_many("anchor.json", {
+    "$id": "http://example.com/w3-anch1",
+    "$defs": {"A": {"$id": "w3-nested.json",
+                     "$defs": {"B": {"$anchor": "a", "type": "string"}}}},
+    "properties": {"p": {"$ref": "http://example.com/w3-nested.json#a"}}}, [
+    ({"p": "s"}, "anchor inside nested $id resource"),
+    ({"p": 1}, "nested-resource anchor mismatch"),
+])
+
+# --- unevaluatedProperties.json: claim sources and schema-valued form ----
+_c("unevaluatedProperties.json",
+   {"properties": {"foo": {"type": "string"}},
+    "additionalProperties": True,
+    "unevaluatedProperties": False},
+   {"foo": "a", "bar": 1}, "additionalProperties true claims the rest")
+_many("unevaluatedProperties.json",
+      {"patternProperties": {"^f": True}, "unevaluatedProperties": False}, [
+    ({"foo": 1}, "patternProperties claim counts"),
+    ({"goo": 1}, "unmatched property is unevaluated"),
+    ({}, "empty object valid"),
+])
+_many("unevaluatedProperties.json",
+      {"$ref": "#/$defs/base",
+       "$defs": {"base": {"properties": {"a": True}}},
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "claims through $ref count"),
+    ({"b": 1}, "property unseen by ref target"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"obj": {"properties": {"x": True},
+                               "unevaluatedProperties": False}}}, [
+    ({"obj": {"x": 1}}, "nested scope valid"),
+    ({"obj": {"y": 1}}, "nested scope has its own evaluated set"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True},
+       "unevaluatedProperties": {"type": "integer"}}, [
+    ({"a": "s", "b": 3}, "schema-valued unevaluatedProperties ok"),
+    ({"a": "s", "b": "s"}, "schema-valued unevaluatedProperties fails"),
+    ({"a": "s"}, "nothing unevaluated"),
+])
+_c("unevaluatedProperties.json",
+   {"allOf": [{"properties": {"a": True}}],
+    "properties": {"b": True},
+    "unevaluatedProperties": False},
+   {"a": 1, "b": 2}, "claims union across allOf and local properties")
+_many("unevaluatedProperties.json",
+      {"if": {"required": ["go"]},
+       "then": {"properties": {"go": True, "x": True}},
+       "unevaluatedProperties": False}, [
+    ({"go": 1, "x": 2}, "then-branch claims when if passes"),
+    ({"x": 2}, "if fails: then claims never apply"),
+])
+_many("unevaluatedProperties.json",
+      {"dependentSchemas": {"trig": {"properties": {"trig": True,
+                                                     "extra": True}}},
+       "unevaluatedProperties": False}, [
+    ({"trig": 1, "extra": 2}, "dependentSchemas claims count"),
+    ({"other": 1}, "no trigger: property unevaluated"),
+])
+_c("unevaluatedProperties.json",
+   {"anyOf": [{"properties": {"a": {"type": "integer"}},
+                "required": ["a"]},
+               {"properties": {"b": True}, "required": ["b"]}],
+    "unevaluatedProperties": False},
+   {"a": "s", "b": 1},
+   "failing anyOf branch's claims do not count")
+
+# --- unevaluatedItems.json -----------------------------------------------
+_many("unevaluatedItems.json",
+      {"prefixItems": [{"type": "integer"}],
+       "unevaluatedItems": {"type": "string"}}, [
+    ([1, "a", "b"], "schema-valued unevaluatedItems on tail"),
+    ([1, 2], "tail fails schema-valued unevaluatedItems"),
+    ([1], "no tail"),
+    ([], "empty"),
+])
+_c("unevaluatedItems.json", {"items": True, "unevaluatedItems": False},
+   [1, 2], "items true claims every element")
+_many("unevaluatedItems.json",
+      {"contains": {"type": "integer"}, "unevaluatedItems": False}, [
+    ([1, 2], "contains claims matched items"),
+    ([1, "a"], "non-matching item stays unevaluated"),
+])
+_many("unevaluatedItems.json",
+      {"$ref": "#/$defs/pre",
+       "$defs": {"pre": {"prefixItems": [True, True]}},
+       "unevaluatedItems": False}, [
+    ([1, 2], "prefix claims through $ref"),
+    ([1, 2, 3], "third item unevaluated"),
+])
+_many("unevaluatedItems.json",
+      {"prefixItems": [True], "items": {"type": "string"},
+       "unevaluatedItems": False}, [
+    ([1, "a"], "items claims the tail"),
+    ([1, 2], "items fails before unevaluated applies"),
+])
+_many("unevaluatedItems.json", {"unevaluatedItems": False}, [
+    ([], "bare unevaluatedItems on empty"),
+    ([1], "bare unevaluatedItems rejects any element"),
+    ("not-array", "non-array ignored"),
+])
+_many("unevaluatedItems.json",
+      {"if": {"prefixItems": [{"const": "go"}]},
+       "then": {"prefixItems": [True, True]},
+       "unevaluatedItems": False}, [
+    (["go", 2], "then-branch prefix claims"),
+    (["stop"], "if fails: first item unevaluated"),
+])
+
+
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
     the suite's localhost:1234 server, FIXTURES.md §1)."""
