@@ -194,25 +194,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_hash_candidates(spark, sf_dir):
         # planted-truth recall for BOTH hash families, DuckDB-oracled:
         # every planted (id, id+10^6) pair must be found.
-        # - minhash: " tail" appended (true near-dup, est_jaccard ≈0.9 at
-        #   the shortest sf texts, far above the 0.5 threshold; recall
-        #   verified exactly 200/200 on the sf0.001 AND sf0.01 tables —
-        #   deterministic hash family, static data)
-        # - simhash: identical-text plant → hamming 0 shares every block,
-        #   so block-pigeonhole bucketing finds it PROVABLY (recall 1.0
-        #   by construction); near-dup (perturbed) recall stays covered
-        #   by tests/test_operators_spark.py's planted test
+        # max_bucket=500 > |corpus|=400, so the bucket cap can never
+        # drop a plant (plants have the LARGEST ids and a binding cap
+        # would evict them first — review finding, round 3).
+        # - minhash: " tail" appended (true near-dup, est_jaccard ≈0.9
+        #   even at the shortest sf texts, far above the 0.5 threshold;
+        #   recall verified exactly 200/200 on the sf0.001 AND sf0.01
+        #   tables — deterministic hash family, static data)
+        # - simhash: identical-text plant → hamming 0 shares every
+        #   block, so with the cap unable to bind, block-pigeonhole
+        #   bucketing finds it PROVABLY; near-dup (perturbed) recall
+        #   stays covered by tests/test_operators_spark.py's planted
+        #   test
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200) \
             .select("doc_id", "text")
         near_mh = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
                               F.concat("text", F.lit(" tail")).alias("text"))
         mh = minhash_candidates(docs.union(near_mh), "doc_id", "text",
-                                jaccard_threshold=0.5) \
+                                jaccard_threshold=0.5, max_bucket=500) \
             .filter(F.col("id_b") - F.col("id_a") == 10**6) \
             .select(F.lit("minhash").alias("method"), "id_a", "id_b")
         near_sh = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
                               "text")
-        sh = simhash_candidates(docs.union(near_sh), "doc_id", "text") \
+        sh = simhash_candidates(docs.union(near_sh), "doc_id", "text",
+                                max_bucket=500) \
             .filter(F.col("id_b") - F.col("id_a") == 10**6) \
             .select(F.lit("simhash").alias("method"), "id_a", "id_b")
         return mh.unionAll(sh)

@@ -127,10 +127,16 @@ def _le_u32(payload: F.Column, off: int) -> F.Column:
 
 
 def _le32_hex(c: F.Column) -> F.Column:
-    """Little-endian 4-byte hex string of a non-negative int column."""
-    hx = F.lpad(F.hex(c.cast("bigint")), 8, "0")
-    return F.concat(F.substring(hx, 7, 2), F.substring(hx, 5, 2),
-                    F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+    """Little-endian 4-byte hex string of an int column in [0, 2^32).
+    Out-of-range values yield NULL (lpad would otherwise silently
+    truncate the hex string to the wrong digits — a corrupt header that
+    still looks structurally valid); NULL propagates to a NULL payload
+    and a loud per-row decode error downstream."""
+    big = c.cast("bigint")
+    hx = F.lpad(F.hex(big), 8, "0")
+    le = F.concat(F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+                  F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+    return F.when((big >= 0) & (big < F.lit(1 << 32)), le)
 
 
 def _byte_hex(c: F.Column) -> F.Column:
@@ -166,7 +172,13 @@ def synthesize_bmp(width: F.Column, height: F.Column, r: F.Column,
         F.lit("00000000"),                       # BI_RGB
         _le32_hex(stride * h),                   # biSizeImage
         F.lit("00" * 16))                        # ppm/palette fields
-    return F.unhex(F.concat(header_hex, pix_hex))
+    # gate the WHOLE expression (CaseWhen branches evaluate lazily per
+    # row): out-of-range dims must yield a NULL payload — a loud per-row
+    # decode error downstream — not a silently truncated header or a
+    # >2^31-char repeat() that kills the task with integer overflow.
+    # 64 MiB pixel bound keeps the hex intermediates task-safe.
+    ok = (w > 0) & (h > 0) & (stride * h < F.lit(64 * 1024 * 1024))
+    return F.when(ok, F.unhex(F.concat(header_hex, pix_hex)))
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload",

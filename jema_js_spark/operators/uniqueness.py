@@ -116,9 +116,10 @@ def duplicate_keys(df: DataFrame, key: str | Sequence[str],
 
 def uniqueness_report(df: DataFrame, key: str | Sequence[str],
                       salt_buckets: int = 64) -> dict:
-    """Verdict + magnitude: total rows, distinct keys, duplicate keys,
-    surplus rows.  One shuffled aggregation; verdict is
-    ``n_rows == n_distinct``."""
+    """Verdict + magnitude: total rows, duplicate keys, surplus rows.
+    Runs the two-pass :func:`duplicate_keys` plan (fingerprint count +
+    candidate re-aggregation — two scans of the input) plus a separate
+    ``count()``; verdict is ``dup_keys == 0``."""
     keys = [key] if isinstance(key, str) else list(key)
     dups = duplicate_keys(df, keys, salt_buckets=salt_buckets)
     agg = dups.agg(

@@ -252,7 +252,6 @@ def test_brute_force_topk_two_phase_matches_single_window(spark, emb):
                      .alias("cosine"))
              .withColumn("rank", F.row_number().over(w))
              .filter(F.col("rank") <= 7).collect())
-    key = lambda r: (r["query_id"], r["rank"])
     assert sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in got]) == \
         sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in naive])
 

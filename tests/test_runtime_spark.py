@@ -170,6 +170,20 @@ def test_synthesize_bmp_spark_roundtrip(spark):
             (float(i * 13 % 256), float(i * 7 % 256), float(i % 256))
 
 
+def test_synthesize_bmp_out_of_range_is_loud(spark):
+    """Dimensions whose header fields overflow u32 must yield a NULL
+    payload (→ per-row decode error), never a silently corrupt header."""
+    from jema_js_spark.operators.multimodal import synthesize_bmp
+
+    df = spark.range(1).select(
+        F.col("id").alias("media_id"),
+        synthesize_bmp(F.lit(50_000_000), F.lit(29),
+                       F.lit(1), F.lit(2), F.lit(3)).alias("payload"))
+    out = decode_image_features(
+        attach_media_metadata(df)).collect()
+    assert len(out) == 1 and out[0]["decode_error"] is not None
+
+
 def test_decode_features(media):
     out = decode_image_features(media).collect()
     assert len(out) == 20
