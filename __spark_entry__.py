@@ -313,13 +313,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "width", "height")
 
     def q_media_pixels(spark, sf_dir):
-        # REAL pixel decode end to end: Catalyst-synthesized 24-bit BMP
-        # payloads (valid headers + padded BGR rows) → header parse →
-        # built-in numpy BMP decoder → per-channel means.  Solid color
-        # keeps the expected means exact, so DuckDB can twin the output
-        # without any decoder.
+        # REAL pixel decode end to end for BOTH codec-free formats:
+        # - BMP: Catalyst-synthesized 24-bit payloads (valid headers +
+        #   padded BGR rows) → built-in numpy decoder
+        # - PNG: driver-built real PNGs (stdlib zlib IDAT, one of the
+        #   five scanline filters per row) → built-in inflate+unfilter
+        # Solid colors keep the expected channel means exact, so DuckDB
+        # can twin the output without any decoder.
+        import numpy as np
+
         from jema_js_spark.operators.multimodal import (
-            attach_media_metadata, decode_image_features, synthesize_bmp)
+            attach_media_metadata, decode_image_features, png_bytes,
+            synthesize_bmp)
 
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
         bmp = synthesize_bmp(
@@ -327,10 +332,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.pmod(F.col("doc_id") * 13, F.lit(256)),
             F.pmod(F.col("doc_id") * 7, F.lit(256)),
             F.pmod(F.col("doc_id"), F.lit(256)))
-        media = attach_media_metadata(
-            docs.select(F.col("doc_id").alias("media_id"), bmp.alias("payload")))
+        bmp_rows = docs.select(F.col("doc_id").alias("media_id"),
+                               bmp.alias("payload"))
+        png_rows = []
+        for i in range(40):
+            w, h = i % 4 + 1, 3
+            color = [(i * 11) % 256, (i * 5) % 256, (i * 3) % 256]
+            arr = np.full((h, w, 3), color, dtype=np.uint8)
+            png_rows.append((1000 + i,
+                             bytearray(png_bytes(arr, [i % 5] * h))))
+        png_df = spark.createDataFrame(png_rows,
+                                       "media_id long, payload binary")
+        media = attach_media_metadata(bmp_rows.unionAll(png_df))
+        fmt = F.when(F.col("media_id") >= 1000, F.lit("png")) \
+            .otherwise(F.lit("bmp"))
         return decode_image_features(media).select(
-            "media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+            "media_id", fmt.alias("fmt"), "width", "height",
+            "mean_r", "mean_g", "mean_b")
 
     # -- validation keywords (SURVEY.md §2.2-2.7) ---------------------------
     keyword_schemas = {
@@ -811,15 +829,22 @@ def oracle_sql() -> dict[str, str]:
                    (n_chars % 200 + 16)::INT AS height
             FROM documents WHERE doc_id < 50""",
         "media_pixels": """
-            -- solid-color BMPs: channel means equal the generating
-            -- formula exactly (real numpy decode on the Spark side)
-            SELECT doc_id AS media_id,
+            -- solid-color BMPs + real zlib PNGs: channel means equal
+            -- the generating formula exactly (real decode on Spark)
+            SELECT doc_id AS media_id, 'bmp' AS fmt,
                    (doc_id % 5 + 1)::INT AS width,
                    2::INT AS height,
                    (doc_id * 13 % 256)::DOUBLE AS mean_r,
                    (doc_id * 7 % 256)::DOUBLE AS mean_g,
                    (doc_id % 256)::DOUBLE AS mean_b
-            FROM documents WHERE doc_id < 60""",
+            FROM documents WHERE doc_id < 60
+            UNION ALL
+            SELECT doc_id + 1000, 'png',
+                   (doc_id % 4 + 1)::INT, 3::INT,
+                   (doc_id * 11 % 256)::DOUBLE,
+                   (doc_id * 5 % 256)::DOUBLE,
+                   (doc_id * 3 % 256)::DOUBLE
+            FROM documents WHERE doc_id < 40""",
         "violations_page": """
             SELECT doc_id,
                    'properties.n_chars.minimum' AS "check",

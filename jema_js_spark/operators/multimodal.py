@@ -2,18 +2,23 @@
 with typed metadata, processed via ``mapInPandas`` (Arrow-batched).
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing,
-UDF signatures — is real and tested.  Compressed codecs (PNG/JPEG/
-GIF via PIL, av via ffmpeg) are not available in this environment, so
-those decode kernels are STUBBED behind ``set_decoder``.  Uncompressed
-24-bit BMP needs no codec library: :func:`_decode_bmp` decodes it in
-pure numpy (row-padded bottom-up BGR → RGB array) and is the built-in
-default for ``BM`` payloads, so the pixel path — decode → per-channel
-mean/std features — is REAL end to end for at least one raster format.
-Other formats fall back to a deterministic fake decoder that parses
-the metadata struct and synthesizes the declared shape, so every
-pipeline stage downstream of decode still runs.  Swap in a real
-decoder with ``set_decoder('image', fn)`` — the Arrow plumbing does
-not change.
+UDF signatures — is real and tested.  Two raster formats decode REAL
+pixels with no codec library:
+
+- uncompressed 24-bit BMP (:func:`_decode_bmp`): pure numpy over the
+  row-padded bottom-up/top-down BGR layout;
+- 8-bit non-interlaced PNG (:func:`_decode_png`): stdlib ``zlib``
+  inflate of IDAT + per-scanline unfiltering (all five filter types)
+  in numpy, for gray / gray+alpha / RGB / RGBA.
+
+Both are built-in defaults for their magic bytes, so the pixel path —
+decode → per-channel mean/std features — is real end to end.  JPEG/
+GIF/video codecs are not available in this environment and stay
+STUBBED behind ``set_decoder``: those payloads fall back to a
+deterministic fake decoder that parses the metadata struct and
+synthesizes the declared shape, so every pipeline stage downstream of
+decode still runs.  Swap in a real codec with
+``set_decoder('image', fn)`` — the Arrow plumbing does not change.
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["MEDIA_SCHEMA", "set_decoder", "attach_media_metadata",
            "decode_image_features", "resize_images", "sample_video_frames",
-           "synthesize_bmp"]
+           "synthesize_bmp", "png_bytes"]
 
 # canonical media-row shape: opaque payload + typed metadata
 MEDIA_SCHEMA = (
@@ -97,6 +102,132 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1]  # BGR → RGB
 
 
+class _NoPixelData(ValueError):
+    """Structurally plausible container with no pixel payload (e.g. a
+    header-only PNG) — the dispatcher falls back to the fake decoder
+    for these, while corrupt pixel data still raises loudly."""
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder: zlib-inflated IDAT + per-scanline
+    unfiltering (all five filter types) in numpy.  Supports 8-bit
+    non-interlaced gray/gray+alpha/RGB/RGBA — the shapes a training
+    pipeline's thumbnails actually use; everything else raises
+    NotImplementedError so callers install a codec via set_decoder."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR" and len(data) == 13:
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or not idat:
+        raise _NoPixelData("PNG without IHDR/IDAT chunks")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decodes natively (depth "
+            f"{depth}, color type {ctype}, interlace {interlace}); "
+            "install a codec via set_decoder('image', fn)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        if f == 0:
+            pass
+        elif f == 1:    # Sub: sequential along x, mod 256
+            for x in range(channels, stride):
+                line[x] = (int(line[x]) + int(line[x - channels])) & 0xFF
+        elif f == 2:    # Up: fully vectorized
+            line += prev
+        elif f == 3:    # Average
+            for x in range(stride):
+                left = int(line[x - channels]) if x >= channels else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for x in range(stride):
+                a = int(line[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = line
+        prev = line
+    return out.reshape(h, w, channels)
+
+
+def png_bytes(arr: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
+    """Encode an ``(h, w, c)`` uint8 array as a REAL PNG (stdlib zlib) —
+    the fixture builder for the real-decode path.  ``filters`` picks
+    the per-row filter type (default 0/None) so tests can exercise the
+    decoder's Sub/Up/Average/Paeth unfiltering."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    lines = []
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        line = arr[y].reshape(-1)
+        f = (filters or [0] * h)[y]
+        cur = line.astype(np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        up = prev.astype(np.int32)
+        upleft = np.concatenate([np.zeros(c, np.int32), up[:-c]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - up
+        elif f == 3:
+            filt = cur - ((left + up) >> 1)
+        elif f == 4:
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, upleft))
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown filter {f}")
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
 def _decode(kind: str, payload: bytes, meta) -> np.ndarray:
     meta_dict = meta.asDict() if hasattr(meta, "asDict") else (dict(meta) if meta is not None else None)
     fn = _DECODERS.get(kind)
@@ -104,6 +235,14 @@ def _decode(kind: str, payload: bytes, meta) -> np.ndarray:
         return fn(payload, meta_dict)
     if kind == "image" and payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return _decode_png(payload)
+        except _NoPixelData:
+            # header-only PNG (no pixel chunks): fall back to the fake
+            # decoder so metadata-driven pipelines still flow; corrupt
+            # PIXEL data, by contrast, raises above → per-row error
+            return _fake_decode(payload, meta_dict)
     return _fake_decode(payload, meta_dict)
 
 

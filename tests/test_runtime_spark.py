@@ -170,6 +170,46 @@ def test_synthesize_bmp_spark_roundtrip(spark):
             (float(i * 13 % 256), float(i * 7 % 256), float(i % 256))
 
 
+def test_png_pixel_decode_roundtrip_all_filters():
+    """stdlib-zlib PNG decoder must reproduce arbitrary pixel arrays
+    exactly through every scanline filter type and channel count."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _decode_png, png_bytes
+
+    rng = np.random.default_rng(11)
+    for h, w, c in [(1, 1, 3), (3, 5, 3), (4, 4, 1), (5, 3, 4), (6, 2, 2)]:
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        for filters in (None, [1] * h, [2] * h, [3] * h, [4] * h,
+                        [y % 5 for y in range(h)]):
+            got = _decode_png(png_bytes(arr, filters))
+            assert got.shape == arr.shape and (got == arr).all(), \
+                (h, w, c, filters)
+
+
+def test_png_header_only_falls_back_corrupt_raises(spark):
+    """A header-only PNG (the media_features fixture shape) must fall
+    back to the fake decoder — NOT error — while corrupt IDAT bytes
+    yield a per-row decode error."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import png_bytes
+
+    good = png_bytes(np.full((2, 3, 3), [9, 8, 7], dtype=np.uint8))
+    idx = good.find(b"IDAT") + 8
+    corrupt = good[:idx] + b"\x00\x01\x02\x03" + good[idx + 4:]
+    hdr_only = _png(6, 4, b"no pixel chunks here")
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt), (3, hdr_only)],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           decode_image_features(attach_media_metadata(df)).collect()}
+    assert out[1]["decode_error"] is None
+    assert (out[1]["mean_r"], out[1]["mean_g"], out[1]["mean_b"]) == \
+        (9.0, 8.0, 7.0)
+    assert out[2]["decode_error"] is not None          # corrupt → loud
+    assert out[3]["decode_error"] is None              # fake fallback
+    assert (out[3]["width"], out[3]["height"]) == (6, 4)
+
+
 def test_synthesize_bmp_out_of_range_is_loud(spark):
     """Dimensions whose header fields overflow u32 must yield a NULL
     payload (→ per-row decode error), never a silently corrupt header."""
