@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from jema_js_spark.compiler.compile import SchemaCompiler
 
-__all__ = ["validated_stream", "windowed_verdicts", "stream_to_violations"]
+__all__ = ["validated_stream", "windowed_verdicts", "stream_to_violations",
+           "stream_dedup", "stream_first_seen"]
 
 
 def validated_stream(stream_df: DataFrame, schema,
@@ -60,3 +61,78 @@ def stream_to_violations(stream_df: DataFrame, schema,
                            F.explode(plan.violations_struct()).alias("v"))
     return out.select(*id_cols, "v.check", "v.keyword", "v.schema_path",
                       "v.data_path", "v.schema_value", "v.message")
+
+
+def stream_dedup(stream_df: DataFrame, key_cols: Sequence[str],
+                 ts_col: str, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup, built-ins-first: watermark-bounded
+    ``dropDuplicates`` on the key columns.  State holds one entry per
+    key inside the watermark horizon and Spark evicts it automatically
+    — the right tool when "duplicate" means "same key within the
+    late-data window".  Use :func:`stream_first_seen` when the policy
+    needs custom state (TTL independent of event time, duplicate
+    counting)."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .dropDuplicates(list(key_cols)))
+
+
+def stream_first_seen(stream_df: DataFrame, key_cols: Sequence[str],
+                      ttl_minutes: Optional[int] = 60) -> DataFrame:
+    """Custom stateful streaming dedup via ``applyInPandasWithState``:
+    emit only the FIRST row seen per key; keep a per-key
+    ``(n_seen,)`` state so later micro-batches drop duplicates without
+    re-emitting.  ``ttl_minutes`` sets a PROCESSING-time timeout that
+    expires idle keys — state stays bounded on an unbounded crawl
+    stream, at the documented cost that a key re-crawled after the TTL
+    re-emits (the standard first-seen-with-TTL trade).
+
+    Output = the input columns of the first-seen row plus
+    ``first_seen_batch_dupes`` (duplicates already present in the same
+    micro-batch — visibility, not silence).  The shuffle key is the
+    dedup key itself, so state is co-partitioned with arrivals; at
+    cluster scale use a fingerprint key column to keep the shuffle
+    narrow (same trick as the batch ``duplicate_keys``).
+
+    Trigger interaction: with a processing-time timeout the engine
+    keeps scheduling no-data micro-batches to service expirations, so
+    an ``availableNow``/``once`` drain never terminates — use
+    ``ttl_minutes=None`` for bounded backfills and a TTL only on
+    continuously-triggered production streams."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                          for f in stream_df.schema.fields)
+    out_schema = f"{in_fields}, first_seen_batch_dupes long"
+    state_schema = "n_seen long"
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_minutes
+               else GroupStateTimeout.NoTimeout)
+    ttl_ms = (ttl_minutes or 0) * 60_000
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first, n = None, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]].copy()
+        if n == 0:
+            return
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return          # key already emitted — drop duplicates
+        state.update((n,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        first["first_seen_batch_dupes"] = n - 1
+        yield first
+
+    return (stream_df.groupBy(*[F.col(c) for c in key_cols])
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", timeout))

@@ -80,3 +80,64 @@ def test_stream_violations(spark):
     assert rows
     assert all(r["keyword"] == "pattern" for r in rows)
     assert all(r["value"] % 2 == 0 for r in rows)
+
+
+def test_stream_dedup_builtin(spark):
+    from jema_js_spark.streaming.validate_stream import stream_dedup
+
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "500").load()
+              .withColumn("key", F.pmod(F.col("value"), F.lit(7))))
+    out = stream_dedup(stream, ["key"], ts_col="timestamp",
+                       watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dd_stream")
+         .outputMode("append").start())
+    time.sleep(4)
+    _drain(q)
+    rows = spark.sql("SELECT key FROM dd_stream").collect()
+    keys = [r["key"] for r in rows]
+    assert keys, "stream produced no rows"
+    assert len(keys) == len(set(keys)) <= 7  # one row per key
+
+
+def test_stream_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState path: exactly one emission per key ACROSS
+    micro-batches (state survives batches), same-batch duplicates
+    counted, not silent.  Bounded file source + availableNow so the
+    query drains deterministically (a rate source outruns python-state
+    micro-batches and processAllAvailable never catches up)."""
+    from jema_js_spark.streaming.validate_stream import stream_first_seen
+
+    src = str(tmp_path / "src")
+    # file 1: keys 0-4, each twice.  file 2: keys 0-4 again (dupes
+    # across batches) + new keys 5, 6
+    spark.createDataFrame([(v % 5, v) for v in range(10)],
+                          "key long, value long").coalesce(1)         .write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(v % 5, 100 + v) for v in range(5)]
+                          + [(5, 200), (6, 201)],
+                          "key long, value long").coalesce(1)         .write.mode("append").parquet(src)
+    stream = spark.readStream.schema("key long, value long") \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    # ttl_minutes=None: a processing-time timeout makes the engine run
+    # no-data batches forever to service expirations, so availableNow
+    # would never terminate (documented on the operator)
+    out = stream_first_seen(stream, ["key"], ttl_minutes=None)
+    # few state partitions: 32 would spin up 32 state stores + python
+    # workers per micro-batch for a 17-row fixture
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (out.writeStream.format("memory").queryName("fs_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120), "availableNow drain did not finish"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = spark.sql(
+        "SELECT key, value, first_seen_batch_dupes FROM fs_stream").collect()
+    by_key = {r["key"]: r for r in rows}
+    assert len(rows) == len(by_key) == 7          # one emission per key
+    for k in range(5):                             # first batch wins
+        assert by_key[k]["value"] < 100
+        assert by_key[k]["first_seen_batch_dupes"] == 1
+    assert by_key[5]["value"] == 200 and by_key[6]["value"] == 201
+    assert by_key[5]["first_seen_batch_dupes"] == 0
