@@ -365,6 +365,46 @@ def test_flagship_plan_shape_scale_properties(spark, tmp_path):
     assert "PushedFilters: [" in splan and "GreaterThan(doc_id,10)" in splan
 
 
+def test_round3_operator_plan_shapes(spark, tmp_path):
+    """Round-3 perf work pinned as plan-string assertions so the shapes
+    can't silently regress:
+
+    - duplicate_keys: fingerprint pre-pass (map-side partial count, no
+      key strings in the first shuffle) + semi-join back;
+    - brute_force_topk: two Window nodes (partial per-bucket top-k
+      before the global per-query window) and a broadcast query side;
+    - column_stats: string HLL runs over xxhash64, not raw strings.
+    """
+    from jema_js_spark.operators.similarity import brute_force_topk
+    from jema_js_spark.operators.stats import column_stats
+    from jema_js_spark.operators.uniqueness import duplicate_keys
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, f"https://x.example/{i % 20}", [float(i), 1.0, 0.5]) for i in range(64)],
+        "vec_id long, url string, embedding array<double>",
+    ).write.parquet(p)
+    t = spark.read.parquet(p)
+
+    dup_plan = _physical_plan(duplicate_keys(t, "url"))
+    assert "partial_count" in dup_plan, "fp pre-pass lost map-side combine"
+    assert "xxhash64" in dup_plan.lower(), "fingerprint pre-pass missing"
+    assert "LeftSemi" in dup_plan, "candidate semi-join missing"
+
+    q = t.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    topk_plan = _physical_plan(brute_force_topk(t, q, k=3))
+    assert topk_plan.count("RunningWindowFunction") >= 2 or \
+        topk_plan.count("Window") >= 2, \
+        "two-phase top-k lost its partial window"
+    assert "Broadcast" in topk_plan, "query side must broadcast"
+
+    stats_plan = _physical_plan(column_stats(t, ["url", "vec_id"]))
+    # the HLL for the string column must consume a 64-bit pre-hash
+    assert "approx_count_distinct(xxhash64" in stats_plan.replace(" ", "") \
+        or "xxhash64" in stats_plan.lower(), \
+        "string HLL should pre-hash to 8 bytes"
+
+
 def test_plane_coverage_flagship(spark, df):
     """The flagship page contract must be 100% Plane A (SURVEY.md §7.2)."""
     flagship = {
