@@ -18,11 +18,10 @@
               - kw_bounds        = minimum + exclusiveMinimum +
                                    exclusiveMaximum
               - text_features    = token_count + lang_id + quality
-              - hash_candidates  = minhash + simhash planted-pair
-                                   recall (full DuckDB oracle)
-              - ivf_ann          = ivf_topk + embedding_near_dups
+              - near_dup_recall  = minhash + simhash + embedding
+                                   planted-pair recall (full oracle)
 ``oracle_sql`` — DuckDB twins for every SQL-expressible query; only
-              ivf_ann (approximate by design) and ks_drift
+              ivf_topk (approximate by design) and ks_drift
               (sketch-based) are rows-only.
 """
 
@@ -191,12 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(doubled.count(), exact_dedup(doubled, "doc_id").count())],
             "n_docs bigint, n_unique bigint")
 
-    def q_hash_candidates(spark, sf_dir):
-        # planted-truth recall for BOTH hash families, DuckDB-oracled:
-        # every planted (id, id+10^6) pair must be found.
-        # max_bucket=500 > |corpus|=400, so the bucket cap can never
-        # drop a plant (plants have the LARGEST ids and a binding cap
-        # would evict them first — review finding, round 3).
+    def q_near_dup_recall(spark, sf_dir):
+        # planted-truth recall for ALL THREE near-dup families,
+        # DuckDB-oracled: every planted (id, id+10^6) pair must be
+        # found.  Bucket caps are set above the corpus sizes so they
+        # can never evict a plant (plants have the LARGEST ids and a
+        # binding cap would drop them first — review finding, round 3).
         # - minhash: " tail" appended (true near-dup, est_jaccard ≈0.9
         #   even at the shortest sf texts, far above the 0.5 threshold;
         #   recall verified exactly 200/200 on the sf0.001 AND sf0.01
@@ -206,6 +205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   bucketing finds it PROVABLY; near-dup (perturbed) recall
         #   stays covered by tests/test_operators_spark.py's planted
         #   test
+        # - embedding: identical-vector plant → identical (deterministic)
+        #   centroid assignment → same IVF bucket, cosine exactly 1 ≥
+        #   threshold → found PROVABLY
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200) \
             .select("doc_id", "text")
         near_mh = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
@@ -220,7 +222,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 max_bucket=500) \
             .filter(F.col("id_b") - F.col("id_a") == 10**6) \
             .select(F.lit("simhash").alias("method"), "id_a", "id_b")
-        return mh.unionAll(sh)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        planted = emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label")
+        corpus = emb.union(planted)
+        cents = fit_centroids(corpus, nlist=4)
+        nd = embedding_near_dups(corpus, cents, threshold=0.999,
+                                 max_bucket=5000) \
+            .filter(F.col("id_b") - F.col("id_a") == 10**6) \
+            .select(F.lit("embedding").alias("method"), "id_a", "id_b")
+        return mh.unionAll(sh).unionAll(nd)
 
     def q_verified_pairs(spark, sf_dir):
         # the scale-safe candidate-verification path: equi-join the pair
@@ -257,27 +268,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_topk(emb, queries_df, k=5).select(
             "query_id", "vec_id", "rank")
 
-    def q_ivf_ann(spark, sf_dir):
-        # the two IVF-bucketed approximate surfaces in one query
-        # (rows-only by design: both are recall/approximation trades):
-        # kind='topk'     → (query_id, neighbor, rank) via nprobe probing
-        # kind='near_dup' → planted near-duplicate pairs within buckets
+    def q_ivf_topk(spark, sf_dir):
+        # IVF ANN top-k (rows-only by design: nprobe probing trades
+        # recall; the exact counterpart is cosine_topk's oracle)
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         cents = fit_centroids(emb, nlist=8)
         queries_df = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding")
-        topk = ivf_topk(ivf_assign(emb, cents), queries_df, cents,
-                        k=5, nprobe=4).select(
-            F.lit("topk").alias("kind"), F.col("query_id").alias("id_a"),
-            F.col("vec_id").alias("id_b"), F.col("rank"))
-        planted = emb.filter(F.col("vec_id") < 5).select(
-            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label")
-        corpus = emb.union(planted)
-        cents2 = fit_centroids(corpus, nlist=4)
-        nd = embedding_near_dups(corpus, cents2, threshold=0.999).select(
-            F.lit("near_dup").alias("kind"), F.col("id_a"), F.col("id_b"),
-            F.lit(None).cast("integer").alias("rank"))
-        return topk.unionAll(nd)
+        return ivf_topk(ivf_assign(emb, cents), queries_df, cents,
+                        k=5, nprobe=4).select("query_id", "vec_id", "rank")
 
     def q_ks_drift(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -532,11 +531,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_verdicts": q_windowed_verdicts,
         "text_features": q_text_features,
         "exact_dedup_count": q_exact_dedup_count,
-        "hash_candidates": q_hash_candidates,
+        "near_dup_recall": q_near_dup_recall,
         "verified_pairs": q_verified_pairs,
         "token_jaccard": q_token_jaccard,
         "cosine_topk": q_cosine_topk,
-        "ivf_ann": q_ivf_ann,
+        "ivf_topk": q_ivf_topk,
         "ks_drift": q_ks_drift,
         "media_features": q_media_features,
         "media_pixels": q_media_pixels,
@@ -672,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
         # are identical-text (hamming 0) so block-pigeonhole recall is
         # provably 1.0 — the only excluded rows are token-less texts,
         # whose simhash is NULL by definition (none exist in the data).
-        "hash_candidates": f"""
+        "near_dup_recall": f"""
             SELECT 'minhash' AS method, doc_id AS id_a,
                    doc_id + 1000000 AS id_b
             FROM documents WHERE doc_id < 200
@@ -680,7 +679,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'simhash' AS method, doc_id AS id_a,
                    doc_id + 1000000 AS id_b
             FROM documents
-            WHERE doc_id < 200 AND len({wtoks}) > 0""",
+            WHERE doc_id < 200 AND len({wtoks}) > 0
+            UNION ALL
+            SELECT 'embedding' AS method, vec_id AS id_a,
+                   vec_id + 1000000 AS id_b
+            FROM embeddings WHERE vec_id < 5""",
         "cosine_topk": """
             SELECT query_id, vec_id, rank FROM (
               SELECT q.vec_id AS query_id, e.vec_id,
@@ -912,5 +915,5 @@ def oracle_sql() -> dict[str, str]:
             FROM t a, t b WHERE a.doc_id < b.doc_id""",
     }
     # rows-only (no oracle), both approximate by design:
-    # ivf_ann (IVF bucketing trades recall), ks_drift (KLL-sketch KS)
+    # ivf_topk (nprobe probing trades recall), ks_drift (KLL-sketch KS)
     return sql
