@@ -312,18 +312,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "width", "height")
 
     def q_media_pixels(spark, sf_dir):
-        # REAL pixel decode end to end for BOTH codec-free formats:
+        # REAL pixel decode end to end for ALL THREE codec-free formats:
         # - BMP: Catalyst-synthesized 24-bit payloads (valid headers +
         #   padded BGR rows) → built-in numpy decoder
         # - PNG: driver-built real PNGs (stdlib zlib IDAT, one of the
         #   five scanline filters per row) → built-in inflate+unfilter
+        # - GIF: driver-built real GIF89a (palette + LZW stream) →
+        #   built-in pure-python LZW decoder
         # Solid colors keep the expected channel means exact, so DuckDB
         # can twin the output without any decoder.
         import numpy as np
 
         from jema_js_spark.operators.multimodal import (
-            attach_media_metadata, decode_image_features, png_bytes,
-            synthesize_bmp)
+            attach_media_metadata, decode_image_features, gif_bytes,
+            png_bytes, synthesize_bmp)
 
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
         bmp = synthesize_bmp(
@@ -342,8 +344,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              bytearray(png_bytes(arr, [i % 5] * h))))
         png_df = spark.createDataFrame(png_rows,
                                        "media_id long, payload binary")
-        media = attach_media_metadata(bmp_rows.unionAll(png_df))
-        fmt = F.when(F.col("media_id") >= 1000, F.lit("png")) \
+        gif_rows = []
+        for i in range(30):
+            w, h = i % 3 + 1, 2
+            color = [(i * 17) % 256, (i * 9) % 256, (i * 2) % 256]
+            arr = np.full((h, w, 3), color, dtype=np.uint8)
+            gif_rows.append((2000 + i, bytearray(gif_bytes(arr))))
+        gif_df = spark.createDataFrame(gif_rows,
+                                       "media_id long, payload binary")
+        media = attach_media_metadata(
+            bmp_rows.unionAll(png_df).unionAll(gif_df))
+        fmt = F.when(F.col("media_id") >= 2000, F.lit("gif")) \
+            .when(F.col("media_id") >= 1000, F.lit("png")) \
             .otherwise(F.lit("bmp"))
         return decode_image_features(media).select(
             "media_id", fmt.alias("fmt"), "width", "height",
@@ -847,7 +859,14 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id * 11 % 256)::DOUBLE,
                    (doc_id * 5 % 256)::DOUBLE,
                    (doc_id * 3 % 256)::DOUBLE
-            FROM documents WHERE doc_id < 40""",
+            FROM documents WHERE doc_id < 40
+            UNION ALL
+            SELECT doc_id + 2000, 'gif',
+                   (doc_id % 3 + 1)::INT, 2::INT,
+                   (doc_id * 17 % 256)::DOUBLE,
+                   (doc_id * 9 % 256)::DOUBLE,
+                   (doc_id * 2 % 256)::DOUBLE
+            FROM documents WHERE doc_id < 30""",
         "violations_page": """
             SELECT doc_id,
                    'properties.n_chars.minimum' AS "check",

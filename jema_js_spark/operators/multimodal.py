@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["MEDIA_SCHEMA", "set_decoder", "attach_media_metadata",
            "decode_image_features", "resize_images", "sample_video_frames",
-           "synthesize_bmp", "png_bytes"]
+           "synthesize_bmp", "png_bytes", "gif_bytes"]
 
 # canonical media-row shape: opaque payload + typed metadata
 MEDIA_SCHEMA = (
@@ -180,6 +180,170 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, channels)
 
 
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/EOI,
+    12-bit cap.  Returns up to ``max_pixels`` palette indices."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code + 1
+    out: list = []
+    prev = None
+    acc = nbits = pos = 0
+    while len(out) < max_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return out
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)     # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-python GIF decoder (87a/89a): screen/image descriptors,
+    global/local color tables, LZW pixel data — first frame, RGB out.
+    Interlaced images raise NotImplementedError.  Structural garbage
+    BEFORE any image descriptor raises :class:`_NoPixelData` (header-
+    only fixtures fall back to the fake decoder); corrupt PIXEL data
+    raises loudly."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    saw_image = False
+    try:
+        packed = payload[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 7) + 1)
+            gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x21:             # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:           # image descriptor
+                w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+                h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+                ipacked = payload[pos + 9]
+                pos += 10
+                ct = gct
+                if ipacked & 0x80:
+                    n = 2 ** ((ipacked & 7) + 1)
+                    ct = np.frombuffer(payload, np.uint8, 3 * n,
+                                       pos).reshape(n, 3)
+                    pos += 3 * n
+                saw_image = True
+                if ipacked & 0x40:
+                    raise NotImplementedError(
+                        "interlaced GIF does not decode natively; "
+                        "install a codec via set_decoder('image', fn)")
+                if ct is None or w <= 0 or h <= 0:
+                    raise ValueError("GIF image without color table/dims")
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _lzw_decode(bytes(data), min_code, w * h)
+                if len(idx) < w * h:
+                    raise ValueError("truncated GIF pixel data")
+                flat = np.asarray(idx[:w * h], dtype=np.int64)
+                if flat.max(initial=0) >= len(ct):
+                    raise ValueError("GIF index outside color table")
+                return ct[flat].reshape(h, w, 3)
+            elif block == 0x3B:           # trailer
+                break
+            else:
+                raise ValueError(f"bad GIF block 0x{block:02x}")
+    except (IndexError, ValueError, NotImplementedError) as exc:
+        if not saw_image:
+            raise _NoPixelData("GIF without decodable image data")
+        if isinstance(exc, IndexError):
+            raise ValueError("truncated GIF stream") from exc
+        raise
+    raise _NoPixelData("GIF without image data")
+
+
+def gif_bytes(arr: "np.ndarray") -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 array as a REAL GIF89a — palette
+    built from the distinct colors (≤256), pixel indices emitted as a
+    valid LZW stream using the fixed-width CLEAR-before-growth
+    technique.  The fixture builder for the real GIF decode path."""
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("gif_bytes supports at most 256 distinct colors")
+    n_bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table_bits = max(1, n_bits)           # GCT size field: 2^(f+1) entries
+    table_n = 1 << table_bits
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    min_code = n_bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    codes = [clear]
+    since_clear = 0
+    for i in inverse.tolist():
+        codes.append(int(i))
+        since_clear += 1
+        if since_clear >= clear - 2:      # keep the decoder width fixed
+            codes.append(clear)
+            since_clear = 0
+    codes.append(end)
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    header = (b"GIF89a"
+              + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+              + bytes([0x80 | (table_bits - 1), 0, 0]) + pal.tobytes())
+    image = (b"\x2C" + b"\x00\x00\x00\x00"
+             + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+             + b"\x00" + bytes([min_code]) + bytes(sub))
+    return header + image + b"\x3B"
+
+
 def png_bytes(arr: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
     """Encode an ``(h, w, c)`` uint8 array as a REAL PNG (stdlib zlib) —
     the fixture builder for the real-decode path.  ``filters`` picks
@@ -242,6 +406,11 @@ def _decode(kind: str, payload: bytes, meta) -> np.ndarray:
             # header-only PNG (no pixel chunks): fall back to the fake
             # decoder so metadata-driven pipelines still flow; corrupt
             # PIXEL data, by contrast, raises above → per-row error
+            return _fake_decode(payload, meta_dict)
+    if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _decode_gif(payload)
+        except _NoPixelData:
             return _fake_decode(payload, meta_dict)
     return _fake_decode(payload, meta_dict)
 

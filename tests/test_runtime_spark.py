@@ -25,7 +25,17 @@ def _png(w, h, tail=b"", color_type=2):
 
 
 def _gif(w, h, tail=b""):
-    return b"GIF89a" + struct.pack("<HH", w, h) + tail
+    """Positive-size GIFs are built FULLY valid (real palette + LZW
+    pixel data, solid fill derived from tail[0]) so they run the real
+    decode path; other shapes stay header-only."""
+    if w <= 0 or h <= 0:
+        return b"GIF89a" + struct.pack("<HH", w & 0xFFFF, h & 0xFFFF) + tail
+    import numpy as np
+    from jema_js_spark.operators.multimodal import gif_bytes
+
+    fill = (tail[:1] or b"\0")[0]
+    color = [fill, (fill * 3) % 256, (fill * 7) % 256]
+    return gif_bytes(np.full((h, w, 3), color, dtype=np.uint8))
 
 
 def _bmp(w, h, tail=b"", bits=24):
@@ -208,6 +218,46 @@ def test_png_header_only_falls_back_corrupt_raises(spark):
     assert out[2]["decode_error"] is not None          # corrupt → loud
     assert out[3]["decode_error"] is None              # fake fallback
     assert (out[3]["width"], out[3]["height"]) == (6, 4)
+
+
+def test_gif_pixel_decode_roundtrip():
+    """Pure-python GIF LZW decoder must reproduce palette images
+    exactly — multi-color palettes, multi-sub-block streams."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _decode_gif, gif_bytes
+
+    rng = np.random.default_rng(5)
+    for h, w, ncol in [(1, 1, 1), (3, 5, 4), (4, 4, 2), (7, 3, 16),
+                       (8, 8, 200), (2, 300, 250), (40, 40, 16)]:
+        colors = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        arr = colors[rng.integers(0, ncol, size=(h, w))]
+        got = _decode_gif(gif_bytes(arr))
+        assert got.shape == arr.shape and (got == arr).all(), (h, w, ncol)
+
+
+def test_gif_decode_edge_paths(spark):
+    """Header-only GIFs fall back to the fake decoder; corrupt LZW data
+    and interlaced images are loud per-row errors."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import gif_bytes
+
+    good = gif_bytes(np.full((5, 5, 3), [9, 8, 7], dtype=np.uint8))
+    corrupt = good[:-8] + b"\xff" * 7 + b"\x3B"
+    interlaced = bytearray(good)
+    interlaced[bytes(interlaced).find(b"\x2C") + 9] |= 0x40
+    hdr_only = b"GIF89a" + struct.pack("<HH", 6, 4) + bytes([7] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, corrupt), (3, bytes(interlaced)), (4, hdr_only)],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           decode_image_features(attach_media_metadata(df)).collect()}
+    assert out[1]["decode_error"] is None
+    assert (out[1]["mean_r"], out[1]["mean_g"], out[1]["mean_b"]) == \
+        (9.0, 8.0, 7.0)
+    assert out[2]["decode_error"] is not None
+    assert "interlaced" in (out[3]["decode_error"] or "")
+    assert out[4]["decode_error"] is None          # fake fallback
+    assert (out[4]["width"], out[4]["height"]) == (6, 4)
 
 
 def test_synthesize_bmp_out_of_range_is_loud(spark):
