@@ -2197,6 +2197,222 @@ _many("unevaluatedItems.json",
 ])
 
 
+# ---------------------------------------------------------------------------
+# wave 4 (round 3): per-file official-suite parity — the format.json
+# six-pack per format, the unevaluated* interaction long tail, more
+# $ref/$dynamicRef resolution shapes, uniqueItems corners
+# ---------------------------------------------------------------------------
+
+# --- format.json: the official per-format boilerplate (annotation-only
+# default: every case is valid; non-strings are ignored even in
+# assertion mode).  Mirrors the official file's six-pack per format.
+for fmt in ["email", "idn-email", "regex", "ipv4", "ipv6", "hostname",
+            "idn-hostname", "uri", "uri-reference", "uuid",
+            "json-pointer", "relative-json-pointer", "duration",
+            "unknown-format"]:
+    sch = {"format": fmt}
+    _c("format.json", sch, 12, f"{fmt}: integer ignored")
+    _c("format.json", sch, 13.7, f"{fmt}: float ignored")
+    _c("format.json", sch, {}, f"{fmt}: object ignored")
+    _c("format.json", sch, [], f"{fmt}: array ignored")
+    _c("format.json", sch, False, f"{fmt}: boolean ignored")
+    _c("format.json", sch, None, f"{fmt}: null ignored")
+
+# --- unevaluatedProperties.json: official interaction themes ----------
+_many("unevaluatedProperties.json",
+      {"properties": {"foo": True}, "additionalProperties": False,
+       "unevaluatedProperties": True}, [
+    ({"foo": 1}, "additionalProperties false blocks before unevaluated"),
+    ({"foo": 1, "bar": 2}, "additionalProperties false rejects extra"),
+])
+_many("unevaluatedProperties.json",
+      {"anyOf": [{"properties": {"a": True}, "required": ["a"]},
+                  {"properties": {"b": True}, "required": ["b"]}],
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "single passing anyOf branch claims"),
+    ({"a": 1, "b": 2}, "both anyOf branches pass: union of claims"),
+    ({"b": 2}, "second branch claims"),
+])
+_many("unevaluatedProperties.json",
+      {"oneOf": [{"properties": {"a": True}, "required": ["a"]},
+                  {"properties": {"b": True}, "required": ["b"]}],
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "passing oneOf branch claims"),
+    ({"b": 1}, "other oneOf branch claims"),
+])
+_many("unevaluatedProperties.json",
+      {"not": {"not": {"properties": {"a": True}, "required": ["a"]}},
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "claims inside (double) not never escape"),
+])
+_many("unevaluatedProperties.json",
+      {"if": {"required": ["go"]},
+       "then": {"properties": {"go": True}},
+       "else": {"properties": {"stop": True}},
+       "unevaluatedProperties": False}, [
+    ({"go": 1}, "then claims on if-pass"),
+    ({"stop": 1}, "else claims on if-fail"),
+    ({"other": 1}, "neither branch claims unrelated key"),
+])
+_many("unevaluatedProperties.json",
+      {"allOf": [{"$ref": "#/$defs/one"}, {"$ref": "#/$defs/two"}],
+       "$defs": {"one": {"properties": {"a": True}},
+                  "two": {"properties": {"b": True}}},
+       "unevaluatedProperties": False}, [
+    ({"a": 1, "b": 2}, "claims union through allOf of refs"),
+    ({"a": 1, "c": 3}, "key outside both refs"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True},
+       "patternProperties": {"^x": True},
+       "additionalProperties": True,
+       "unevaluatedProperties": False}, [
+    ({"a": 1, "xy": 2, "zz": 3}, "all three adjacent applicators claim"),
+])
+_many("unevaluatedProperties.json",
+      {"unevaluatedProperties": {"minLength": 2}}, [
+    ({"k": "ab"}, "bare schema-valued unevaluatedProperties ok"),
+    ({"k": "a"}, "bare schema-valued unevaluatedProperties fails"),
+    ({}, "empty object vacuous"),
+    ("str", "non-object ignored"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"outer": {
+          "properties": {"a": True},
+          "unevaluatedProperties": False}},
+       "unevaluatedProperties": False}, [
+    ({"outer": {"a": 1}}, "both scopes satisfied"),
+    ({"outer": {"a": 1}, "extra": 2}, "outer scope violation"),
+    ({"outer": {"b": 1}}, "inner scope violation"),
+])
+
+# --- unevaluatedItems.json: official interaction themes ---------------
+_many("unevaluatedItems.json",
+      {"anyOf": [{"prefixItems": [{"const": 1}]},
+                  {"prefixItems": [True, {"const": 2}]}],
+       "unevaluatedItems": False}, [
+    ([1], "first anyOf branch claims one slot"),
+    ([1, 2], "both branches pass: two slots claimed"),
+    ([3, 2], "second branch claims two slots"),
+])
+_many("unevaluatedItems.json",
+      {"if": {"prefixItems": [{"const": "a"}]},
+       "then": {"prefixItems": [True, True]},
+       "else": {"prefixItems": [True]},
+       "unevaluatedItems": False}, [
+    (["a", 2], "then claims two slots"),
+    (["b"], "else claims one slot"),
+    (["b", 2], "else claims only one slot: second unevaluated"),
+])
+_many("unevaluatedItems.json",
+      {"not": {"not": {"prefixItems": [True]}},
+       "unevaluatedItems": False}, [
+    ([1], "claims inside not never escape (items)"),
+    ([], "empty fine"),
+])
+_many("unevaluatedItems.json",
+      {"allOf": [{"prefixItems": [True]}, {"prefixItems": [True, True]}],
+       "unevaluatedItems": False}, [
+    ([1, 2], "longest allOf prefix claim wins"),
+    ([1, 2, 3], "beyond longest prefix unevaluated"),
+])
+_many("unevaluatedItems.json",
+      {"unevaluatedItems": {"type": "integer"}}, [
+    ([1, 2], "bare schema-valued unevaluatedItems ok"),
+    ([1, "a"], "bare schema-valued unevaluatedItems fails"),
+])
+
+# --- ref.json: more resolution shapes ----------------------------------
+_many("ref.json", {"$id": "http://example.com/w4-root",
+                    "properties": {"self": {"$ref": "#"}},
+                    "type": "object"}, [
+    ({"self": {}}, "ref to document root from nested"),
+    ({"self": {"self": {}}}, "two levels of root recursion"),
+    ({"self": 1}, "root ref type mismatch"),
+])
+_many("ref.json", {"$defs": {
+        "chain": {"properties": {"next": {"$ref": "#/$defs/chain"},
+                                  "v": {"type": "string"}}}},
+      "$ref": "#/$defs/chain"}, [
+    ({"v": "a", "next": {"v": "b"}}, "self-recursive def"),
+    ({"v": "a", "next": {"v": 1}}, "self-recursive def mismatch"),
+])
+_many("ref.json", {"properties": {
+        "a/b": {"type": "integer"}},
+      "$defs": {"use": {"$ref": "#/properties/a~1b"}},
+      "allOf": [{"properties": {"c": {"$ref": "#/properties/a~1b"}}}]}, [
+    ({"a/b": 1, "c": 2}, "pointer into properties with escaped slash key"),
+    ({"c": "x"}, "escaped-slash pointer target mismatch"),
+])
+_many("ref.json", {"$id": "http://example.com/w4-abs",
+                    "$defs": {"i": {"$id": "http://example.com/w4-leaf",
+                                     "type": "integer"}},
+                    "properties": {"p": {"$ref": "http://example.com/w4-leaf"}}}, [
+    ({"p": 1}, "absolute $id registers a second resource"),
+    ({"p": "x"}, "absolute nested resource mismatch"),
+])
+_many("ref.json", {"$ref": "#/$defs/outer",
+                    "$defs": {"outer": {"$ref": "#/$defs/inner/leaf"},
+                               "inner": {"leaf": {"type": "boolean"}}}}, [
+    (True, "ref into a non-keyword container position"),
+    (1, "non-keyword container ref mismatch"),
+])
+
+# --- dynamicRef.json: more dynamic-scope shapes -------------------------
+_many("dynamicRef.json", {
+    "$id": "http://example.com/w4-dyn-sibling",
+    "$ref": "http://localhost:1234/dyn/list.json",
+    "$defs": {"t": {"$dynamicAnchor": "itemsT",
+                     "type": "integer", "minimum": 10}}}, [
+    ([10, 11], "override with extra constraints"),
+    ([5], "override constraint fails"),
+    (["x"], "override type fails"),
+])
+_many("dynamicRef.json", {
+    "$id": "http://example.com/w4-dyn-deep",
+    "properties": {"wrap": {"$ref": "http://localhost:1234/dyn/list.json"}},
+    "$defs": {"t": {"$dynamicAnchor": "itemsT", "type": "null"}}}, [
+    ({"wrap": [None, None]}, "dynamic scope crosses a properties hop"),
+    ({"wrap": [1]}, "crossed-scope override rejects"),
+])
+
+# --- uniqueItems.json: final corners ------------------------------------
+_many("uniqueItems.json", {"uniqueItems": True}, [
+    ([[1], [True]], "nested 1 vs true unique"),
+    ([[0], [False]], "nested 0 vs false unique"),
+    ([{"a": {"b": 1}}, {"a": {"b": 1.0}}], "deep 1 vs 1.0 duplicate"),
+    ([1, 2, 1, 3, 1], "triplicate"),
+    ([None, 0, False, "", []], "all falsy values mutually unique"),
+    ([{}, []], "empty object vs empty array unique"),
+    (["abc", "ABC"], "case-sensitive strings unique"),
+    ([[None], [None]], "nested null arrays duplicate"),
+])
+_many("uniqueItems.json", {"uniqueItems": True,
+                            "items": {"type": "integer"}}, [
+    ([1, 2], "uniqueItems beside items"),
+    ([1, 1], "duplicate beside items"),
+    ([1, "a"], "items fails first"),
+])
+
+# --- const/content/contains top-ups -------------------------------------
+_many("const.json", {"const": [False, 0]}, [
+    ([False, 0], "array const with falsy members"),
+    ([0, False], "falsy member order matters"),
+])
+_many("content.json", {"contentMediaType": "text/html"}, [
+    ("<html>", "html annotation"),
+    ("not html at all ", "anything accepted"),
+])
+_many("contains.json", {"contains": True}, [
+    ([1], "contains true: any element"),
+    ([], "contains true: empty fails"),
+])
+_many("contains.json", {"contains": False}, [
+    ([1], "contains false: nothing matches"),
+    ([], "contains false: empty fails too"),
+])
+
+
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
     the suite's localhost:1234 server, FIXTURES.md §1)."""
