@@ -11,14 +11,24 @@ pixels with no codec library:
   inflate of IDAT + per-scanline unfiltering (all five filter types)
   in numpy, for gray / gray+alpha / RGB / RGBA.
 
-Both are built-in defaults for their magic bytes, so the pixel path —
-decode → per-channel mean/std features — is real end to end.  JPEG/
-GIF/video codecs are not available in this environment and stay
-STUBBED behind ``set_decoder``: those payloads fall back to a
-deterministic fake decoder that parses the metadata struct and
-synthesizes the declared shape, so every pipeline stage downstream of
-decode still runs.  Swap in a real codec with
-``set_decoder('image', fn)`` — the Arrow plumbing does not change.
+- GIF87a/89a (:func:`_decode_gif`): pure-python variable-width LZW +
+  palette mapping, first frame (interlaced raises, install a codec).
+
+All three are built-in defaults for their magic bytes, so the pixel
+path — decode → per-channel mean/std features — is real end to end.
+Error contract: once pixel data is located (IDAT chunk / image
+descriptor), any corruption raises → a loud per-row ``decode_error``.
+Payloads with a recognized magic but NO locatable pixel data
+(header-only fixtures) fall back to the deterministic fake decoder so
+metadata-driven pipelines still flow — the documented trade: a
+corruption that hides ALL pixel chunks behaves as header-only (for
+PNG, an unreachable ``IDAT`` is still detected and loud).  JPEG and
+video codecs are not available in this environment and stay STUBBED
+behind ``set_decoder``; those payloads fake-decode from metadata.
+Swap in a real codec with ``set_decoder('image', fn)`` — the Arrow
+plumbing does not change.  Perf note: PNG Average/Paeth unfiltering is
+a per-pixel Python loop (Sub/Up are vectorized) — fine for thumbnails
+and fixtures; point heavy PNG corpora at a real codec.
 """
 
 from __future__ import annotations
@@ -132,6 +142,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
         pos += 12 + ln  # length + type + data + CRC
     if ihdr is None or not idat:
+        if b"IDAT" in payload:
+            # pixel chunks exist but the chunk walk never reached them:
+            # a corrupted length field upstream, not a header-only
+            # payload — must be LOUD, not a fake-decoder fallback
+            raise ValueError("PNG chunk structure corrupted before IDAT")
         raise _NoPixelData("PNG without IHDR/IDAT chunks")
     w, h, depth, ctype, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
@@ -155,9 +170,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
         line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
         if f == 0:
             pass
-        elif f == 1:    # Sub: sequential along x, mod 256
-            for x in range(channels, stride):
-                line[x] = (int(line[x]) + int(line[x - channels])) & 0xFF
+        elif f == 1:    # Sub: per-channel prefix sum mod 256, vectorized
+            # (recon[x] = filt[x] + recon[x-c]  ⇒  cumsum per channel)
+            cs = np.cumsum(line.reshape(-1, channels).astype(np.uint64),
+                           axis=0)
+            line = (cs & 0xFF).astype(np.uint8).reshape(-1)
         elif f == 2:    # Up: fully vectorized
             line += prev
         elif f == 3:    # Average

@@ -65,15 +65,21 @@ def stream_to_violations(stream_df: DataFrame, schema,
 
 def stream_dedup(stream_df: DataFrame, key_cols: Sequence[str],
                  ts_col: str, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup, built-ins-first: watermark-bounded
-    ``dropDuplicates`` on the key columns.  State holds one entry per
-    key inside the watermark horizon and Spark evicts it automatically
-    — the right tool when "duplicate" means "same key within the
-    late-data window".  Use :func:`stream_first_seen` when the policy
-    needs custom state (TTL independent of event time, duplicate
-    counting)."""
+    """Streaming exact dedup, built-ins-first:
+    ``dropDuplicatesWithinWatermark`` on the key columns.  State holds
+    one entry per key inside the watermark horizon and Spark evicts it
+    when the watermark passes — the right tool when "duplicate" means
+    "same key within the late-data window".
+
+    NOT plain ``dropDuplicates``: with the event-time column outside
+    the dedup subset, that operator never evicts state (the eviction
+    predicate exists only when the watermark column is part of the
+    key), so per-key state grows forever on an unbounded stream —
+    review finding, round 3.  Use :func:`stream_first_seen` when the
+    policy needs custom state (TTL independent of event time,
+    duplicate counting)."""
     return (stream_df.withWatermark(ts_col, watermark)
-            .dropDuplicates(list(key_cols)))
+            .dropDuplicatesWithinWatermark(list(key_cols)))
 
 
 def stream_first_seen(stream_df: DataFrame, key_cols: Sequence[str],

@@ -220,6 +220,25 @@ def test_png_header_only_falls_back_corrupt_raises(spark):
     assert (out[3]["width"], out[3]["height"]) == (6, 4)
 
 
+def test_png_hidden_idat_is_loud(spark):
+    """A corrupted chunk LENGTH that makes the walker skip IDAT must be
+    a loud error, never a fake-decoder fallback (review finding: the
+    corruption would otherwise fabricate clean-looking features)."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import png_bytes
+
+    good = bytearray(png_bytes(np.full((3, 3, 3), [1, 2, 3],
+                                       dtype=np.uint8)))
+    # IHDR length field at offset 8..12 — inflate it so the walk
+    # swallows the IDAT chunk as IHDR payload
+    good[8:12] = (10_000).to_bytes(4, "big")
+    df = spark.createDataFrame([(1, bytes(good))],
+                               "media_id long, payload binary")
+    out = decode_image_features(attach_media_metadata(df)).collect()
+    assert out[0]["decode_error"] is not None
+    assert "corrupted" in out[0]["decode_error"]
+
+
 def test_gif_pixel_decode_roundtrip():
     """Pure-python GIF LZW decoder must reproduce palette images
     exactly — multi-color palettes, multi-sub-block streams."""
