@@ -83,6 +83,12 @@ class ValidationError:
     data_stack: List[Any] = field(default_factory=list)
 
 
+# pre-built error for boolean-mode probes: validate() yields errors
+# only to discard them, so one shared empty instance stands in for the
+# fully-formatted reference error object (see Validator._boolean_mode)
+_SENTINEL_ERROR = ValidationError(message="", value=None, schema_value=None)
+
+
 def _safe_pop(stack: list) -> None:
     # JS Array.pop on empty returns undefined; mirror (the reference's
     # ``not``/``if`` handlers pop frames they did not push —
@@ -108,6 +114,12 @@ class Validator:
         # are part of the root document), so id() keys are stable.
         self.evaluated: Dict[int, set] = {}
         self.stop_collecting = False  # schema.js:183
+        # boolean mode: validate() only ever asks "is there an error",
+        # so _error skips message formatting / stack copying (~25% of
+        # wall time on failing docs, measured); iter_errors() builds
+        # the full reference error objects.  Verdicts are identical —
+        # the sentinel is yielded and discarded by the same probes.
+        self._boolean_mode = False
         # id(schema node) → precomputed keyword plan.  The reference's
         # compiled form is its deref'd tree (schema.js:109-126); this is
         # the same idea one step further: the vocabulary dispatch for a
@@ -127,6 +139,7 @@ class Validator:
     # -- public API (schema.js:59-73) ------------------------------------
     def validate(self, value: Any) -> bool:
         self._reset()
+        self._boolean_mode = True
         old = sys.getrecursionlimit()
         try:
             if old < _RECURSION_LIMIT:
@@ -140,6 +153,7 @@ class Validator:
 
     def iter_errors(self, value: Any) -> Iterator[ValidationError]:
         self._reset()
+        self._boolean_mode = False
         self.schema_stack = []
         self.data_stack = []
         gen = self._errors(value, self.root.schema, (self.root,))
@@ -167,15 +181,26 @@ class Validator:
     # -- helpers ----------------------------------------------------------
     def _probe(self, value: Any, schema: Any, scope: _Scope) -> bool:
         """First-error probe: True iff no errors — the
-        ``errors(...).next().done`` idiom (schema.js:60,386,400,410,419)."""
-        for _ in self._errors(value, schema, scope):
-            return False
-        return True
+        ``errors(...).next().done`` idiom (schema.js:60,386,400,410,419).
+
+        Probe errors are discarded by construction, so the probe runs
+        in boolean mode even inside an ``iter_errors`` traversal — the
+        surfaced (non-probe) errors still format fully."""
+        prev = self._boolean_mode
+        self._boolean_mode = True
+        try:
+            for _ in self._errors(value, schema, scope):
+                return False
+            return True
+        finally:
+            self._boolean_mode = prev
 
     def _error(self, value: Any, schema_value: Any,
                message: str = "does not match") -> ValidationError:
         # mirror of schemaError (schema.js:665-674); JS typeof null is
         # 'object', so null prints as 'object' too
+        if self._boolean_mode:
+            return _SENTINEL_ERROR   # content never observed (validate())
         if isinstance(value, list):
             print_value = "array"
         elif isinstance(value, dict) or value is None:
