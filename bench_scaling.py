@@ -180,9 +180,12 @@ print(json.dumps({"sec8": res[8], "sec32": res[32]}))
 
 def main() -> None:
     if not os.path.exists(PAGES_PARQUET):
-        _run(_WRITER, PAGES_PARQUET, N_PAGES) if False else subprocess.run(
+        w = subprocess.run(
             [sys.executable, "-c", _WRITER, PAGES_PARQUET, str(N_PAGES)],
-            cwd=os.path.dirname(os.path.abspath(__file__)), capture_output=True)
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True)
+        if w.returncode != 0:
+            raise RuntimeError(f"pages writer failed:\n{w.stderr[-2000:]}")
 
     def best_of(script, c, *args, repeats: int = 2) -> dict:
         # median-of-N wall time per level: robust against the shared
@@ -199,6 +202,11 @@ def main() -> None:
     kernel = {c: best_of(_KERNEL, c, k_docs[c], repeats=3)
               for c in (2, 8, 32)}
     assert kernel[8]["valid"] == kernel[32]["valid"]
+    # parity for the local[2] level too (different doc count, so check
+    # it against an untimed same-input run at another width)
+    parity2 = _run(_KERNEL, 8, k_docs[2])
+    assert kernel[2]["valid"] == parity2["valid"], \
+        (kernel[2]["valid"], parity2["valid"])
     k_thr = {c: k_docs[c] / kernel[c]["sec"] for c in kernel}
     k_eff_sub = (k_thr[8] / k_thr[2]) / 4
     k_eff = (k_thr[32] / k_thr[8]) / 4
@@ -283,7 +291,9 @@ are the measured engine baselines for future rounds.
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({
-        "kernel_efficiency": round(k_eff, 3),
+        # headline N→4N number (the ≥0.8 criterion): 2→8 threads
+        "kernel_efficiency": round(k_eff_sub, 3),
+        "kernel_efficiency_8to32": round(k_eff, 3),
         "columnar_efficiency_1to4": round(c_eff_sub, 3),
         "columnar_efficiency_8to32": round(c_eff, 3),
         "control_efficiency": round(ctrl_eff, 3),

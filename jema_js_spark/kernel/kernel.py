@@ -150,6 +150,10 @@ class Validator:
                 "document/schema nesting exceeds kernel depth limit") from None
         finally:
             sys.setrecursionlimit(old)
+            # restore: a still-pending iter_errors() generator resumed
+            # after this call must keep formatting full errors (review
+            # finding: a sticky flag blanked its remaining messages)
+            self._boolean_mode = False
 
     def iter_errors(self, value: Any) -> Iterator[ValidationError]:
         self._reset()

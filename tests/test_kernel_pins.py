@@ -153,3 +153,17 @@ class TestTypeGating:
         assert validate({"maxItems": 0}, {"a": 1})
         assert validate({"required": ["x"]}, "not-an-object")
         assert validate({"minProperties": 3}, [1])
+
+
+def test_pending_iter_errors_survives_interleaved_validate():
+    """Round-3 review: validate() must not leave boolean mode sticky —
+    a lazy iter_errors() generator consumed afterwards must still build
+    fully formatted reference errors."""
+    from jema_js_spark.kernel.kernel import Validator
+    from jema_js_spark.schema.frontend import Schema
+
+    v = Validator(Schema({"minimum": 10}))
+    pending = v.iter_errors(3)            # lazy — not consumed yet
+    assert v.validate(99) is True         # flips boolean mode internally
+    msgs = [e.message for e in pending]
+    assert msgs == ['"3" does not match minimum:10'], msgs
