@@ -17,12 +17,18 @@
               - kw_enum_const    = enum + const
               - kw_bounds        = minimum + exclusiveMinimum +
                                    exclusiveMaximum
+              - kw_type          = type:number + type union
+                                   (two valid columns)
+              - kw_format        = ipv4 + calendar-exact date
+                                   (two valid columns)
               - text_features    = token_count + lang_id + quality
               - near_dup_recall  = minhash + simhash + embedding
                                    planted-pair recall (full oracle)
-``oracle_sql`` — DuckDB twins for every SQL-expressible query; only
-              ivf_topk (approximate by design) and ks_drift
-              (sketch-based) are rows-only.
+``oracle_sql`` — DuckDB twins for EVERY query (round 4 closed the last
+              two gaps: ivf_topk runs exhaustive probing, nprobe =
+              nlist, which provably equals brute-force top-k — the
+              approximate-recall behavior stays pinned in pytest —
+              and ks_drift runs the exact-histogram KS operator).
 """
 
 from __future__ import annotations
@@ -94,7 +100,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from jema_js_spark.operators.dedup import (
         exact_dedup, minhash_candidates, simhash_candidates)
-    from jema_js_spark.operators.drift import ks_two_sample
+    from jema_js_spark.operators.drift import ks_exact
     from jema_js_spark.operators.referential import fk_violations, ts_window_violations
     from jema_js_spark.operators.similarity import (
         brute_force_topk, embedding_near_dups, fit_centroids, ivf_assign,
@@ -227,8 +233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label")
         corpus = emb.union(planted)
         cents = fit_centroids(corpus, nlist=4)
+        # cap derived from the data (ADVICE r3): a fixed cap that a
+        # larger SF's bucket could exceed would row_number-evict the
+        # LARGEST ids — the plants — first; corpus.count()+1 can never
+        # bind, at any SF
         nd = embedding_near_dups(corpus, cents, threshold=0.999,
-                                 max_bucket=5000) \
+                                 max_bucket=corpus.count() + 1) \
             .filter(F.col("id_b") - F.col("id_a") == 10**6) \
             .select(F.lit("embedding").alias("method"), "id_a", "id_b")
         return mh.unionAll(sh).unionAll(nd)
@@ -269,21 +279,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank")
 
     def q_ivf_topk(spark, sf_dir):
-        # IVF ANN top-k (rows-only by design: nprobe probing trades
-        # recall; the exact counterpart is cosine_topk's oracle)
+        # IVF ANN top-k in the EXHAUSTIVE-PROBE configuration (nprobe =
+        # nlist): every corpus vector sits in exactly one bucket and the
+        # query probes all of them, so the result provably equals
+        # brute-force top-k and the DuckDB twin is exact (VERDICT r3
+        # task #1).  The full plan machinery — centroid fit, assign,
+        # bucket equi-join, two-phase window — still executes; the
+        # approximate-recall behavior (nprobe < nlist) stays pinned by
+        # tests/test_operators_spark.py::test_ivf_topk_recall.
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         cents = fit_centroids(emb, nlist=8)
         queries_df = emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding")
         return ivf_topk(ivf_assign(emb, cents), queries_df, cents,
-                        k=5, nprobe=4).select("query_id", "vec_id", "rank")
+                        k=5, nprobe=8).select("query_id", "vec_id", "rank")
 
     def q_ks_drift(spark, sf_dir):
+        # exact-histogram KS (VERDICT r3 task #2): n_chars is a
+        # bounded-cardinality column, the regime ks_exact exists for —
+        # the statistic is sketch-free and DuckDB-expressible exactly;
+        # the sketch path (ks_two_sample) stays pinned in pytest
         docs = _docs(spark, sf_dir)
         a = docs.filter(F.col("lang") == "en")
         b = docs.filter(F.col("lang") != "en")
-        ks = ks_two_sample(a, b, "n_chars")
-        return spark.createDataFrame([(float(ks["ks"]),)], "ks double")
+        return ks_exact(a, b, "n_chars")
 
     # -- multimodal ----------------------------------------------------------
     def q_media_features(spark, sf_dir):
@@ -361,10 +380,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", fmt.alias("fmt"), "width", "height",
             "mean_r", "mean_g", "mean_b")
 
+    def q_audio_features(spark, sf_dir):
+        # REAL audio decode end to end: Catalyst-synthesized 16-bit PCM
+        # WAV square waves (valid RIFF headers + sample data) → stdlib
+        # chunk-walk decoder → rms/peak/mean/duration features.  The
+        # planted waveform's features are closed-form ((v1²+v2²)/2 etc.
+        # over exact int16 samples — float64 math is bit-exact), so
+        # DuckDB twins the output without any decoder.
+        from jema_js_spark.operators.multimodal import (
+            decode_audio_features, synthesize_wav)
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+        wav = synthesize_wav(
+            n_pairs=F.pmod(F.col("doc_id"), F.lit(50)) + 10,
+            sample_rate=F.lit(8000) + F.pmod(F.col("doc_id"), F.lit(5)) * 2000,
+            v1=F.pmod(F.col("doc_id") * 523, F.lit(30000)) - 15000,
+            v2=F.pmod(F.col("n_chars") * 37, F.lit(20000)) - 10000)
+        rows = docs.select(F.col("doc_id").alias("media_id"),
+                           wav.alias("payload"))
+        return decode_audio_features(rows).select(
+            "media_id", "sample_rate", "n_samples",
+            F.round("duration_ms", 6).alias("duration_ms"),
+            "peak", F.round("rms", 6).alias("rms"),
+            F.round("mean_amp", 6).alias("mean_amp"))
+
+    def q_video_frames(spark, sf_dir):
+        # REAL video-frame decode end to end: driver-built multi-frame
+        # animated GIFs (shared palette, per-frame graphic-control
+        # blocks, valid LZW streams) → multi-frame LZW walk decoding
+        # every 2nd frame's pixels (sampling exercised: odd frames'
+        # LZW is skipped but still counted in n_frames).  Solid
+        # per-frame colors keep the expected channel means exact.
+        import numpy as np
+
+        from jema_js_spark.operators.multimodal import (
+            decode_video_frames, gif_bytes)
+
+        rows = []
+        for i in range(25):
+            n = i % 4 + 1
+            w, h = i % 3 + 1, 2
+            frames = np.stack([
+                np.full((h, w, 3),
+                        [(i * 7 + f * 31) % 256, (i * 3 + f * 17) % 256,
+                         (i * 11 + f * 5) % 256], dtype=np.uint8)
+                for f in range(n)])
+            rows.append((3000 + i, bytearray(gif_bytes(frames, delay_cs=5))))
+        vids = spark.createDataFrame(rows, "media_id long, payload binary")
+        return decode_video_frames(vids, every_n=2).select(
+            "media_id", "frame_idx", "n_frames", "width", "height",
+            "mean_r", "mean_g", "mean_b")
+
+    # type: number assertion + union type, one query, two valid columns
+    def q_kw_type(spark, sf_dir):
+        d = with_valid(_docs(spark, sf_dir),
+                       {"properties": {"n_chars": {"type": "number"}},
+                        "required": ["n_chars"]}, col_name="valid_number")
+        d = with_valid(d, {"properties": {"n_chars":
+                                          {"type": ["string", "null"]}}},
+                       col_name="valid_union")
+        return d.select("doc_id", "valid_number", "valid_union")
+
     # -- validation keywords (SURVEY.md §2.2-2.7) ---------------------------
     keyword_schemas = {
-        "kw_type_number": {"properties": {"n_chars": {"type": "number"}},
-                            "required": ["n_chars"]},
         "kw_length": {"properties": {"text": {"minLength": 100,
                                                "maxLength": 400}}},
         "kw_pattern": {"properties": {"text": {"pattern": "^[a-z]"}}},
@@ -488,30 +566,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         }).select("doc_id", "valid")
 
     def q_kw_format(spark, sf_dir):
-        # format-assertion mode (opt-in, SURVEY §2.5): synthesize a
-        # dotted quad whose octets overflow for some rows
+        # format-assertion mode (opt-in, SURVEY §2.5), two formats in
+        # one query: a dotted quad whose octets overflow for some rows,
+        # and a calendar-exact date (incl. leap years and the
+        # reference's month-00 quirk) hitting invalid months/days and
+        # Feb-29 on both leap and non-leap years
         d = _docs(spark, sf_dir).select(
             "doc_id",
             F.concat_ws(".", F.pmod(F.col("doc_id"), F.lit(300)),
                         F.pmod(F.col("n_chars"), F.lit(300)),
-                        F.lit(0), F.lit(1)).alias("ip"))
-        return with_valid(d, {"properties": {"ip": {"format": "ipv4"}}},
-                          format_assertion=True).select("doc_id", "valid")
-
-    def q_kw_format_date(spark, sf_dir):
-        # calendar-exact date assertion (incl. leap years and the
-        # reference's month-00 quirk) — synthesized dates hit invalid
-        # months/days and Feb-29 on both leap and non-leap years
-        d = _docs(spark, sf_dir).select(
-            "doc_id",
+                        F.lit(0), F.lit(1)).alias("ip"),
             F.concat_ws(
                 "-",
                 (F.lit(2000) + F.pmod(F.col("doc_id"), F.lit(30))).cast("string"),
                 F.lpad(F.pmod(F.col("doc_id"), F.lit(15)).cast("string"), 2, "0"),
                 F.lpad(F.pmod(F.col("n_chars"), F.lit(35)).cast("string"), 2, "0"),
             ).alias("day"))
-        return with_valid(d, {"properties": {"day": {"format": "date"}}},
-                          format_assertion=True).select("doc_id", "valid")
+        d = with_valid(d, {"properties": {"ip": {"format": "ipv4"}}},
+                       col_name="valid_ip", format_assertion=True)
+        d = with_valid(d, {"properties": {"day": {"format": "date"}}},
+                       col_name="valid_date", format_assertion=True)
+        return d.select("doc_id", "valid_ip", "valid_date")
 
     def q_kw_dynamicref(spark, sf_dir):
         return _doc_valid({
@@ -531,8 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_patternprops": _doc_valid({
             "patternProperties": {"^n_": {"minimum": 100}}}),
         "kw_boolean_schema": _doc_valid({"properties": {"text": False}}),
-        "kw_type_union": _doc_valid({
-            "properties": {"n_chars": {"type": ["string", "null"]}}}),
+        "kw_type": q_kw_type,
         # dataset-level operators
         "unique_url": q_unique_url,
         "fk_orders_customer": q_fk_orders_customer,
@@ -551,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "media_features": q_media_features,
         "media_pixels": q_media_pixels,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
     for name, schema in keyword_schemas.items():
         out[name] = _doc_valid(schema)
@@ -567,7 +643,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_unevaluatedprops": q_kw_unevaluatedprops,
         "kw_unevaluatedprops_if": q_kw_unevaluatedprops_if,
         "kw_format": q_kw_format,
-        "kw_format_date": q_kw_format_date,
         "kw_dynamicref": q_kw_dynamicref,
     })
     assert len(out) == 50, f"driver cap is 50 queries, got {len(out)}"
@@ -705,10 +780,41 @@ def oracle_sql() -> dict[str, str]:
                                 DESC, e.vec_id) AS rank
               FROM embeddings e, embeddings q WHERE q.vec_id < 3)
             WHERE rank <= 5""",
+        "ivf_topk": """
+            -- exhaustive probing (nprobe = nlist): IVF provably equals
+            -- brute-force top-k, so the twin is the same exact ranking
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding)
+                                DESC, e.vec_id) AS rank
+              FROM embeddings e, embeddings q WHERE q.vec_id < 10)
+            WHERE rank <= 5""",
+        "ks_drift": """
+            -- exact two-sample KS over per-side value histograms: the
+            -- same counts → cumulative shares → max gap formula the
+            -- ks_exact operator runs (integer counts divided once into
+            -- doubles, so the statistic reproduces bit-for-bit)
+            WITH a AS (SELECT n_chars AS v, count(*) AS ca FROM documents
+                       WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+            b AS (SELECT n_chars AS v, count(*) AS cb FROM documents
+                  WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1),
+            u AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+                         coalesce(cb, 0) AS cb
+                  FROM a FULL OUTER JOIN b ON a.v = b.v),
+            c AS (SELECT sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                           / (SELECT sum(ca) FROM u) AS fa,
+                         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                           / (SELECT sum(cb) FROM u) AS fb
+                  FROM u)
+            SELECT round(max(abs(fa - fb)), 6) AS ks FROM c""",
         # validation keywords over documents — each the exact relational
         # twin of the compiled predicate (NULL column ⇔ absent key)
-        "kw_type_number": """
-            SELECT doc_id, (n_chars IS NOT NULL) AS valid FROM documents""",
+        "kw_type": """
+            SELECT doc_id, (n_chars IS NOT NULL) AS valid_number,
+                   (n_chars IS NULL) AS valid_union
+            FROM documents""",
         "kw_length": """
             SELECT doc_id,
                    (text IS NULL OR length(text) BETWEEN 100 AND 400) AS valid
@@ -812,29 +918,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(lang = 'en' AND doc_id % 3 <> 0, FALSE) AS valid
             FROM documents""",
         "kw_format": r"""
-            SELECT doc_id,
-                   regexp_matches(
-                     (doc_id % 300) || '.' || (n_chars % 300) || '.0.1',
-                     '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
-                     AS valid
-            FROM documents""",
-        "kw_format_date": """
-            -- kernel valid_date mirror: month<=12, day<=31, day>28
-            -- needs a real calendar day; month 00 passes when day<=28
+            -- valid_date is the kernel valid_date mirror: month<=12,
+            -- day<=31, day>28 needs a real calendar day; month 00
+            -- passes when day<=28
             WITH d AS (
-              SELECT doc_id,
+              SELECT doc_id, n_chars,
                      2000 + doc_id % 30 AS y,
                      doc_id % 15 AS m,
                      n_chars % 35 AS dd
               FROM documents)
             SELECT doc_id,
+                   regexp_matches(
+                     (doc_id % 300) || '.' || (n_chars % 300) || '.0.1',
+                     '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+                     AS valid_ip,
                    (m <= 12 AND dd <= 31 AND (dd <= 28 OR (m >= 1 AND
                       dd <= CASE WHEN m = 2 THEN
                                    CASE WHEN (y % 4 = 0 AND y % 100 <> 0)
                                              OR y % 400 = 0
                                         THEN 29 ELSE 28 END
                                  WHEN m IN (4, 6, 9, 11) THEN 30
-                                 ELSE 31 END))) AS valid
+                                 ELSE 31 END))) AS valid_date
             FROM d""",
         "kw_dynamicref": """
             SELECT doc_id, (n_chars >= 100) AS valid FROM documents""",
@@ -867,6 +971,45 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id * 9 % 256)::DOUBLE,
                    (doc_id * 2 % 256)::DOUBLE
             FROM documents WHERE doc_id < 30""",
+        "audio_features": """
+            -- planted square wave (n pairs of samples v1, v2): the
+            -- decoded features are closed-form over exact integers —
+            -- rms = sqrt((v1²+v2²)/2), mean = (v1+v2)/2, and the
+            -- divisions are IEEE-exactly-representable, so the Spark
+            -- float64 decode reproduces them bit-for-bit
+            WITH d AS (
+              SELECT doc_id AS media_id,
+                     (doc_id % 50 + 10) * 2 AS n,
+                     8000 + (doc_id % 5) * 2000 AS sr,
+                     (doc_id * 523) % 30000 - 15000 AS v1,
+                     (n_chars * 37) % 20000 - 10000 AS v2
+              FROM documents WHERE doc_id < 60)
+            SELECT media_id, sr::INT AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   round(n * 1000 / sr, 6) AS duration_ms,
+                   greatest(abs(v1), abs(v2))::INT AS peak,
+                   round(sqrt((v1 * v1 + v2 * v2) / 2.0), 6) AS rms,
+                   round((v1 + v2) / 2.0, 6) AS mean_amp
+            FROM d""",
+        "video_frames": """
+            -- animated-GIF plants: media i has (i%4 + 1) solid-color
+            -- frames; the Spark side decodes every 2nd frame's pixels
+            -- for real, so per-frame channel means equal the generator
+            -- formula exactly
+            WITH v AS (
+              SELECT doc_id AS i, 3000 + doc_id AS media_id,
+                     doc_id % 4 + 1 AS n, doc_id % 3 + 1 AS w
+              FROM documents WHERE doc_id < 25),
+            f AS (
+              SELECT media_id, i, n, w,
+                     unnest(range(0, n::BIGINT, 2)) AS frame_idx
+              FROM v)
+            SELECT media_id, frame_idx::INT AS frame_idx, n::INT AS n_frames,
+                   w::INT AS width, 2::INT AS height,
+                   ((i * 7 + frame_idx * 31) % 256)::DOUBLE AS mean_r,
+                   ((i * 3 + frame_idx * 17) % 256)::DOUBLE AS mean_g,
+                   ((i * 11 + frame_idx * 5) % 256)::DOUBLE AS mean_b
+            FROM f""",
         "violations_page": """
             SELECT doc_id,
                    'properties.n_chars.minimum' AS "check",
@@ -893,8 +1036,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "kw_boolean_schema": """
             SELECT doc_id, (text IS NULL) AS valid FROM documents""",
-        "kw_type_union": """
-            SELECT doc_id, (n_chars IS NULL) AS valid FROM documents""",
         "windowed_verdicts": """
             -- floor(epoch(...)): duckdb's ::BIGINT cast rounds, Spark's
             -- unix_timestamp floors — boundary events would drift buckets
@@ -933,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard
             FROM t a, t b WHERE a.doc_id < b.doc_id""",
     }
-    # rows-only (no oracle), both approximate by design:
-    # ivf_topk (nprobe probing trades recall), ks_drift (KLL-sketch KS)
+    # every queries() entry has a twin: round 4 oracled the last two
+    # (ivf_topk via exhaustive probing, ks_drift via the exact-histogram
+    # KS operator) — zero rows-only entries remain
     return sql

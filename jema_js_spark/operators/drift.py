@@ -14,16 +14,24 @@ Two modalities:
   single pass); the KS statistic is then the max CDF gap evaluated on
   the merged quantile grid.  This is the sketch-based path the design
   doc calls for — no raw-data co-shuffle between the two samples.
+
+- **Exact numeric KS** (:func:`ks_exact`): for bounded-cardinality
+  numeric columns (ids, lengths, counts, bucketed scores) the exact
+  statistic is one ``groupBy(col)`` histogram per side (map-side
+  combined), a full-outer join of the O(distinct) histograms, and a
+  cumulative-share window — no sketch error at all, and fully
+  SQL-expressible (the CORRECTNESS oracle runs this form).
 """
 
 from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["categorical_drift", "ks_two_sample", "lang_drift_report"]
+__all__ = ["categorical_drift", "ks_two_sample", "ks_exact",
+           "lang_drift_report"]
 
 
 def categorical_drift(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
@@ -89,6 +97,43 @@ def ks_two_sample(df_a: DataFrame, df_b: DataFrame, col: str,
     ks = max((abs(_cdf_at(qa, x) - _cdf_at(qb, x)) for x in grid), default=0.0)
     return {"ks": ks, "n_grid": len(grid),
             "n_quantiles_a": len(qa), "n_quantiles_b": len(qb)}
+
+
+def ks_exact(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """EXACT two-sample KS statistic as a one-row DataFrame ``(ks)``.
+
+    Intended for bounded-cardinality numeric columns: the heavy work is
+    one ``groupBy(col).count()`` per side (a map-side-combined shuffle
+    whose output is O(distinct values), not O(rows)), so at 100 TB the
+    only driver-independent cost is those two histogram passes.  The
+    cumulative-share window then runs over the O(distinct) joined
+    histogram — a single-task window by construction, which is exactly
+    right when distinct counts are bounded (lengths, ids mod k, bucketed
+    scores); for unbounded continuous columns use the sketch-based
+    :func:`ks_two_sample` instead.
+
+    ECDFs are over non-null values; both sides must be non-empty.  All
+    arithmetic is exact-integer counts divided once into doubles, so a
+    SQL engine replaying the same formula reproduces the statistic
+    bit-for-bit (the CORRECTNESS oracle relies on this).
+    """
+    a = (df_a.filter(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count(F.lit(1)).alias("ca")))
+    b = (df_b.filter(F.col(col).isNotNull())
+         .groupBy(F.col(col).alias("v"))
+         .agg(F.count(F.lit(1)).alias("cb")))
+    u = (a.join(b, "v", "full_outer")
+         .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = u.select(
+        (F.sum("ca").over(w_cum) / F.sum("ca").over(w_all)).alias("fa"),
+        (F.sum("cb").over(w_cum) / F.sum("cb").over(w_all)).alias("fb"))
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks"))
 
 
 def lang_drift_report(df: DataFrame, group_col: str = "partition_id",

@@ -14,21 +14,32 @@ pixels with no codec library:
 - GIF87a/89a (:func:`_decode_gif`): pure-python variable-width LZW +
   palette mapping, first frame (interlaced raises, install a codec).
 
-All three are built-in defaults for their magic bytes, so the pixel
-path — decode → per-channel mean/std features — is real end to end.
-Error contract: once pixel data is located (IDAT chunk / image
-descriptor), any corruption raises → a loud per-row ``decode_error``.
-Payloads with a recognized magic but NO locatable pixel data
-(header-only fixtures) fall back to the deterministic fake decoder so
-metadata-driven pipelines still flow — the documented trade: a
-corruption that hides ALL pixel chunks behaves as header-only (for
-PNG, an unreachable ``IDAT`` is still detected and loud).  JPEG and
-video codecs are not available in this environment and stay STUBBED
-behind ``set_decoder``; those payloads fake-decode from metadata.
-Swap in a real codec with ``set_decoder('image', fn)`` — the Arrow
-plumbing does not change.  Perf note: PNG Average/Paeth unfiltering is
-a per-pixel Python loop (Sub/Up are vectorized) — fine for thumbnails
-and fixtures; point heavy PNG corpora at a real codec.
+Video and audio decode are real too, for the codec-free containers:
+
+- **animated GIF** (:func:`decode_video_frames`): every frame's pixels
+  via the shared multi-frame LZW walk (:func:`_iter_gif_frames`), with
+  ``every_n`` sampling that skips the LZW cost of unsampled frames;
+  full-size frames only (partial frames need disposal compositing →
+  NotImplementedError).
+- **16-bit PCM WAV** (:func:`decode_audio_features`): stdlib RIFF
+  chunk walk (:func:`_decode_wav`) → rms/peak/mean/duration features.
+
+All are built-in defaults for their magic bytes, so the pixel/sample
+path — decode → features — is real end to end.  Error contract: once
+pixel data is located (IDAT chunk / image descriptor), any corruption
+raises → a loud per-row ``decode_error``.  Payloads with a recognized
+magic but NO locatable pixel data (header-only fixtures) fall back to
+the deterministic fake decoder so metadata-driven pipelines still flow
+— the documented trade: a corruption that hides ALL pixel chunks
+behaves as header-only (for PNG, an unreachable ``IDAT`` is still
+detected and loud).  JPEG / MP4 / MP3-class codecs are not available
+in this environment and stay STUBBED behind ``set_decoder``; image
+payloads with unknown magic fake-decode from metadata, video/audio
+ones error per-row.  Swap in a real codec with ``set_decoder(kind,
+fn)`` — the Arrow plumbing does not change.  Perf note: PNG
+Average/Paeth unfiltering is a per-pixel Python loop (Sub/Up are
+vectorized) — fine for thumbnails and fixtures; point heavy PNG
+corpora at a real codec.
 """
 
 from __future__ import annotations
@@ -42,8 +53,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["MEDIA_SCHEMA", "set_decoder", "attach_media_metadata",
-           "decode_image_features", "resize_images", "sample_video_frames",
-           "synthesize_bmp", "png_bytes", "gif_bytes"]
+           "decode_image_features", "decode_audio_features",
+           "decode_video_frames", "resize_images", "sample_video_frames",
+           "synthesize_bmp", "synthesize_wav", "png_bytes", "gif_bytes",
+           "wav_bytes"]
 
 # canonical media-row shape: opaque payload + typed metadata
 MEDIA_SCHEMA = (
@@ -239,17 +252,30 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
     return out
 
 
-def _decode_gif(payload: bytes) -> np.ndarray:
-    """Pure-python GIF decoder (87a/89a): screen/image descriptors,
-    global/local color tables, LZW pixel data — first frame, RGB out.
-    Interlaced images raise NotImplementedError.  Structural garbage
-    BEFORE any image descriptor raises :class:`_NoPixelData` (header-
-    only fixtures fall back to the fake decoder); corrupt PIXEL data
-    raises loudly."""
+def _iter_gif_frames(payload: bytes, want=None):
+    """Yield ``(frame_idx, (h, w, 3) uint8 RGB)`` for each frame of a
+    GIF87a/89a stream — the shared walk behind single-image decode
+    (:func:`_decode_gif`) and video-frame sampling
+    (:func:`decode_video_frames`).
+
+    ``want(frame_idx) -> bool`` lets samplers skip the LZW decompression
+    of unwanted frames (the block walk still advances over their data
+    sub-blocks, which costs only pointer arithmetic); skipped frames
+    yield ``(frame_idx, None)`` so callers can still count frames.
+
+    Frames must be full-size at offset (0, 0) (the shape every frame of
+    our fixture writer emits); a partial frame would require disposal/
+    compositing state and raises NotImplementedError so callers install
+    a real codec.  Interlaced frames likewise raise.  Structural
+    garbage BEFORE any image descriptor raises :class:`_NoPixelData`;
+    corrupt PIXEL data raises loudly."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     saw_image = False
+    frame = 0
     try:
+        screen_w = int.from_bytes(payload[6:8], "little")
+        screen_h = int.from_bytes(payload[8:10], "little")
         packed = payload[10]
         pos = 13
         gct = None
@@ -265,6 +291,8 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                     pos += 1 + payload[pos]
                 pos += 1
             elif block == 0x2C:           # image descriptor
+                left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+                top = int.from_bytes(payload[pos + 3:pos + 5], "little")
                 w = int.from_bytes(payload[pos + 5:pos + 7], "little")
                 h = int.from_bytes(payload[pos + 7:pos + 9], "little")
                 ipacked = payload[pos + 9]
@@ -280,6 +308,10 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "interlaced GIF does not decode natively; "
                         "install a codec via set_decoder('image', fn)")
+                if (left, top) != (0, 0) or (w, h) != (screen_w, screen_h):
+                    raise NotImplementedError(
+                        "partial GIF frames need disposal compositing; "
+                        "install a codec via set_decoder")
                 if ct is None or w <= 0 or h <= 0:
                     raise ValueError("GIF image without color table/dims")
                 min_code = payload[pos]
@@ -289,15 +321,21 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                     ln = payload[pos]
                     data += payload[pos + 1:pos + 1 + ln]
                     pos += 1 + ln
+                pos += 1                  # the sub-block terminator
+                if want is not None and not want(frame):
+                    yield frame, None
+                    frame += 1
+                    continue
                 idx = _lzw_decode(bytes(data), min_code, w * h)
                 if len(idx) < w * h:
                     raise ValueError("truncated GIF pixel data")
                 flat = np.asarray(idx[:w * h], dtype=np.int64)
                 if flat.max(initial=0) >= len(ct):
                     raise ValueError("GIF index outside color table")
-                return ct[flat].reshape(h, w, 3)
+                yield frame, ct[flat].reshape(h, w, 3)
+                frame += 1
             elif block == 0x3B:           # trailer
-                break
+                return
             else:
                 raise ValueError(f"bad GIF block 0x{block:02x}")
     except (IndexError, ValueError, NotImplementedError) as exc:
@@ -306,16 +344,34 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         if isinstance(exc, IndexError):
             raise ValueError("truncated GIF stream") from exc
         raise
+    if not saw_image:
+        raise _NoPixelData("GIF without image data")
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-python GIF decoder (87a/89a): screen/image descriptors,
+    global/local color tables, LZW pixel data — first frame, RGB out.
+    See :func:`_iter_gif_frames` for the error contract."""
+    for _, arr in _iter_gif_frames(payload):
+        return arr
     raise _NoPixelData("GIF without image data")
 
 
-def gif_bytes(arr: "np.ndarray") -> bytes:
-    """Encode an ``(h, w, 3)`` uint8 array as a REAL GIF89a — palette
-    built from the distinct colors (≤256), pixel indices emitted as a
-    valid LZW stream using the fixed-width CLEAR-before-growth
-    technique.  The fixture builder for the real GIF decode path."""
-    h, w, _ = arr.shape
-    flat = arr.reshape(-1, 3)
+def gif_bytes(arr: "np.ndarray", delay_cs: int = 4) -> bytes:
+    """Encode uint8 pixels as a REAL GIF89a — palette built from the
+    distinct colors (≤256), pixel indices emitted as a valid LZW stream
+    using the fixed-width CLEAR-before-growth technique.
+
+    ``arr`` is either one ``(h, w, 3)`` frame (a still image, no
+    graphic-control extension — byte-compatible with the single-frame
+    writer earlier rounds' fixtures pinned) or ``(n, h, w, 3)`` frames
+    (an ANIMATED GIF: shared global palette across frames, one
+    graphic-control extension per frame carrying ``delay_cs``
+    centiseconds).  The fixture builder for both the image decode path
+    and the video-frame sampling path."""
+    frames = arr[np.newaxis] if arr.ndim == 3 else arr
+    n_frames, h, w, _ = frames.shape
+    flat = frames.reshape(-1, 3)
     palette, inverse = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
         raise ValueError("gif_bytes supports at most 256 distinct colors")
@@ -327,38 +383,49 @@ def gif_bytes(arr: "np.ndarray") -> bytes:
     min_code = n_bits
     clear, end = 1 << min_code, (1 << min_code) + 1
     width = min_code + 1
-    codes = [clear]
-    since_clear = 0
-    for i in inverse.tolist():
-        codes.append(int(i))
-        since_clear += 1
-        if since_clear >= clear - 2:      # keep the decoder width fixed
-            codes.append(clear)
-            since_clear = 0
-    codes.append(end)
-    acc = nbits = 0
-    out = bytearray()
-    for c in codes:
-        acc |= c << nbits
-        nbits += width
-        while nbits >= 8:
+
+    def lzw_image(indices: "np.ndarray") -> bytes:
+        codes = [clear]
+        since_clear = 0
+        for i in indices.tolist():
+            codes.append(int(i))
+            since_clear += 1
+            if since_clear >= clear - 2:  # keep the decoder width fixed
+                codes.append(clear)
+                since_clear = 0
+        codes.append(end)
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
             out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        out.append(acc & 0xFF)
-    sub = bytearray()
-    for i in range(0, len(out), 255):
-        chunk = out[i:i + 255]
-        sub += bytes([len(chunk)]) + chunk
-    sub += b"\x00"
+        sub = bytearray()
+        for i in range(0, len(out), 255):
+            chunk = out[i:i + 255]
+            sub += bytes([len(chunk)]) + chunk
+        sub += b"\x00"
+        return (b"\x2C" + b"\x00\x00\x00\x00"
+                + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + b"\x00" + bytes([min_code]) + bytes(sub))
+
+    gce = (b"\x21\xF9\x04\x00" + int(delay_cs).to_bytes(2, "little")
+           + b"\x00\x00")
     header = (b"GIF89a"
               + w.to_bytes(2, "little") + h.to_bytes(2, "little")
               + bytes([0x80 | (table_bits - 1), 0, 0]) + pal.tobytes())
-    image = (b"\x2C" + b"\x00\x00\x00\x00"
-             + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-             + b"\x00" + bytes([min_code]) + bytes(sub))
-    return header + image + b"\x3B"
+    body = bytearray()
+    per_frame = inverse.reshape(n_frames, h * w)
+    for f in range(n_frames):
+        if arr.ndim == 4:                 # animation: per-frame GCE
+            body += gce
+        body += lzw_image(per_frame[f])
+    return header + bytes(body) + b"\x3B"
 
 
 def png_bytes(arr: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
@@ -407,6 +474,99 @@ def png_bytes(arr: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"".join(lines)))
             + chunk(b"IEND", b""))
+
+
+def _decode_wav(payload: bytes):
+    """Pure-stdlib RIFF/WAVE decoder for 16-bit PCM: walks the chunk
+    list (so non-canonical layouts with extra chunks still parse),
+    returns ``(samples int16 ndarray [n, channels], sample_rate)``.
+    Non-PCM / non-16-bit payloads raise NotImplementedError — install a
+    codec via ``set_decoder('audio', fn)``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (int.from_bytes(body[0:2], "little"),    # audio format
+                   int.from_bytes(body[2:4], "little"),    # channels
+                   int.from_bytes(body[4:8], "little"),    # sample rate
+                   int.from_bytes(body[14:16], "little"))  # bits/sample
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE without fmt/data chunks")
+    audio_fmt, channels, rate, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV decodes natively (format {audio_fmt}, "
+            f"{bits}-bit); install a codec via set_decoder('audio', fn)")
+    if channels < 1 or rate <= 0:
+        raise ValueError(f"bad WAV fmt: {channels} channels @ {rate} Hz")
+    n = len(data) // (2 * channels)
+    if n == 0:
+        raise ValueError("WAV without sample data")
+    samples = np.frombuffer(data, dtype="<i2", count=n * channels) \
+        .reshape(n, channels)
+    return samples, rate
+
+
+def wav_bytes(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Encode an int16 array (``(n,)`` mono or ``(n, channels)``) as a
+    REAL canonical 44-byte-header 16-bit PCM WAV — the fixture builder
+    for the audio decode path."""
+    import struct
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, np.newaxis]
+    n, channels = arr.shape
+    data = arr.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                   sample_rate, sample_rate * 2 * channels,
+                                   2 * channels, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def _le16_hex(c: F.Column) -> F.Column:
+    """Little-endian 2-byte hex of an int16-valued column (negative
+    values wrap via two's complement, the PCM encoding)."""
+    hx = F.lpad(F.hex(F.pmod(c.cast("bigint"), F.lit(65536))), 4, "0")
+    return F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+
+
+def synthesize_wav(n_pairs: F.Column, sample_rate: F.Column,
+                   v1: F.Column, v2: F.Column) -> F.Column:
+    """A REAL 16-bit mono PCM WAV payload (binary column) of a square
+    wave alternating between samples ``v1`` and ``v2`` (int16 range),
+    ``n_pairs`` periods long — built entirely with Catalyst expressions
+    like :func:`synthesize_bmp`.  The closed-form features of the
+    planted waveform (rms = sqrt((v1²+v2²)/2), peak = max(|v1|,|v2|),
+    mean = (v1+v2)/2) make the decode path DuckDB-oracle-able."""
+    np_ = n_pairs.cast("bigint")
+    sr = sample_rate.cast("bigint")
+    data_bytes = np_ * 4                  # 2 samples/pair × 2 bytes
+    pair_hex = F.concat(_le16_hex(v1), _le16_hex(v2))
+    data_hex = F.call_function("repeat", pair_hex, np_.cast("int"))
+    header_hex = F.concat(
+        F.lit("52494646"), _le32_hex(data_bytes + 36),    # RIFF, size
+        F.lit("57415645"),                                # WAVE
+        F.lit("666D7420"), F.lit("10000000"),             # fmt , len 16
+        F.lit("0100"), F.lit("0100"),                     # PCM, mono
+        _le32_hex(sr), _le32_hex(sr * 2),                 # rate, byte rate
+        F.lit("0200"), F.lit("1000"),                     # align 2, 16-bit
+        F.lit("64617461"), _le32_hex(data_bytes))         # data, size
+    # gate the WHOLE expression (lazy CaseWhen): bad knobs → NULL
+    # payload → loud per-row decode error, never a giant-repeat overflow
+    ok = ((np_ > 0) & (sr > 0) & (data_bytes < F.lit(32 * 1024 * 1024))
+          & v1.cast("bigint").between(-32768, 32767)
+          & v2.cast("bigint").between(-32768, 32767))
+    return F.when(ok, F.unhex(F.concat(header_hex, data_hex)))
 
 
 def _decode(kind: str, payload: bytes, meta) -> np.ndarray:
@@ -518,14 +678,33 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
       bytes 7/9.
     - BMP: 'BM' + BITMAPINFOHEADER width/height little-endian u32 at
       bytes 19/23, biBitCount at 29 → channels.
+    - WAV (canonical RIFF/WAVE with a leading ``fmt `` chunk):
+      channels at byte 23, sample rate little-endian u32 at byte 25;
+      duration from the ``data`` chunk size when it sits at the
+      canonical byte 37 (non-canonical chunk orders leave duration
+      NULL — the audio decode stage walks chunks properly).
 
     Payloads with an unknown magic get a NULL-field meta struct — the
     decode stage reports them as decode errors instead of fabricating
-    dimensions.  Pixel decoding stays behind ``set_decoder``."""
+    dimensions.  Pixel decoding stays behind ``set_decoder``.
+    ``n_frames`` is 1 for still-image containers; animated-GIF frame
+    counts require the block walk and come from
+    :func:`decode_video_frames`."""
     p = F.col(payload_col)
     is_png = F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A"
     is_gif = F.hex(F.substring(p, 1, 4)) == "47494638"
     is_bmp = F.hex(F.substring(p, 1, 2)) == "424D"
+    is_wav = ((F.hex(F.substring(p, 1, 4)) == "52494646")
+              & (F.hex(F.substring(p, 9, 8)) == "57415645666D7420"))
+    wav_rate = _le_u32(p, 25)
+    wav_bits = _le_u16(p, 35)
+    wav_chans = _le_u16(p, 23)
+    # bytes/sec = rate × channels × bits/8; canonical data size at 41
+    wav_dur_ms = F.when(
+        (F.hex(F.substring(p, 37, 4)) == "64617461")
+        & (wav_rate > 0) & (wav_chans > 0) & (wav_bits >= 8),
+        _le_u32(p, 41) * 1000
+        / (wav_rate * wav_chans * F.floor(wav_bits / 8)))
     png_ct = _byte(p, 26)
 
     def _i32(u: F.Column) -> F.Column:
@@ -543,17 +722,18 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
     channels = (F.when(is_png, F.when(png_ct == 2, 3).when(png_ct == 6, 4)
                                .when(png_ct == 4, 2).otherwise(1))
                 .when(is_gif, F.lit(3))
-                .when(is_bmp, F.floor(_le_u16(p, 29) / 8).cast("long")))
+                .when(is_bmp, F.floor(_le_u16(p, 29) / 8).cast("long"))
+                .when(is_wav, wav_chans))
     # try_cast: corrupt headers must degrade to NULL meta fields (and a
     # per-row decode error downstream), never a CAST_OVERFLOW task kill
     return df.withColumn("meta", F.struct(
         width.try_cast("int").alias("width"),
         height.try_cast("int").alias("height"),
         channels.try_cast("int").alias("channels"),
-        F.lit(None).cast("int").alias("sample_rate"),
+        F.when(is_wav, wav_rate).try_cast("int").alias("sample_rate"),
         F.when(is_png | is_gif | is_bmp, F.lit(1)).cast("int")
             .alias("n_frames"),
-        F.lit(None).cast("int").alias("duration_ms"),
+        wav_dur_ms.try_cast("int").alias("duration_ms"),
     )).withColumn("kind", F.lit(kind))
 
 
@@ -591,6 +771,114 @@ def decode_image_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas stage: REAL audio decode (16-bit PCM WAV via the
+    stdlib parser; other codecs via ``set_decoder('audio', fn)`` →
+    ``(samples int16 [n, ch], rate)``) → per-clip features.  Output:
+    ``media_id, sample_rate, n_samples, duration_ms, peak, rms,
+    mean_amp, decode_error``.  Feature math is float64 numpy over the
+    Arrow batch — exact for PCM integers, so closed-form planted
+    waveforms oracle it bit-for-bit."""
+    out_schema = ("media_id long, sample_rate int, n_samples long, "
+                  "duration_ms double, peak int, rms double, "
+                  "mean_amp double, decode_error string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    fn = _DECODERS.get("audio")
+                    payload = bytes(r.payload)
+                    if fn is not None:
+                        samples, rate = fn(payload, None)
+                    else:
+                        samples, rate = _decode_wav(payload)
+                    flat = np.asarray(samples, dtype=np.float64).reshape(-1)
+                    n = samples.shape[0]
+                    rows.append((int(r.media_id), int(rate), int(n),
+                                 n * 1000 / rate,
+                                 int(np.abs(flat).max()),
+                                 float(np.sqrt(np.mean(flat * flat))),
+                                 float(flat.mean()), None))
+                except Exception as exc:  # malformed audio must not kill the task
+                    rows.append((int(r.media_id), None, None, None,
+                                 None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples", "duration_ms",
+                "peak", "rms", "mean_amp", "decode_error"])
+
+    return df.mapInPandas(run, out_schema)
+
+
+def decode_video_frames(df: DataFrame, every_n: int = 1,
+                        max_frames: int = 64) -> DataFrame:
+    """mapInPandas stage: REAL video-frame decode — one output row per
+    sampled frame with decoded pixel features.  Output: ``media_id,
+    frame_idx, n_frames, width, height, mean_r, mean_g, mean_b,
+    decode_error``.
+
+    Animated GIF is the built-in container (multi-frame LZW via
+    :func:`_iter_gif_frames`; unsampled frames' LZW decompression is
+    skipped, only their block walk runs); other codecs install via
+    ``set_decoder('video', fn)`` with ``fn(payload, meta) -> iterable
+    of (frame_idx, (h, w, 3) uint8)``.  ``every_n`` keeps frames where
+    ``frame_idx % every_n == 0``, up to ``max_frames`` per payload —
+    both caps visible knobs, and undecodable payloads yield a loud
+    per-row ``decode_error`` instead of killing the task."""
+    out_schema = ("media_id long, frame_idx int, n_frames int, "
+                  "width int, height int, mean_r double, mean_g double, "
+                  "mean_b double, decode_error string")
+    cols = ["media_id", "frame_idx", "n_frames", "width", "height",
+            "mean_r", "mean_g", "mean_b", "decode_error"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                try:
+                    payload = bytes(r.payload)
+                    fn = _DECODERS.get("video")
+                    if fn is not None:
+                        meta = r.meta if hasattr(r, "meta") else None
+                        frames = fn(payload, meta)
+                    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                        # the kept-th sampled frame is idx = kept·every_n,
+                        # so idx // every_n < max_frames ⇔ kept < max_frames
+                        frames = _iter_gif_frames(
+                            payload,
+                            want=lambda i: (i % every_n == 0
+                                            and i // every_n < max_frames))
+                    else:
+                        raise NotImplementedError(
+                            "no native codec for this video container; "
+                            "install one via set_decoder('video', fn)")
+                    decoded, n_seen, kept = [], 0, 0
+                    for idx, arr in frames:
+                        n_seen = idx + 1
+                        if arr is None or idx % every_n != 0 \
+                                or kept >= max_frames:
+                            continue
+                        kept += 1
+                        means = arr.reshape(-1, arr.shape[-1]) \
+                            .mean(axis=0, dtype=np.float64)
+                        decoded.append((idx, arr.shape[1], arr.shape[0],
+                                        float(means[0]), float(means[1]),
+                                        float(means[2])))
+                    if not decoded:
+                        raise ValueError("video payload with no frames")
+                    for idx, w, h, mr, mg, mb in decoded:
+                        rows.append((mid, idx, n_seen, w, h, mr, mg, mb,
+                                     None))
+                except Exception as exc:  # malformed media: loud row, live task
+                    rows.append((mid, None, None, None, None,
+                                 None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, out_schema)
+
+
 def resize_images(df: DataFrame, target: int = 64) -> DataFrame:
     """mapInPandas stage: decode → nearest-neighbor resize →
     re-serialize as raw bytes with updated metadata.  Demonstrates the
@@ -623,10 +911,12 @@ def resize_images(df: DataFrame, target: int = 64) -> DataFrame:
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits one row per
-    sampled frame index from the metadata (decode of the actual frame
-    bytes is the stubbed step).  Pure expression algebra —
-    posexplode over a generated frame-index sequence."""
+    """Frame-index sampling plumbing from METADATA ONLY: emits one row
+    per sampled frame index without touching payload bytes — pure
+    expression algebra (posexplode over a generated frame-index
+    sequence), the cheap pre-filter when downstream only needs indices.
+    For real pixel decode of the sampled frames use
+    :func:`decode_video_frames` (animated GIF built in)."""
     n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
     dur = F.coalesce(F.col("meta.duration_ms"), n * 40)  # 25fps default
     step = F.greatest((n * every_ms / F.greatest(dur, F.lit(1))).cast("int"),

@@ -106,6 +106,14 @@ def stream_first_seen(stream_df: DataFrame, key_cols: Sequence[str],
     continuously-triggered production streams."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # the output schema appends a reserved column to the input fields —
+    # an input that already carries the name would produce a duplicate
+    # field and fail deep inside the state runner (ADVICE r3): fail
+    # loudly here instead
+    if "first_seen_batch_dupes" in stream_df.columns:
+        raise ValueError(
+            "stream_first_seen reserves the output column "
+            "'first_seen_batch_dupes'; rename or drop the input column")
     in_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                           for f in stream_df.schema.fields)
     out_schema = f"{in_fields}, first_seen_batch_dupes long"

@@ -17,10 +17,14 @@ Pipeline (each stage is the scale shape documented in SCALE.md):
    ``verify_pairs`` re-scores every candidate with exact n-gram
    Jaccard — candidates are a recall set, never a verdict.
 3. **drop**    — for each verified pair above ``--jaccard``, the
-   larger id drops (min-id canonical survivor, the exact-dedup rule);
-   drops resolve transitively through the pair graph in one
-   connected-components-free pass because survivors are min-ids:
-   a doc survives iff NO verified pair links it to a smaller id.
+   larger id drops: a doc survives iff NO verified pair links it to a
+   smaller id — one connected-components-free pass.  Chain caveat
+   (standard transitive-chain dedup, ADVICE r3): in a chain A–B, B–C
+   with A–C unverified, both B and C drop, so C's nearest VERIFIED
+   neighbor (B) is itself dropped and C's surviving chain root A may
+   sit below ``--jaccard`` similarity to C.  If per-drop canonical
+   attribution matters, post-join drops to ``near_pairs`` and keep
+   only rows whose ``id_a`` survived.
 4. **report**  — one JSON line: input/survivor counts per stage plus
    the duplicate-pair histogram, and parquet outputs:
    ``<output>/survivors``, ``<output>/exact_groups``,

@@ -16,7 +16,11 @@ from jema_js_spark.operators.dedup import (
     ngram_jaccard,
     simhash_candidates,
 )
-from jema_js_spark.operators.drift import categorical_drift, ks_two_sample
+from jema_js_spark.operators.drift import (
+    categorical_drift,
+    ks_exact,
+    ks_two_sample,
+)
 from jema_js_spark.operators.referential import fk_violations, ts_window_violations
 from jema_js_spark.operators.similarity import (
     brute_force_topk,
@@ -141,6 +145,34 @@ def test_ks_two_sample(spark, docs):
     shifted = docs.withColumn("n_chars", F.col("n_chars") + 1000)
     diff = ks_two_sample(docs, shifted, "n_chars")
     assert diff["ks"] > 0.5
+
+
+def test_ks_exact_vs_python_ecdf(spark, docs):
+    # exact-histogram KS vs a brute-force python ECDF over the raw data
+    a = docs.filter(F.col("lang") == "en")
+    b = docs.filter(F.col("lang") != "en")
+    got = ks_exact(a, b, "n_chars").collect()[0]["ks"]
+    va = sorted(r[0] for r in a.select("n_chars").collect() if r[0] is not None)
+    vb = sorted(r[0] for r in b.select("n_chars").collect() if r[0] is not None)
+    import bisect
+    want = max(abs(bisect.bisect_right(va, x) / len(va)
+                   - bisect.bisect_right(vb, x) / len(vb))
+               for x in set(va) | set(vb))
+    assert got == pytest.approx(want, abs=1e-6)
+    # identical sides → exactly 0
+    assert ks_exact(docs, docs, "n_chars").collect()[0]["ks"] == 0.0
+
+
+def test_ks_sketch_tracks_exact(spark, docs):
+    # the sketch path (the unbounded-cardinality regime) must agree
+    # with the exact statistic within its grid resolution
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1) \
+        .withColumn("n_chars", F.col("n_chars") + 40)
+    exact = ks_exact(a, b, "n_chars").collect()[0]["ks"]
+    sketch = ks_two_sample(a, b, "n_chars")["ks"]
+    assert abs(sketch - exact) < 0.05
+    assert exact > 0.05   # the planted shift is visible
 
 
 def test_text_features(spark, docs):

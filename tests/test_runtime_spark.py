@@ -347,6 +347,153 @@ def test_video_frame_sampling(spark):
     assert len(per_id[2]) >= 1
 
 
+def test_animated_gif_frame_roundtrip():
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _iter_gif_frames, gif_bytes
+
+    frames = np.stack([
+        np.full((3, 4, 3), [f * 50, 255 - f * 40, f * 13], dtype=np.uint8)
+        for f in range(5)])
+    payload = gif_bytes(frames, delay_cs=7)
+    got = dict(_iter_gif_frames(payload))
+    assert sorted(got) == [0, 1, 2, 3, 4]
+    for f in range(5):
+        assert np.array_equal(got[f], frames[f]), f
+    # want-predicate: unsampled frames skip LZW but are still counted
+    sampled = dict(_iter_gif_frames(payload, want=lambda i: i % 2 == 0))
+    assert sampled[1] is None and sampled[3] is None
+    assert np.array_equal(sampled[4], frames[4])
+
+
+def test_gif_partial_frame_raises():
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _iter_gif_frames, gif_bytes
+
+    payload = bytearray(gif_bytes(np.zeros((2, 2, 3), dtype=np.uint8)))
+    payload[6:8] = (3).to_bytes(2, "little")  # screen wider than frame
+    with pytest.raises(NotImplementedError, match="compositing"):
+        list(_iter_gif_frames(bytes(payload)))
+
+
+def test_decode_video_frames_spark(spark):
+    import numpy as np
+    from jema_js_spark.operators.multimodal import (
+        decode_video_frames, gif_bytes)
+
+    rows = []
+    for i in range(6):
+        n = i % 3 + 1          # 1..3 frames
+        frames = np.stack([
+            np.full((2, 2, 3), [(i * 9 + f * 5) % 256, f, i], dtype=np.uint8)
+            for f in range(n)])
+        rows.append((i, bytearray(gif_bytes(frames))))
+    rows.append((99, bytearray(b"not a video")))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_video_frames(df, every_n=2).collect()
+    errs = [r for r in out if r["decode_error"] is not None]
+    assert [r["media_id"] for r in errs] == [99]
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out
+              if r["decode_error"] is None}
+    for i in range(6):
+        n = i % 3 + 1
+        for f in range(0, n, 2):
+            r = by_key.pop((i, f))
+            assert r["n_frames"] == n
+            assert (r["mean_r"], r["mean_g"], r["mean_b"]) == \
+                ((i * 9 + f * 5) % 256, f, i)
+    assert not by_key      # no extra (odd-frame) rows leaked
+    # max_frames cap is honored
+    capped = decode_video_frames(df, every_n=1, max_frames=2).collect()
+    per_id = {}
+    for r in capped:
+        if r["decode_error"] is None:
+            per_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert per_id[2] == [0, 1]   # 3 frames, capped at 2
+
+
+def test_wav_roundtrip_and_guards():
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _decode_wav, wav_bytes
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32768, size=500, dtype=np.int16)
+    samples, rate = _decode_wav(wav_bytes(mono, 12000))
+    assert rate == 12000 and np.array_equal(samples[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, size=(300, 2), dtype=np.int16)
+    samples2, _ = _decode_wav(wav_bytes(stereo, 8000))
+    assert np.array_equal(samples2, stereo)
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"nope")
+    # non-PCM format byte → loud NotImplementedError
+    bad = bytearray(wav_bytes(mono, 8000))
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE float format
+    with pytest.raises(NotImplementedError, match="PCM"):
+        _decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="fmt/data"):
+        _decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_decode_audio_features_vs_numpy(spark):
+    import numpy as np
+    from jema_js_spark.operators.multimodal import (
+        decode_audio_features, wav_bytes)
+
+    rng = np.random.default_rng(11)
+    rows, expect = [], {}
+    for i in range(8):
+        s = rng.integers(-20000, 20000, size=64 + i * 16, dtype=np.int16)
+        rows.append((i, bytearray(wav_bytes(s, 8000 + i * 1000))))
+        f = s.astype(np.float64)
+        expect[i] = (len(s), int(np.abs(f).max()),
+                     float(np.sqrt(np.mean(f * f))), float(f.mean()))
+    rows.append((99, bytearray(b"RIFFxxxxWAVE")))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_audio_features(df).collect()}
+    assert out[99]["decode_error"] is not None
+    for i in range(8):
+        r = out[i]
+        assert r["decode_error"] is None
+        assert r["sample_rate"] == 8000 + i * 1000
+        n, peak, rms, mean = expect[i]
+        assert r["n_samples"] == n and r["peak"] == peak
+        assert r["rms"] == pytest.approx(rms, abs=0)
+        assert r["mean_amp"] == pytest.approx(mean, abs=0)
+        assert r["duration_ms"] == pytest.approx(n * 1000 / r["sample_rate"])
+
+
+def test_synthesize_wav_matches_python_writer(spark):
+    import numpy as np
+    from jema_js_spark.operators.multimodal import synthesize_wav, wav_bytes
+
+    df = spark.range(1).select(synthesize_wav(
+        F.lit(12), F.lit(16000), F.lit(-15000), F.lit(9999)).alias("payload"))
+    got = bytes(df.collect()[0]["payload"])
+    want = wav_bytes(np.tile(np.array([-15000, 9999], np.int16), 12), 16000)
+    assert got == want
+    # out-of-range knobs → NULL payload (loud downstream), never overflow
+    bad = spark.range(1).select(synthesize_wav(
+        F.lit(0), F.lit(16000), F.lit(1), F.lit(2)).alias("p")).collect()
+    assert bad[0]["p"] is None
+    bad2 = spark.range(1).select(synthesize_wav(
+        F.lit(4), F.lit(8000), F.lit(40000), F.lit(0)).alias("p")).collect()
+    assert bad2[0]["p"] is None
+
+
+def test_attach_media_metadata_wav(spark):
+    import numpy as np
+    from jema_js_spark.operators.multimodal import wav_bytes
+
+    s = np.zeros(16000, dtype=np.int16)   # 1 s at 16 kHz mono
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes(s, 16000)))],
+        "media_id long, payload binary")
+    meta = attach_media_metadata(df, kind="audio").collect()[0]["meta"]
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 1
+    assert meta["duration_ms"] == 1000
+    assert meta["width"] is None and meta["n_frames"] is None
+
+
 def test_checkpoint_resume(spark):
     df = spark.range(100).withColumn("day", F.pmod(F.col("id"), F.lit(5)))
     with tempfile.TemporaryDirectory() as tmp:

@@ -141,3 +141,14 @@ def test_stream_first_seen_stateful(spark, tmp_path):
         assert by_key[k]["first_seen_batch_dupes"] == 1
     assert by_key[5]["value"] == 200 and by_key[6]["value"] == 201
     assert by_key[5]["first_seen_batch_dupes"] == 0
+
+
+def test_stream_first_seen_reserved_column_is_loud(spark):
+    # an input already carrying the reserved output column must fail
+    # at construction, not deep inside the state runner (ADVICE r3)
+    from jema_js_spark.streaming.validate_stream import stream_first_seen
+
+    df = spark.createDataFrame(
+        [(1, 0)], "key long, first_seen_batch_dupes long")
+    with pytest.raises(ValueError, match="first_seen_batch_dupes"):
+        stream_first_seen(df, ["key"], ttl_minutes=None)
