@@ -2412,6 +2412,171 @@ _many("contains.json", {"contains": False}, [
     ([], "contains false: empty fails too"),
 ])
 
+# --- round-4 long-tail densification (VERDICT r3 #7) ---------------------
+# thin files brought up toward official-suite density; verdicts still
+# from the spec oracle (expected_for), no new pins needed.
+
+# default.json: default is pure annotation — never asserts
+_many("default.json",
+      {"properties": {"foo": {"type": "integer", "default": []}}}, [
+    ({"foo": 13}, "valid when property present"),
+    ({"foo": "bar"}, "still asserts the sibling type"),
+    ({}, "valid when property absent (default not applied)"),
+])
+_many("default.json",
+      {"properties": {"bad": {"type": "string", "default": 7}}}, [
+    ({"bad": "good"}, "default need not satisfy its own schema"),
+    ({}, "absent: type-violating default still never asserted"),
+])
+_many("default.json",
+      {"items": {"default": 1, "minimum": 0}}, [
+    ([0, 1, 2], "array items with defaults"),
+    ([-1], "sibling keyword still asserts inside items"),
+])
+_c("default.json", {"default": {"deep": [1, 2]}}, None,
+   "root-level structured default is annotation-only")
+
+# infinite-loop-detection.json: same schema location × same data
+# location twice is NOT a loop (the official file's premise)
+_many("infinite-loop-detection.json",
+      {"$defs": {"int": {"type": "integer"}},
+       "allOf": [{"properties": {"foo": {"$ref": "#/$defs/int"}}},
+                  {"additionalProperties": {"$ref": "#/$defs/int"}}]}, [
+    ({"foo": 1}, "same ref evaluated twice at one location: passing"),
+    ({"foo": "a"}, "same ref evaluated twice: failing both times"),
+    ({"foo": 1, "bar": 2}, "second branch covers extra properties"),
+    ({"foo": 1, "bar": "x"}, "extra property fails only second branch"),
+])
+
+# dependencies.json (draft-4 shim): array form, multi-key, empties.
+# Failing-shim verdicts must be PINNED: the 2020-12 spec oracle ignores
+# the removed keyword entirely (same rationale as the existing pins)
+_DEP_WHY = ("jema implements the draft-4 dependencies shim; "
+            "2020-12 oracle ignores it")
+_many("dependencies.json", {"dependencies": {"bar": ["foo", "baz"]}}, [
+    ({"bar": 1, "foo": 2, "baz": 3}, "multiple array deps all present"),
+    ({"foo": 2, "baz": 3}, "trigger key absent: vacuous"),
+])
+_c("dependencies.json", {"dependencies": {"bar": ["foo", "baz"]}},
+   {"bar": 1, "foo": 2}, "one of two array deps missing",
+   pinned=False, why=_DEP_WHY)
+_c("dependencies.json", {"dependencies": {"bar": ["foo", "baz"]}},
+   {"bar": 1}, "both array deps missing", pinned=False, why=_DEP_WHY)
+_many("dependencies.json", {"dependencies": {"bar": []}}, [
+    ({"bar": 1}, "empty array dependency always satisfied"),
+    ({}, "empty dependency, trigger absent"),
+])
+_many("dependencies.json", {"dependencies": {"a": True, "b": False}}, [
+    ({"a": 1}, "boolean-true schema dependency"),
+    ({"c": 1}, "false dependency vacuous when trigger absent"),
+])
+_c("dependencies.json", {"dependencies": {"a": True, "b": False}},
+   {"b": 1}, "boolean-false schema dependency fails when present",
+   pinned=False, why=_DEP_WHY)
+_many("dependencies.json",
+      {"dependencies": {"quoted'key": ["tab\tkey"]}}, [
+    ({"quoted'key": 1, "tab\tkey": 2}, "exotic property names satisfied"),
+])
+_c("dependencies.json", {"dependencies": {"quoted'key": ["tab\tkey"]}},
+   {"quoted'key": 1}, "exotic dep missing", pinned=False, why=_DEP_WHY)
+_c("dependencies.json", {"dependencies": {"a": ["a"]}}, {"a": 1},
+   "self-dependency is trivially satisfied by the trigger")
+
+# id.json: base-URI changes in subschemas
+_many("id.json",
+      {"$id": "http://example.com/root.json",
+       "$defs": {"leaf": {"$id": "leaf.json", "type": "integer"}},
+       "properties": {"x": {"$ref": "leaf.json"}}}, [
+    ({"x": 3}, "relative $id resolved against root base"),
+    ({"x": "s"}, "relative-$id target still asserts"),
+])
+_many("id.json",
+      {"$id": "http://example.com/a/root.json",
+       "$defs": {
+           "mid": {"$id": "http://example.com/b/mid.json",
+                    "$defs": {"leaf": {"$id": "leaf.json",
+                                        "type": "string"}}}},
+       "properties": {"x": {"$ref": "http://example.com/b/leaf.json"}}}, [
+    ({"x": "ok"}, "nested absolute $id rebases its children"),
+    ({"x": 1}, "rebased leaf asserts"),
+])
+_many("id.json",
+      {"$id": "http://example.com/c/root.json",
+       "$defs": {"n": {"$id": "num.json",
+                        "minimum": 5, "maximum": 10}},
+       "allOf": [{"$ref": "num.json"}]}, [
+    (7, "ref through relative $id inside allOf"),
+    (2, "bound from relative-$id subschema fails"),
+])
+
+# anchor.json: same anchor name under different base URIs
+_many("anchor.json",
+      {"$id": "http://example.com/anchor-root.json",
+       "$defs": {
+           "a": {"$id": "nested.json",
+                  "$defs": {"x": {"$anchor": "here", "type": "integer"}}},
+           "b": {"$anchor": "here", "type": "string"}},
+       "properties": {
+           "p": {"$ref": "#here"},
+           "q": {"$ref": "nested.json#here"}}}, [
+    ({"p": "s", "q": 1}, "same anchor name, two base URIs"),
+    ({"p": 1, "q": 1}, "root anchor asserts string"),
+    ({"p": "s", "q": "s"}, "nested anchor asserts integer"),
+])
+_many("anchor.json",
+      {"$defs": {"n": {"$anchor": "num", "multipleOf": 3}},
+       "items": {"$ref": "#num"}}, [
+    ([3, 6, 9], "anchor ref from items"),
+    ([3, 4], "anchor target asserts per element"),
+])
+
+# min/maxItems: boundaries + non-array ignores
+_many("maxItems.json", {"maxItems": 0}, [
+    ([], "maxItems 0 allows only empty"),
+    ([None], "maxItems 0 rejects one element"),
+    ("too long a string", "strings ignored by maxItems"),
+])
+_many("minItems.json", {"minItems": 2}, [
+    ([1, 2], "exact boundary"),
+    ([1], "one short"),
+    ({"a": 1, "b": 2, "c": 3}, "objects ignored by minItems"),
+    (10, "numbers ignored by minItems"),
+])
+_many("maxItems.json", {"items": {"maxItems": 1}}, [
+    ([[1], []], "nested maxItems per inner array"),
+    ([[1, 2]], "inner array too long"),
+])
+
+# min/maxProperties: 0-bound + non-object ignores
+_many("maxProperties.json", {"maxProperties": 0}, [
+    ({}, "maxProperties 0 allows only empty object"),
+    ({"a": 1}, "maxProperties 0 rejects one key"),
+    ([1, 2, 3], "arrays ignored by maxProperties"),
+    ("abc", "strings ignored by maxProperties"),
+])
+_many("minProperties.json", {"minProperties": 2}, [
+    ({"a": 1, "b": 2}, "exact boundary"),
+    ({"a": 1}, "one key short"),
+    ([], "arrays ignored by minProperties"),
+    (None, "null ignored by minProperties"),
+])
+
+# min/maxLength: code points + ignores + zero bounds
+_many("maxLength.json", {"maxLength": 0}, [
+    ("", "maxLength 0 allows only empty"),
+    ("a", "maxLength 0 rejects one char"),
+])
+_many("maxLength.json", {"maxLength": 2}, [
+    ("\U0001F4A9\U0001F4A9", "two astral code points count as 2"),
+    ("\U0001F4A9\U0001F4A9a", "three code points exceed 2"),
+    (100, "numbers ignored by maxLength"),
+    ([1, 2, 3], "arrays ignored by maxLength"),
+])
+_many("minLength.json", {"minLength": 2}, [
+    ("é́", "combining mark counts as its own code point"),
+    ("\U0001F4A9", "single astral code point is length 1"),
+])
+
 
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
