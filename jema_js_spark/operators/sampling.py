@@ -1,0 +1,110 @@
+"""Deterministic sampling for training-data pipelines.
+
+Everything here keys off ``xxhash64(key, seed)`` rather than ``rand()``
+on purpose: at 100 TB a sample must be REPRODUCIBLE (same rows on
+re-run, independent of partitioning, task retries, and cluster size)
+and CONSISTENT across tables (sampling documents and their embeddings
+by the same key keeps them aligned).  ``rand()`` gives none of that —
+its draw depends on partition layout and retry history.
+
+- :func:`hash_sample` — keep a deterministic ``rate`` fraction of rows.
+  Stateless filter: no shuffle, fully pushable below joins/projections.
+- :func:`hash_split` — label rows train/val/test (or any weighted
+  split) from disjoint hash ranges; splits are exactly disjoint and
+  exhaustive by construction.
+- :func:`stratified_cap` — at most ``n`` rows per group, chosen by
+  hash order (a deterministic uniform draw within the group).  Uses
+  the same two-phase window trick as ``brute_force_topk`` so a hot
+  group never funnels into a single task: phase 1 keeps ≤ n per
+  (group, salt-bucket), phase 2 ranks the ≤ n·buckets survivors.
+
+Cited reference scope: jema.js has no sampling surface — these are
+engine extensions under the training-data pipeline mandate (SCALE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_sample", "hash_split", "stratified_cap"]
+
+def _unit_hash(cols: Sequence[Column], seed: int) -> Column:
+    """Deterministic uniform-ish draw in [0, 1) from the key columns:
+    the signed 64-bit hash scaled by 2^-64 and shifted by 1/2.  (A
+    ``lit(2**63)`` modulus would overflow the JVM long, and
+    ``abs(hash)`` overflows ANSI mode on Long.MIN_VALUE.)"""
+    h = F.xxhash64(*cols, F.lit(seed))
+    return h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)
+
+
+def hash_sample(df: DataFrame, key_cols: Sequence[str], rate: float,
+                seed: int = 0) -> DataFrame:
+    """Keep a deterministic ``rate``-fraction of rows by key hash.
+
+    One filter, zero shuffles; Catalyst pushes it to the scan where the
+    source allows.  Rows with equal keys land on the same side — which
+    is exactly what a dedup-aware pipeline wants (sampling by ``url``
+    keeps or drops ALL copies of a page together)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_unit_hash([F.col(c) for c in key_cols], seed)
+                     < F.lit(rate))
+
+
+def hash_split(df: DataFrame, key_cols: Sequence[str],
+               fractions: Dict[str, float], seed: int = 0,
+               split_col: str = "split") -> DataFrame:
+    """Label every row with a split name from contiguous hash ranges.
+
+    ``fractions`` maps name → weight (normalized internally), e.g.
+    ``{"train": 0.98, "val": 0.01, "test": 0.01}``.  Splits are exactly
+    disjoint and exhaustive: each row's hash falls in exactly one
+    range, so re-running (or running on another cluster) reproduces the
+    identical assignment — the property train/test hygiene depends on."""
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    if any(w < 0 for w in fractions.values()) or sum(fractions.values()) <= 0:
+        raise ValueError(f"fractions need non-negative weights summing > 0: "
+                         f"{fractions}")
+    total = float(sum(fractions.values()))
+    u = _unit_hash([F.col(c) for c in key_cols], seed)
+    expr = None
+    upper = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        upper += fractions[name] / total
+        branch = F.when(u < F.lit(upper), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(upper),
+                                                     F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_cap(df: DataFrame, group_cols: Sequence[str], n: int,
+                   seed: int = 0, partial_buckets: int = 32) -> DataFrame:
+    """At most ``n`` rows per group, selected by deterministic hash
+    order over the whole row (a uniform within-group draw that is
+    stable across partitioning) — the per-source / per-domain quota
+    operator every crawl-balancing pipeline needs.
+
+    Two-phase exact selection (same argument as ``brute_force_topk``):
+    the global smallest-n-by-hash rows of a group are a subset of the
+    union of each salt-bucket's smallest n, so phase 2 over the
+    ≤ n·partial_buckets survivors returns exactly the global choice;
+    a hot group costs ``partial_buckets`` parallel tasks, not one."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    gcols = [F.col(c) for c in group_cols]
+    pri = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    salt = F.pmod(F.xxhash64(pri, F.lit(seed + 1)), F.lit(partial_buckets))
+    with_pri = df.withColumn("__pri", pri).withColumn("__salt", salt)
+    w1 = Window.partitionBy(*gcols, F.col("__salt")).orderBy("__pri")
+    partial = (with_pri.withColumn("__rn", F.row_number().over(w1))
+               .filter(F.col("__rn") <= n).drop("__rn", "__salt"))
+    w2 = Window.partitionBy(*gcols).orderBy("__pri")
+    return (partial.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= n).drop("__rn", "__pri"))
