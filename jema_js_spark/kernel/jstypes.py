@@ -42,6 +42,20 @@ UNEVALUATED_NAMES = {
 }
 
 
+# exact-type fast path for get_type: json.loads / plain-python data is
+# always exact types, and this is the kernel's hottest helper (~25
+# calls per document measured).  bool precedes int here because dict
+# lookup on type() is exact — bool maps to "boolean", int to "number".
+_TYPE_DISPATCH = {
+    type(None): "null",
+    bool: "boolean",
+    int: "number",
+    str: "string",
+    list: "array",
+    dict: "object",
+}
+
+
 def get_type(value: Any) -> str:
     """Dynamic JSON type of ``value`` — mirror of getType (schema.js:677-683).
 
@@ -49,8 +63,13 @@ def get_type(value: Any) -> str:
     reference).  Non-finite floats return ``'not supported'`` so they match
     *no* ``type`` keyword (pinned by reference tests.html:52,74-76).
     """
-    if value is None:
-        return "null"
+    t = type(value)
+    name = _TYPE_DISPATCH.get(t)
+    if name is not None:
+        return name
+    if t is float:
+        return "number" if math.isfinite(value) else "not supported"
+    # subclass / exotic fallback — the original isinstance chain
     if isinstance(value, bool):
         return "boolean"
     if isinstance(value, (int, float)):
