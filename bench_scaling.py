@@ -207,7 +207,9 @@ contract: combinators, if/then/else, $ref, unevaluatedProperties):
 | local[32] (16N) | {k_docs[32]:,} | {kernel[32]['sec']:.2f} | {k_thr[32]:,.0f} |
 
 **N→4N efficiency, 2→8 threads: {k_eff_sub:.3f}** ← headline (target
-≥ 0.8; the per-node compute regime a cluster node operates in).
+≥ 0.8; the per-node compute regime a cluster node operates in; a value
+slightly above 1.0 is measurement noise plus the fixed JVM/arrow
+overhead threads competing proportionally less at wider widths).
 8→32 threads: {k_eff:.3f} vs the machine's own bare-multiprocessing
 ceiling below — whole-box saturation, not engine loss.
 
