@@ -7,8 +7,14 @@ from jema_js_spark.operators.dedup import (
 )
 from jema_js_spark.operators.drift import (
     categorical_drift,
+    ks_exact,
     ks_two_sample,
     lang_drift_report,
+)
+from jema_js_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_cap,
 )
 from jema_js_spark.operators.referential import (
     fk_report,
