@@ -16,7 +16,8 @@
               - kw_length        = minLength + maxLength
               - kw_enum_const    = enum + const
               - kw_bounds        = minimum + exclusiveMinimum +
-                                   exclusiveMaximum
+                                   exclusiveMaximum + multipleOf
+                                   (two valid columns)
               - kw_type          = type:number + type union
                                    (two valid columns)
               - kw_format        = ipv4 + calendar-exact date
@@ -431,6 +432,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "frame_idx", "n_frames", "width", "height",
             "mean_r", "mean_g", "mean_b")
 
+    # numeric bounds + multipleOf (JS float semantics), one query,
+    # two valid columns
+    def q_kw_bounds(spark, sf_dir):
+        d = with_valid(_docs(spark, sf_dir),
+                       {"properties": {"n_chars": {"minimum": 100,
+                                                   "exclusiveMaximum": 400},
+                                       "doc_id": {"exclusiveMinimum": 5}}},
+                       col_name="valid_bounds")
+        d = with_valid(d, {"properties": {"n_chars": {"multipleOf": 7}}},
+                       col_name="valid_mult")
+        return d.select("doc_id", "valid_bounds", "valid_mult")
+
+    # engine-portable deterministic sampling (method="md5"): the DuckDB
+    # twin recomputes the IDENTICAL draw (md5 is md5 everywhere; 52
+    # hash bits keep the unit-interval division exact in both engines),
+    # auditing exact sample membership and split assignment — the
+    # reproducibility property the operator exists for.  Split weights
+    # are binary-exact (0.75/0.125) so the cumulative thresholds are
+    # the same doubles on both sides.
+    def q_sample_split(spark, sf_dir):
+        from jema_js_spark.operators.sampling import hash_sample, hash_split
+
+        docs = _docs(spark, sf_dir).select("doc_id")
+        split = hash_split(docs, ["doc_id"],
+                           {"train": 0.75, "val": 0.125, "test": 0.125},
+                           seed=3, method="md5")
+        sampled = hash_sample(docs, ["doc_id"], 0.25, seed=7, method="md5") \
+            .select("doc_id", F.lit(True).alias("sampled"))
+        return (split.join(sampled, "doc_id", "left")
+                .select("doc_id", "split",
+                        F.coalesce("sampled", F.lit(False)).alias("sampled")))
+
     # type: number assertion + union type, one query, two valid columns
     def q_kw_type(spark, sf_dir):
         d = with_valid(_docs(spark, sf_dir),
@@ -449,10 +482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw_enum_const": {"properties": {"lang": {"enum": LANGS},
                                           "source": {"const": "src1"}},
                            "required": ["lang", "source"]},
-        "kw_bounds": {"properties": {"n_chars": {"minimum": 100,
-                                                  "exclusiveMaximum": 400},
-                                      "doc_id": {"exclusiveMinimum": 5}}},
-        "kw_multipleof": {"properties": {"n_chars": {"multipleOf": 7}}},
         "kw_allof": {"allOf": [{"properties": {"n_chars": {"minimum": 100}}},
                                 {"properties": {"n_chars": {"maximum": 400}}}]},
         "kw_anyof": {"anyOf": [
@@ -627,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pixels": q_media_pixels,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "sample_split": q_sample_split,
+        "kw_bounds": q_kw_bounds,
     }
     for name, schema in keyword_schemas.items():
         out[name] = _doc_valid(schema)
@@ -830,11 +861,29 @@ def oracle_sql() -> dict[str, str]:
         "kw_bounds": """
             SELECT doc_id,
                    ((n_chars IS NULL OR (n_chars >= 100 AND n_chars < 400))
-                    AND doc_id > 5) AS valid
+                    AND doc_id > 5) AS valid_bounds,
+                   (n_chars IS NULL OR n_chars % 7 = 0) AS valid_mult
             FROM documents""",
-        "kw_multipleof": """
-            SELECT doc_id, (n_chars IS NULL OR n_chars % 7 = 0) AS valid
-            FROM documents""",
+        "sample_split": """
+            -- the md5 draw recomputed verbatim: first 52 bits of
+            -- md5('<doc_id>|<seed>') scaled by 2^-52; split thresholds
+            -- 0.75/0.875 are binary-exact, so assignment matches the
+            -- Spark side bit-for-bit
+            WITH d AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(doc_id::VARCHAR || '|' || '3'),
+                                        1, 13))::BIGINT
+                       / 4503599627370496.0 AS u_split,
+                     ('0x' || substring(md5(doc_id::VARCHAR || '|' || '7'),
+                                        1, 13))::BIGINT
+                       / 4503599627370496.0 AS u_samp
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN u_split < 0.75 THEN 'train'
+                        WHEN u_split < 0.875 THEN 'val'
+                        ELSE 'test' END AS split,
+                   (u_samp < 0.25) AS sampled
+            FROM d""",
         "kw_allof": """
             SELECT doc_id,
                    ((n_chars IS NULL OR n_chars >= 100)

@@ -1,11 +1,14 @@
 """Deterministic sampling for training-data pipelines.
 
-Everything here keys off ``xxhash64(key, seed)`` rather than ``rand()``
-on purpose: at 100 TB a sample must be REPRODUCIBLE (same rows on
-re-run, independent of partitioning, task retries, and cluster size)
-and CONSISTENT across tables (sampling documents and their embeddings
-by the same key keeps them aligned).  ``rand()`` gives none of that —
-its draw depends on partition layout and retry history.
+Everything here keys off a key hash rather than ``rand()`` on purpose:
+at 100 TB a sample must be REPRODUCIBLE (same rows on re-run,
+independent of partitioning, task retries, and cluster size) and
+CONSISTENT across tables (sampling documents and their embeddings by
+the same key keeps them aligned).  ``rand()`` gives none of that — its
+draw depends on partition layout and retry history.  Two hash methods:
+``xxhash64`` (default, JVM-codegen fast) and ``md5`` (engine-portable:
+any SQL engine reproduces the draw bit-for-bit — the driver's DuckDB
+oracle audits the ``sample_split`` query through it).
 
 - :func:`hash_sample` — keep a deterministic ``rate`` fraction of rows.
   Stateless filter: no shuffle, fully pushable below joins/projections.
@@ -31,17 +34,36 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_sample", "hash_split", "stratified_cap"]
 
-def _unit_hash(cols: Sequence[Column], seed: int) -> Column:
-    """Deterministic uniform-ish draw in [0, 1) from the key columns:
-    the signed 64-bit hash scaled by 2^-64 and shifted by 1/2.  (A
+
+def _unit_hash(cols: Sequence[Column], seed: int,
+               method: str = "xxhash64") -> Column:
+    """Deterministic uniform-ish draw in [0, 1) from the key columns.
+
+    ``xxhash64`` (default): the signed 64-bit JVM hash scaled by 2^-64
+    and shifted by 1/2 — fastest, whole-stage-codegen.  (A
     ``lit(2**63)`` modulus would overflow the JVM long, and
-    ``abs(hash)`` overflows ANSI mode on Long.MIN_VALUE.)"""
+    ``abs(hash)`` overflows ANSI mode on Long.MIN_VALUE.)
+
+    ``md5``: the first 52 bits of md5 over a '|'-joined string key,
+    scaled by 2^-52 — slower, but every SQL engine computes the SAME
+    value (md5 is md5 everywhere), so an external system — or the
+    round's DuckDB oracle — can reproduce the draw bit-for-bit and
+    audit exactly which rows a 100 TB sample kept.  52 bits keeps the
+    integer exact in a double, so the division is exact-rounded
+    identically in every engine."""
+    if method == "md5":
+        key = F.concat_ws("|", *[c.cast("string") for c in cols],
+                          F.lit(str(seed)))
+        h = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+        return h.cast("double") / F.lit(float(1 << 52))
+    if method != "xxhash64":
+        raise ValueError(f"unknown hash method {method!r}")
     h = F.xxhash64(*cols, F.lit(seed))
     return h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)
 
 
 def hash_sample(df: DataFrame, key_cols: Sequence[str], rate: float,
-                seed: int = 0) -> DataFrame:
+                seed: int = 0, method: str = "xxhash64") -> DataFrame:
     """Keep a deterministic ``rate``-fraction of rows by key hash.
 
     One filter, zero shuffles; Catalyst pushes it to the scan where the
@@ -50,13 +72,14 @@ def hash_sample(df: DataFrame, key_cols: Sequence[str], rate: float,
     keeps or drops ALL copies of a page together)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(_unit_hash([F.col(c) for c in key_cols], seed)
+    return df.filter(_unit_hash([F.col(c) for c in key_cols], seed, method)
                      < F.lit(rate))
 
 
 def hash_split(df: DataFrame, key_cols: Sequence[str],
                fractions: Dict[str, float], seed: int = 0,
-               split_col: str = "split") -> DataFrame:
+               split_col: str = "split",
+               method: str = "xxhash64") -> DataFrame:
     """Label every row with a split name from contiguous hash ranges.
 
     ``fractions`` maps name → weight (normalized internally), e.g.
@@ -70,7 +93,7 @@ def hash_split(df: DataFrame, key_cols: Sequence[str],
         raise ValueError(f"fractions need non-negative weights summing > 0: "
                          f"{fractions}")
     total = float(sum(fractions.values()))
-    u = _unit_hash([F.col(c) for c in key_cols], seed)
+    u = _unit_hash([F.col(c) for c in key_cols], seed, method)
     expr = None
     upper = 0.0
     names = list(fractions)

@@ -75,6 +75,30 @@ def test_hash_split_disjoint_exhaustive(spark, docs):
         hash_split(docs, ["doc_id"], {})
 
 
+def test_md5_method_matches_duckdb(spark, docs):
+    # the engine-portable draw: DuckDB recomputes the identical md5
+    # hash, so sample membership matches bit-for-bit across engines
+    import duckdb
+
+    got = sorted(r[0] for r in
+                 hash_sample(docs, ["doc_id"], 0.3, seed=5, method="md5")
+                 .select("doc_id").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = [r[0] for r in con.execute("""
+        SELECT doc_id FROM documents
+        WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|' || '5'),
+                                 1, 13))::BIGINT / 4503599627370496.0 < 0.3
+        ORDER BY doc_id""").fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_unknown_hash_method_rejected(docs):
+    with pytest.raises(ValueError, match="method"):
+        hash_sample(docs, ["doc_id"], 0.5, method="sha999")
+
+
 def test_stratified_cap_exact(spark, docs):
     capped = stratified_cap(docs, ["lang"], n=5, seed=2)
     counts = {r["lang"]: r["count"]
