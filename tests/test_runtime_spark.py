@@ -494,6 +494,44 @@ def test_attach_media_metadata_wav(spark):
     assert meta["width"] is None and meta["n_frames"] is None
 
 
+def _fuzz_prefixes():
+    return [b"", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
+            b"RIFF", b"RIFF\x10\x00\x00\x00WAVEfmt "]
+
+
+def test_codec_fuzz_no_hangs_and_wellformed_success():
+    """Adversarial-bytes pin for every built-in decoder: anything may
+    raise (the mapInPandas wrappers catch per-row), but decode must
+    TERMINATE, and when it succeeds the result must be well-formed —
+    the properties that keep a corrupt blob from wedging a 2 GB task."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jema_js_spark.operators.multimodal import (
+        _decode_bmp, _decode_gif, _decode_png, _decode_wav)
+
+    @settings(max_examples=250, deadline=None)
+    @given(prefix=st.sampled_from(_fuzz_prefixes()),
+           junk=st.binary(max_size=400))
+    def run(prefix, junk):
+        payload = prefix + junk
+        for fn in (_decode_bmp, _decode_png, _decode_gif):
+            try:
+                arr = fn(payload)
+            except Exception:
+                continue
+            assert isinstance(arr, np.ndarray) and arr.dtype == np.uint8
+            assert arr.ndim == 3 and arr.size > 0
+        try:
+            samples, rate = _decode_wav(payload)
+        except Exception:
+            return
+        assert rate > 0 and samples.ndim == 2 and len(samples) > 0
+
+    run()
+
+
 def test_checkpoint_resume(spark):
     df = spark.range(100).withColumn("day", F.pmod(F.col("id"), F.lit(5)))
     with tempfile.TemporaryDirectory() as tmp:
