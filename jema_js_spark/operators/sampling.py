@@ -45,12 +45,13 @@ def _unit_hash(cols: Sequence[Column], seed: int,
     ``abs(hash)`` overflows ANSI mode on Long.MIN_VALUE.)
 
     ``md5``: the first 52 bits of md5 over a '|'-joined string key,
-    scaled by 2^-52 — slower, but every SQL engine computes the SAME
-    value (md5 is md5 everywhere), so an external system — or the
-    round's DuckDB oracle — can reproduce the draw bit-for-bit and
-    audit exactly which rows a 100 TB sample kept.  52 bits keeps the
-    integer exact in a double, so the division is exact-rounded
-    identically in every engine."""
+    scaled by 2^-52 — slower (measured ~5.7× on 50M longs at local[32]:
+    21M vs 121M rows/s; both JVM-side, both negligible next to a real
+    scan), but every SQL engine computes the SAME value (md5 is md5
+    everywhere), so an external system — or the round's DuckDB oracle —
+    can reproduce the draw bit-for-bit and audit exactly which rows a
+    100 TB sample kept.  52 bits keeps the integer exact in a double,
+    so the division is exact-rounded identically in every engine."""
     if method == "md5":
         key = F.concat_ws("|", *[c.cast("string") for c in cols],
                           F.lit(str(seed)))
