@@ -76,17 +76,23 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def bench(name, fn):
+        # uniform warm pass for EVERY entry (round 4): on this shared
+        # box, neighbor page-cache pressure makes cold parquet scans
+        # swing 4-7× run-to-run (ts_window measured 1.3 s warm vs
+        # 8-15 s cold-cache), so the timed number is the steady-state
+        # plan cost — the same protocol the flagship always used.
+        # Safe against the stage-reuse artifact because fn() builds a
+        # NEW DataFrame each call (fresh RDD lineage, nothing skipped).
+        fn()
         t0 = time.perf_counter()
         result = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
         return result
 
     # 1. flagship: contract validation over N_PAGES synthetic pages
-    # warm pass first (JIT + OS page cache) so the timed number is the
-    # steady-state scan-bound throughput, same protocol as
-    # bench_scaling.py
-    with_valid(pages, PAGE_CONTRACT).agg(F.count(F.lit(1))).collect()
-
+    # (bench() warms every entry — JIT + OS page cache — so the timed
+    # number is steady-state scan-bound throughput, same protocol as
+    # bench_scaling.py)
     def flagship():
         v = with_valid(pages, PAGE_CONTRACT)
         return v.agg(F.count(F.lit(1)), F.sum(F.col("valid").cast("long"))).collect()
@@ -162,8 +168,7 @@ def main() -> None:
     def kernel_run():
         return kdocs.select(udf(F.col("doc")).alias("v")).agg(
             F.sum(F.col("v").cast("long"))).collect()
-    kernel_run()   # warm pass: python workers + JIT, fresh plan after
-    bench("kernel_json", kernel_run)
+    bench("kernel_json", kernel_run)   # bench() warms python workers + JIT
     extras["kernel_docs_per_sec"] = round(
         N_KERNEL_DOCS / timings["kernel_json"], 1)
 

@@ -265,6 +265,12 @@ are the measured engine baselines for future rounds.
   schema, 100k cached rows) was job-dispatch-bound and signal-free;
   r4 runs the representative Plane-B contract above over 1M generated
   docs.  Numbers are not comparable across that boundary either.
+- r4 (same round, later): EVERY bench entry gets a warm pass (the
+  protocol the flagship always had).  Neighbor page-cache pressure on
+  the shared box made cold parquet scans swing 4-7× run-to-run
+  (ts_window 1.3 s warm vs 8-15 s cold); the steady-state number is
+  the comparable one.  Entries build a fresh plan per call, so no
+  shuffle-stage reuse contaminates the timing.
 - The `kernel_json` number is COMPUTE-ONLY (input cached + warm pass;
   parquet-scan cost excluded), while `flagship_validate` reads parquet
   inside its timed region — the two planes' entries deliberately
