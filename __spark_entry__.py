@@ -391,7 +391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from jema_js_spark.operators.multimodal import (
             decode_audio_features, synthesize_wav)
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+        # n_chars IS NOT NULL on both sides: a NULL would make the two
+        # sides diverge (Spark: NULL payload -> decode_error row;
+        # DuckDB: greatest() ignores NULL) — review finding, round 4
+        docs = _docs(spark, sf_dir).filter(
+            (F.col("doc_id") < 60) & F.col("n_chars").isNotNull())
         wav = synthesize_wav(
             n_pairs=F.pmod(F.col("doc_id"), F.lit(50)) + 10,
             sample_rate=F.lit(8000) + F.pmod(F.col("doc_id"), F.lit(5)) * 2000,
@@ -1032,7 +1036,7 @@ def oracle_sql() -> dict[str, str]:
                      8000 + (doc_id % 5) * 2000 AS sr,
                      (doc_id * 523) % 30000 - 15000 AS v1,
                      (n_chars * 37) % 20000 - 10000 AS v2
-              FROM documents WHERE doc_id < 60)
+              FROM documents WHERE doc_id < 60 AND n_chars IS NOT NULL)
             SELECT media_id, sr::INT AS sample_rate,
                    CAST(n AS BIGINT) AS n_samples,
                    round(n * 1000 / sr, 6) AS duration_ms,

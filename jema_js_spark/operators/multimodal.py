@@ -252,7 +252,7 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list:
     return out
 
 
-def _iter_gif_frames(payload: bytes, want=None):
+def _iter_gif_frames(payload: bytes, want=None, full_frames_only=False):
     """Yield ``(frame_idx, (h, w, 3) uint8 RGB)`` for each frame of a
     GIF87a/89a stream — the shared walk behind single-image decode
     (:func:`_decode_gif`) and video-frame sampling
@@ -263,12 +263,16 @@ def _iter_gif_frames(payload: bytes, want=None):
     sub-blocks, which costs only pointer arithmetic); skipped frames
     yield ``(frame_idx, None)`` so callers can still count frames.
 
-    Frames must be full-size at offset (0, 0) (the shape every frame of
-    our fixture writer emits); a partial frame would require disposal/
-    compositing state and raises NotImplementedError so callers install
-    a real codec.  Interlaced frames likewise raise.  Structural
-    garbage BEFORE any image descriptor raises :class:`_NoPixelData`;
-    corrupt PIXEL data raises loudly."""
+    ``full_frames_only`` (the VIDEO path): every frame must be
+    full-size at offset (0, 0), because a sub-screen frame only has
+    meaning composited onto the previous canvas with disposal state —
+    that needs a real codec, so it raises NotImplementedError.  The
+    default (the still-IMAGE path) decodes each frame standalone at
+    its descriptor size, exactly as the pre-round-4 single-frame
+    decoder did (review pin: optimized still GIFs with a sub-screen
+    first frame keep decoding).  Interlaced frames always raise.
+    Structural garbage BEFORE any image descriptor raises
+    :class:`_NoPixelData`; corrupt PIXEL data raises loudly."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     saw_image = False
@@ -308,7 +312,8 @@ def _iter_gif_frames(payload: bytes, want=None):
                     raise NotImplementedError(
                         "interlaced GIF does not decode natively; "
                         "install a codec via set_decoder('image', fn)")
-                if (left, top) != (0, 0) or (w, h) != (screen_w, screen_h):
+                if full_frames_only and ((left, top) != (0, 0)
+                                         or (w, h) != (screen_w, screen_h)):
                     raise NotImplementedError(
                         "partial GIF frames need disposal compositing; "
                         "install a codec via set_decoder")
@@ -495,6 +500,11 @@ def _decode_wav(payload: bytes):
                    int.from_bytes(body[4:8], "little"),    # sample rate
                    int.from_bytes(body[14:16], "little"))  # bits/sample
         elif cid == b"data":
+            if len(body) < ln:
+                # module contract: located-but-truncated payload data
+                # raises loudly (same as the GIF pixel path) instead of
+                # silently decoding the surviving fragment
+                raise ValueError("truncated WAV data chunk")
             data = body
         pos += 8 + ln + (ln & 1)          # chunks are word-aligned
     if fmt is None or data is None:
@@ -700,8 +710,11 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload",
     wav_bits = _le_u16(p, 35)
     wav_chans = _le_u16(p, 23)
     # bytes/sec = rate × channels × bits/8; canonical data size at 41
+    # gated on is_wav like sample_rate: without it, a GIF whose palette
+    # bytes happen to spell 'data' at offset 36 would get a fabricated
+    # duration from palette bytes (review finding, round 4)
     wav_dur_ms = F.when(
-        (F.hex(F.substring(p, 37, 4)) == "64617461")
+        is_wav & (F.hex(F.substring(p, 37, 4)) == "64617461")
         & (wav_rate > 0) & (wav_chans > 0) & (wav_bits >= 8),
         _le_u32(p, 41) * 1000
         / (wav_rate * wav_chans * F.floor(wav_bits / 8)))
@@ -826,6 +839,12 @@ def decode_video_frames(df: DataFrame, every_n: int = 1,
     ``frame_idx % every_n == 0``, up to ``max_frames`` per payload —
     both caps visible knobs, and undecodable payloads yield a loud
     per-row ``decode_error`` instead of killing the task."""
+    if every_n < 1 or max_frames < 1:
+        # a bad knob must fail the call, not turn every row of a
+        # cluster-scale job into a ZeroDivisionError decode_error
+        raise ValueError(
+            f"every_n and max_frames must be >= 1 "
+            f"(got {every_n}, {max_frames})")
     out_schema = ("media_id long, frame_idx int, n_frames int, "
                   "width int, height int, mean_r double, mean_g double, "
                   "mean_b double, decode_error string")
@@ -849,7 +868,8 @@ def decode_video_frames(df: DataFrame, every_n: int = 1,
                         frames = _iter_gif_frames(
                             payload,
                             want=lambda i: (i % every_n == 0
-                                            and i // every_n < max_frames))
+                                            and i // every_n < max_frames),
+                            full_frames_only=True)
                     else:
                         raise NotImplementedError(
                             "no native codec for this video container; "

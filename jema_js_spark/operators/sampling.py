@@ -60,7 +60,13 @@ def _unit_hash(cols: Sequence[Column], seed: int,
     if method != "xxhash64":
         raise ValueError(f"unknown hash method {method!r}")
     h = F.xxhash64(*cols, F.lit(seed))
-    return h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)
+    u = h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)
+    # clamp below 1.0: for h within ~512 of Long.MAX_VALUE the division
+    # rounds up to 0.5 and u becomes exactly 1.0, so rate=1.0 would
+    # DROP those rows (~2.8e-17/row — real at 10^12 rows).  1 - 2^-53
+    # is the largest double below 1.0. (Review finding, round 4; the
+    # md5 branch caps at 1 - 2^-52 by construction.)
+    return F.least(u, F.lit(1.0 - 2.0 ** -53))
 
 
 def hash_sample(df: DataFrame, key_cols: Sequence[str], rate: float,

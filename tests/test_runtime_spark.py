@@ -365,14 +365,56 @@ def test_animated_gif_frame_roundtrip():
     assert np.array_equal(sampled[4], frames[4])
 
 
-def test_gif_partial_frame_raises():
+def test_gif_partial_frame_video_vs_image_paths():
+    # review pin (round 4): the full-screen-frame restriction belongs to
+    # the VIDEO path only — an optimized still GIF whose first frame is
+    # smaller than the logical screen must keep decoding standalone,
+    # exactly as the pre-round-4 single-frame decoder did
     import numpy as np
-    from jema_js_spark.operators.multimodal import _iter_gif_frames, gif_bytes
+    from jema_js_spark.operators.multimodal import (
+        _decode_gif, _iter_gif_frames, gif_bytes)
 
-    payload = bytearray(gif_bytes(np.zeros((2, 2, 3), dtype=np.uint8)))
+    payload = bytearray(gif_bytes(np.full((2, 2, 3), 9, dtype=np.uint8)))
     payload[6:8] = (3).to_bytes(2, "little")  # screen wider than frame
+    arr = _decode_gif(bytes(payload))         # image path: still decodes
+    assert arr.shape == (2, 2, 3) and int(arr[0, 0, 0]) == 9
     with pytest.raises(NotImplementedError, match="compositing"):
-        list(_iter_gif_frames(bytes(payload)))
+        list(_iter_gif_frames(bytes(payload), full_frames_only=True))
+
+
+def test_video_frames_bad_knobs_rejected(spark):
+    from jema_js_spark.operators.multimodal import decode_video_frames
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    with pytest.raises(ValueError, match="every_n"):
+        decode_video_frames(df, every_n=0)
+    with pytest.raises(ValueError, match="max_frames"):
+        decode_video_frames(df, every_n=1, max_frames=0)
+
+
+def test_wav_truncated_data_is_loud():
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _decode_wav, wav_bytes
+
+    good = wav_bytes(np.ones(200, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_wav(good[:-100])   # data chunk shorter than declared
+
+
+def test_non_wav_payload_gets_no_duration(spark):
+    # review pin (round 4): duration must be gated on the WAV magic —
+    # a payload whose bytes happen to spell 'data' at the canonical
+    # offset must not get a fabricated duration
+    fake = bytearray(b"GIF89a" + bytes(60))
+    fake[24:28] = (8000).to_bytes(4, "little")   # plausible "rate"
+    fake[22:24] = (1).to_bytes(2, "little")      # plausible "channels"
+    fake[34:36] = (16).to_bytes(2, "little")     # plausible "bits"
+    fake[36:40] = b"data"
+    fake[40:44] = (16000).to_bytes(4, "little")
+    df = spark.createDataFrame([(1, bytes(fake))],
+                               "media_id long, payload binary")
+    meta = attach_media_metadata(df).collect()[0]["meta"]
+    assert meta["duration_ms"] is None and meta["sample_rate"] is None
 
 
 def test_decode_video_frames_spark(spark):

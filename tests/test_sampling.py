@@ -99,6 +99,16 @@ def test_unknown_hash_method_rejected(docs):
         hash_sample(docs, ["doc_id"], 0.5, method="sha999")
 
 
+def test_rate_one_keeps_everything(spark, docs):
+    # review pin (round 4): the unit hash is clamped below 1.0, so
+    # rate=1.0 keeps every row (an unclamped draw could hit exactly
+    # 1.0 for hashes near Long.MAX_VALUE and silently drop rows)
+    n = docs.count()
+    assert hash_sample(docs, ["doc_id"], 1.0).count() == n
+    assert hash_sample(docs, ["doc_id"], 1.0, method="md5").count() == n
+    assert hash_sample(docs, ["doc_id"], 0.0).count() == 0
+
+
 def test_stratified_cap_exact(spark, docs):
     capped = stratified_cap(docs, ["lang"], n=5, seed=2)
     counts = {r["lang"]: r["count"]
