@@ -13,7 +13,8 @@
               object-applicator keywords) lead the dict.  Keyword
               consolidations (each keyword still compiled and
               oracle-checked, several per query):
-              - kw_length        = minLength + maxLength
+              - kw_length        = minLength + maxLength + pattern
+                                   (two valid columns)
               - kw_enum_const    = enum + const
               - kw_bounds        = minimum + exclusiveMinimum +
                                    exclusiveMaximum + multipleOf
@@ -468,6 +469,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "split",
                         F.coalesce("sampled", F.lit(False)).alias("sampled")))
 
+    # minLength/maxLength + pattern over text, one query, two columns
+    def q_kw_length(spark, sf_dir):
+        d = with_valid(_docs(spark, sf_dir),
+                       {"properties": {"text": {"minLength": 100,
+                                                "maxLength": 400}}},
+                       col_name="valid_len")
+        d = with_valid(d, {"properties": {"text": {"pattern": "^[a-z]"}}},
+                       col_name="valid_pattern")
+        return d.select("doc_id", "valid_len", "valid_pattern")
+
+    def q_mined_contract(spark, sf_dir):
+        # contract mining (schema/inference.py): profile documents into
+        # a draft 2020-12 contract, emit its per-column facts.  DuckDB
+        # twins the same profiling facts with exact SQL aggregates (the
+        # HLL enum gate is exact at these cardinalities), so the mined
+        # shape itself is oracle-checked; the closed-over-data property
+        # is pinned in tests/test_inference.py.
+        from jema_js_spark.schema.inference import propose_contract
+
+        contract = propose_contract(
+            _docs(spark, sf_dir), cols=["doc_id", "text", "lang",
+                                        "source", "n_chars"])
+        rows = []
+        for col, sub in sorted(contract["properties"].items()):
+            if "enum" in sub:
+                kind, lo, hi, n_enum = "enum", None, None, len(sub["enum"])
+            elif sub.get("type") == "string":
+                kind = "string"
+                lo, hi = sub.get("minLength"), sub.get("maxLength")
+                n_enum = None
+            else:
+                kind = sub.get("type")
+                lo, hi = sub.get("minimum"), sub.get("maximum")
+                n_enum = None
+            rows.append((col, col in contract["required"], kind,
+                         lo, hi, n_enum))
+        return spark.createDataFrame(
+            rows, "column string, required boolean, kind string, "
+                  "lo bigint, hi bigint, n_enum int")
+
     # type: number assertion + union type, one query, two valid columns
     def q_kw_type(spark, sf_dir):
         d = with_valid(_docs(spark, sf_dir),
@@ -480,9 +521,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- validation keywords (SURVEY.md §2.2-2.7) ---------------------------
     keyword_schemas = {
-        "kw_length": {"properties": {"text": {"minLength": 100,
-                                               "maxLength": 400}}},
-        "kw_pattern": {"properties": {"text": {"pattern": "^[a-z]"}}},
         "kw_enum_const": {"properties": {"lang": {"enum": LANGS},
                                           "source": {"const": "src1"}},
                            "required": ["lang", "source"]},
@@ -662,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "sample_split": q_sample_split,
         "kw_bounds": q_kw_bounds,
+        "kw_length": q_kw_length,
+        "mined_contract": q_mined_contract,
     }
     for name, schema in keyword_schemas.items():
         out[name] = _doc_valid(schema)
@@ -852,11 +892,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "kw_length": """
             SELECT doc_id,
-                   (text IS NULL OR length(text) BETWEEN 100 AND 400) AS valid
+                   (text IS NULL OR length(text) BETWEEN 100 AND 400)
+                     AS valid_len,
+                   (text IS NULL OR regexp_matches(text, '^[a-z]'))
+                     AS valid_pattern
             FROM documents""",
-        "kw_pattern": """
-            SELECT doc_id, (text IS NULL OR regexp_matches(text, '^[a-z]'))
-              AS valid FROM documents""",
+        "mined_contract": """
+            -- the mined contract's per-column facts recomputed with
+            -- exact SQL aggregates: never-null -> required, low exact
+            -- cardinality -> enum (the Spark side's HLL gate is exact
+            -- at these cardinalities), observed bounds / code-point
+            -- length bounds otherwise
+            SELECT 'doc_id' AS "column",
+                   count(*) FILTER (WHERE doc_id IS NULL) = 0 AS required,
+                   'integer' AS kind, min(doc_id) AS lo, max(doc_id) AS hi,
+                   NULL::INT AS n_enum
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*) FILTER (WHERE lang IS NULL) = 0,
+                   CASE WHEN count(DISTINCT lang) <= 16
+                        THEN 'enum' ELSE 'string' END,
+                   CASE WHEN count(DISTINCT lang) <= 16
+                        THEN NULL ELSE min(length(lang)) END,
+                   CASE WHEN count(DISTINCT lang) <= 16
+                        THEN NULL ELSE max(length(lang)) END,
+                   CASE WHEN count(DISTINCT lang) <= 16
+                        THEN count(DISTINCT lang)::INT END
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*) FILTER (WHERE n_chars IS NULL) = 0,
+                   'integer', min(n_chars), max(n_chars), NULL::INT
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*) FILTER (WHERE source IS NULL) = 0,
+                   CASE WHEN count(DISTINCT source) <= 16
+                        THEN 'enum' ELSE 'string' END,
+                   CASE WHEN count(DISTINCT source) <= 16
+                        THEN NULL ELSE min(length(source)) END,
+                   CASE WHEN count(DISTINCT source) <= 16
+                        THEN NULL ELSE max(length(source)) END,
+                   CASE WHEN count(DISTINCT source) <= 16
+                        THEN count(DISTINCT source)::INT END
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*) FILTER (WHERE text IS NULL) = 0,
+                   CASE WHEN count(DISTINCT text) <= 16
+                        THEN 'enum' ELSE 'string' END,
+                   CASE WHEN count(DISTINCT text) <= 16
+                        THEN NULL ELSE min(length(text)) END,
+                   CASE WHEN count(DISTINCT text) <= 16
+                        THEN NULL ELSE max(length(text)) END,
+                   CASE WHEN count(DISTINCT text) <= 16
+                        THEN count(DISTINCT text)::INT END
+            FROM documents""",
         "kw_enum_const": f"""
             SELECT doc_id,
                    (coalesce(lang IN ({','.join(repr(l) for l in LANGS)}), FALSE)

@@ -1,0 +1,136 @@
+"""Contract mining: propose a draft 2020-12 schema from observed data —
+the inverse direction of the §2.9 SQL bridge (reference scope:
+``tools/toSql.js`` maps schema → storage; ``struct_to_schema`` maps
+Spark types → schema; this module maps DATA → schema, an engine
+extension for pipelines that need a starting contract for an
+un-contracted table).
+
+Plan shape (scale-first):
+
+- pass 1 — ONE aggregation over the table (the same fused-agg shape as
+  :func:`~jema_js_spark.operators.stats.column_stats`): per column the
+  null count, min/max (values for numerics, code-point lengths for
+  strings), and an HLL distinct sketch.
+- pass 2 — ONLY for string columns whose sketch says the cardinality is
+  small enough to be an enum: one ``collect_set`` aggregation over just
+  those columns.  The sketch gates the collect, so a high-cardinality
+  text column can never explode the driver; the cap is a visible knob.
+
+The proposed contract is CLOSED over the observed data by construction
+(bounds are observed min/max, enums are the observed value sets,
+``required`` lists the never-null columns), so ``with_valid(df,
+propose_contract(df))`` is all-true on the profiled table — the
+self-consistency oracle the tests pin.  It compiles 100% Plane A.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["propose_contract"]
+
+# HLL relative error guard: accept a column as an enum candidate when
+# the sketch estimate is below knob × (1 + 3·rsd) — the exact set is
+# still size-checked after the bounded collect.
+_RSD = 0.02
+
+
+def _string_length_bounds(c: str):
+    # code points, matching min/maxLength semantics (SURVEY §7.4)
+    return (F.min(F.length(F.col(c))).alias(f"{c}_minlen"),
+            F.max(F.length(F.col(c))).alias(f"{c}_maxlen"))
+
+
+def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
+                     enum_max_distinct: int = 16,
+                     required_only_when_never_null: bool = True) -> dict:
+    """Propose a draft 2020-12 object contract for ``df``'s rows.
+
+    - numeric columns → ``{"type": "integer"|"number", "minimum",
+      "maximum"}`` (observed closed bounds; all-null columns get the
+      type alone)
+    - string columns → ``enum`` when the exact distinct set fits in
+      ``enum_max_distinct`` (HLL-gated two-pass), else ``{"type":
+      "string", "minLength", "maxLength"}`` over code points
+    - boolean → ``{"type": "boolean"}``; timestamps/dates → ``{"type":
+      "string", "format": "date-time"|"date"}`` (annotation; the
+      relational bridge renders them as strings); arrays/maps/structs →
+      container type only (mine nested contracts per-level if needed)
+    - ``required`` = columns with zero observed NULLs (the relational
+      bridge maps SQL NULL to "key absent")
+    """
+    if cols is None:
+        cols = [f.name for f in df.schema.fields]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        dtype = by_name[c]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
+        if isinstance(dtype, T.StringType):
+            aggs.extend(_string_length_bounds(c))
+            hashed = F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
+            aggs.append(F.approx_count_distinct(hashed, _RSD)
+                        .alias(f"{c}_acd"))
+        elif isinstance(dtype, T.NumericType):
+            aggs.append(F.min(c).alias(f"{c}_min"))
+            aggs.append(F.max(c).alias(f"{c}_max"))
+    stats = df.agg(*aggs).collect()[0].asDict()
+
+    # pass 2: exact value sets, only for HLL-gated enum candidates
+    enum_cands = [
+        c for c in cols
+        if isinstance(by_name[c], T.StringType)
+        and stats[f"{c}_acd"] <= enum_max_distinct * (1 + 3 * _RSD)]
+    enum_values: Dict[str, list] = {}
+    if enum_cands:
+        sets = df.agg(*[F.collect_set(c).alias(c) for c in enum_cands]) \
+            .collect()[0].asDict()
+        for c, vals in sets.items():
+            if vals and len(vals) <= enum_max_distinct:
+                enum_values[c] = sorted(vals)
+
+    props: Dict[str, dict] = {}
+    required = []
+    for c in cols:
+        dtype = by_name[c]
+        if stats[f"{c}_nulls"] == 0 and required_only_when_never_null:
+            required.append(c)
+        if c in enum_values:
+            props[c] = {"enum": enum_values[c]}
+        elif isinstance(dtype, T.StringType):
+            sub = {"type": "string"}
+            if stats.get(f"{c}_minlen") is not None:
+                sub["minLength"] = int(stats[f"{c}_minlen"])
+                sub["maxLength"] = int(stats[f"{c}_maxlen"])
+            props[c] = sub
+        elif isinstance(dtype, T.BooleanType):
+            props[c] = {"type": "boolean"}
+        elif isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType,
+                                T.ByteType)):
+            sub = {"type": "integer"}
+            if stats.get(f"{c}_min") is not None:
+                sub["minimum"] = int(stats[f"{c}_min"])
+                sub["maximum"] = int(stats[f"{c}_max"])
+            props[c] = sub
+        elif isinstance(dtype, T.NumericType):
+            sub = {"type": "number"}
+            if stats.get(f"{c}_min") is not None:
+                sub["minimum"] = float(stats[f"{c}_min"])
+                sub["maximum"] = float(stats[f"{c}_max"])
+            props[c] = sub
+        elif isinstance(dtype, T.TimestampType):
+            props[c] = {"type": "string", "format": "date-time"}
+        elif isinstance(dtype, T.DateType):
+            props[c] = {"type": "string", "format": "date"}
+        elif isinstance(dtype, T.ArrayType):
+            props[c] = {"type": "array"}
+        elif isinstance(dtype, (T.MapType, T.StructType)):
+            props[c] = {"type": "object"}
+        else:
+            props[c] = {}
+    return {"type": "object", "required": required, "properties": props}

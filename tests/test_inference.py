@@ -1,0 +1,72 @@
+"""Contract mining: the proposed contract must be CLOSED over the
+profiled data (with_valid all-true — the self-consistency oracle),
+compile 100% Plane A, gate enum mining on the HLL sketch, and detect
+out-of-contract rows when the data moves."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jema_js_spark.schema.inference import propose_contract
+from jema_js_spark.validation.engine import compile_for, with_valid
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_proposed_contract_closed_over_data(spark, docs):
+    contract = propose_contract(docs)
+    out = with_valid(docs, contract)
+    n, ok = out.agg(F.count(F.lit(1)),
+                    F.sum(F.col("valid").cast("long"))).collect()[0]
+    assert n == ok > 0
+    # shape: lang/source become enums (low cardinality), text stays a
+    # bounded string, n_chars gets closed integer bounds
+    assert "enum" in contract["properties"]["lang"]
+    assert set(contract["properties"]["text"]) == {"type", "minLength",
+                                                   "maxLength"}
+    assert contract["properties"]["n_chars"]["type"] == "integer"
+    assert contract["properties"]["n_chars"]["minimum"] <= \
+        contract["properties"]["n_chars"]["maximum"]
+    assert "doc_id" in contract["required"]
+
+
+def test_proposed_contract_is_plane_a(spark, docs):
+    contract = propose_contract(docs)
+    cov = compile_for(docs, contract).coverage()
+    assert cov["plane_a_fraction"] == 1.0, cov["plane_b_names"]
+
+
+def test_enum_gate_respects_cardinality(spark, docs):
+    # text has ~thousands of distinct values: must NOT be enum-mined
+    # even with a generous knob (the HLL gate blocks the collect)
+    contract = propose_contract(docs, enum_max_distinct=8)
+    assert "enum" not in contract["properties"]["text"]
+    # with a tiny knob even lang (7-ish values) stays a string
+    tight = propose_contract(docs, enum_max_distinct=2)
+    assert "enum" not in tight["properties"]["lang"]
+
+
+def test_contract_catches_drifted_rows(spark, docs):
+    contract = propose_contract(docs)
+    lo = contract["properties"]["n_chars"]["minimum"]
+    drifted = docs.limit(20).withColumn("n_chars", F.lit(int(lo) - 1)) \
+        .withColumn("lang", F.lit("zz"))
+    out = with_valid(drifted, contract)
+    assert out.filter(F.col("valid")).count() == 0
+
+
+def test_nullable_columns_not_required(spark, docs):
+    masked = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 2 == 0, F.col("source")))
+    contract = propose_contract(masked)
+    assert "source" not in contract["required"]
+    assert "doc_id" in contract["required"]
+    # masked rows still validate: NULL means "key absent" in the bridge
+    out = with_valid(masked, contract)
+    assert out.filter(~F.col("valid")).count() == 0
