@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["propose_contract"]
+__all__ = ["propose_contract", "propose_json_contract"]
 
 # HLL relative error guard: accept a column as an enum candidate when
 # the sketch estimate is below knob × (1 + 3·rsd) — the exact set is
@@ -134,3 +134,109 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
         else:
             props[c] = {}
     return {"type": "object", "required": required, "properties": props}
+
+
+def _json_type(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+def _mine_node(values: list, enum_max: int, depth: int,
+               max_depth: int) -> dict:
+    """Union a list of sampled JSON values at one path into a schema
+    node (driver-side: the sample is bounded, see caller)."""
+    types = sorted({_json_type(v) for v in values})
+    if "integer" in types and "number" in types:
+        types.remove("integer")
+    sub: dict = {}
+    non_null = [t for t in types if t != "null"]
+    if types:
+        sub["type"] = types[0] if len(types) == 1 else types
+    scalars = [v for v in values if isinstance(v, (str, bool))
+               or (isinstance(v, (int, float))
+                   and not isinstance(v, bool))]
+    if non_null == ["string"]:
+        vals = sorted({v for v in values if isinstance(v, str)})
+        if 0 < len(vals) <= enum_max:
+            if "null" in types:
+                sub.pop("type", None)
+                sub["enum"] = vals + [None]
+            else:
+                sub.pop("type", None)
+                sub["enum"] = vals
+        elif vals:
+            sub["minLength"] = min(len(v) for v in vals)
+            sub["maxLength"] = max(len(v) for v in vals)
+    elif non_null and set(non_null) <= {"integer", "number"}:
+        nums = [v for v in scalars if isinstance(v, (int, float))]
+        if nums:
+            sub["minimum"] = min(nums)
+            sub["maximum"] = max(nums)
+    if "object" in types and depth < max_depth:
+        objs = [v for v in values if isinstance(v, dict)]
+        if objs:
+            keys = sorted({k for o in objs for k in o})
+            sub["properties"] = {
+                k: _mine_node([o[k] for o in objs if k in o],
+                              enum_max, depth + 1, max_depth)
+                for k in keys}
+            always = [k for k in keys if all(k in o for o in objs)]
+            if always and len(types) == 1:
+                sub["required"] = always
+    if "array" in types and depth < max_depth:
+        elems = [e for v in values if isinstance(v, list) for e in v]
+        if elems:
+            sub["items"] = _mine_node(elems, enum_max, depth + 1, max_depth)
+        lens = [len(v) for v in values if isinstance(v, list)]
+        if lens:
+            sub["minItems"] = min(lens)
+            sub["maxItems"] = max(lens)
+    return sub
+
+
+def propose_json_contract(df: DataFrame, col: str, sample_rows: int = 2000,
+                          enum_max_distinct: int = 16,
+                          max_depth: int = 3) -> dict:
+    """Contract mining for a DYNAMIC JSON column (the kernel plane's
+    input): propose a draft 2020-12 schema from a bounded sample of
+    documents.
+
+    The sample is the ``sample_rows`` smallest content hashes — the
+    same deterministic, partition-independent draw ``fit_centroids``
+    uses (per-partition top-n + driver merge, no full shuffle), so the
+    proposal is reproducible and the driver cost is constant regardless
+    of table size.  Per path the miner unions observed JS types
+    (integer ⊂ number), mines enums for low-cardinality strings and
+    closed bounds for numerics/lengths/array sizes, and marks a key
+    ``required`` only when EVERY sampled object carries it.
+
+    The contract is closed over the sampled documents by construction
+    (kernel-validate all-true, pinned in tests); rows outside the
+    sample may exceed mined bounds — that is the point: they surface as
+    violations for contract review."""
+    import json
+
+    rows = (df.select(F.col(col).alias("doc"))
+            .filter(F.col(col).isNotNull())
+            .orderBy(F.xxhash64(F.col(col)))
+            .limit(sample_rows).collect())
+    values = []
+    for r in rows:
+        try:
+            values.append(json.loads(r["doc"]))
+        except (TypeError, ValueError):
+            continue
+    if not values:
+        return {}
+    return _mine_node(values, enum_max_distinct, 0, max_depth)

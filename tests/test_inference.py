@@ -61,6 +61,61 @@ def test_contract_catches_drifted_rows(spark, docs):
     assert out.filter(F.col("valid")).count() == 0
 
 
+def test_json_contract_closed_over_sample(spark):
+    import json
+
+    from jema_js_spark.kernel.kernel import Validator
+    from jema_js_spark.schema.frontend import Schema
+    from jema_js_spark.schema.inference import propose_json_contract
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    contract = propose_json_contract(events, "props", sample_rows=500)
+    assert contract.get("type") == "object" or "properties" in contract
+    # the EXACT sample the miner saw must validate all-true (same
+    # deterministic hash-ordered draw)
+    sample = [json.loads(r["doc"]) for r in
+              events.select(F.col("props").alias("doc"))
+              .filter(F.col("props").isNotNull())
+              .orderBy(F.xxhash64(F.col("props"))).limit(500).collect()]
+    v = Validator(Schema(contract))
+    assert sample and all(v.validate(d) for d in sample)
+
+
+def test_json_contract_mixed_types_and_enums(spark):
+    import json
+
+    from jema_js_spark.kernel.kernel import Validator
+    from jema_js_spark.schema.frontend import Schema
+    from jema_js_spark.schema.inference import propose_json_contract
+
+    docs = [
+        {"k": 1, "tag": "a", "xs": [1, 2]},
+        {"k": 2.5, "tag": "b", "xs": [3]},
+        {"k": 3, "tag": "a", "xs": [], "extra": None},
+    ]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs],
+                               "props string")
+    c = propose_json_contract(df, "props", sample_rows=10)
+    # int ∪ float → number with closed bounds
+    assert c["properties"]["k"] == {"type": "number",
+                                    "minimum": 1, "maximum": 3}
+    # low-cardinality strings → enum
+    assert c["properties"]["tag"]["enum"] == ["a", "b"]
+    # arrays: element node + closed size bounds
+    assert c["properties"]["xs"]["minItems"] == 0
+    assert c["properties"]["xs"]["maxItems"] == 2
+    assert c["properties"]["xs"]["items"]["type"] == "integer"
+    # 'extra' appears in one doc only → not required
+    assert "extra" not in c["required"]
+    assert set(c["required"]) == {"k", "tag", "xs"}
+    v = Validator(Schema(c))
+    assert all(v.validate(d) for d in docs)
+    # out-of-contract docs are caught
+    assert not v.validate({"k": 99, "tag": "a", "xs": [1]})   # k > max
+    assert not v.validate({"tag": "zz", "k": 2, "xs": [1]})   # enum miss
+    assert not v.validate({"tag": "a", "xs": [1]})            # k missing
+
+
 def test_nullable_columns_not_required(spark, docs):
     masked = docs.withColumn(
         "source", F.when(F.col("doc_id") % 2 == 0, F.col("source")))
