@@ -17,7 +17,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_stats", "column_stats_long"]
+__all__ = ["column_stats", "column_stats_long", "hll_distinct_agg"]
+
+
+def hll_distinct_agg(c: str, dtype, rsd: float = 0.02):
+    """The engine's ONE HLL-sketch recipe (shared with the contract
+    miner, so the two profilers can't drift): long string/binary values
+    are pre-hashed to 8 bytes — one xxhash64 pass replaces the sketch's
+    internal hashing of the full multi-KB value, same estimate
+    distribution.  NULLs must stay NULL (approx_count_distinct skips
+    them; xxhash64 of a NULL argument is a non-NULL seed constant)."""
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        hashed = F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
+        return F.approx_count_distinct(hashed, rsd)
+    return F.approx_count_distinct(c, rsd)
 
 
 def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
@@ -32,19 +45,8 @@ def column_stats(df: DataFrame, cols: Optional[Sequence[str]] = None,
     for c in cols:
         dtype = by_name[c]
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
-        if isinstance(dtype, (T.StringType, T.BinaryType)):
-            # pre-hash long values to 8 bytes before the HLL sketch:
-            # one xxhash64 pass replaces the sketch's internal hashing
-            # of the full multi-KB string, same estimate distribution.
-            # NULLs must stay NULL (approx_count_distinct skips them;
-            # xxhash64 of a NULL argument is a non-NULL seed constant).
-            hashed = F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
-            aggs.append(
-                F.approx_count_distinct(hashed, rsd)
-                .alias(f"{c}_approx_distinct"))
-        else:
-            aggs.append(
-                F.approx_count_distinct(c, rsd).alias(f"{c}_approx_distinct"))
+        aggs.append(hll_distinct_agg(c, dtype, rsd)
+                    .alias(f"{c}_approx_distinct"))
         if not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType,
                                   T.BinaryType)):
             aggs.append(F.min(c).alias(f"{c}_min"))

@@ -21,6 +21,14 @@ The proposed contract is CLOSED over the observed data by construction
 ``required`` lists the never-null columns), so ``with_valid(df,
 propose_contract(df))`` is all-true on the profiled table — the
 self-consistency oracle the tests pin.  It compiles 100% Plane A.
+
+Non-finite exception: bounds are mined over FINITE values only, and a
+NaN/Infinity row does NOT validate under the mined contract — by
+engine semantics (mirroring the reference) a non-finite double matches
+no ``type``, on both planes consistently.  That is the desired
+outcome: non-finite rows surface as violations for contract review
+rather than silently widening the mined bounds to NaN (which isn't
+valid JSON and would reject everything).
 """
 
 from __future__ import annotations
@@ -47,7 +55,7 @@ def _string_length_bounds(c: str):
 
 def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
                      enum_max_distinct: int = 16,
-                     required_only_when_never_null: bool = True) -> dict:
+                     emit_required: bool = True) -> dict:
     """Propose a draft 2020-12 object contract for ``df``'s rows.
 
     - numeric columns → ``{"type": "integer"|"number", "minimum",
@@ -73,9 +81,15 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
         if isinstance(dtype, T.StringType):
             aggs.extend(_string_length_bounds(c))
-            hashed = F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c)))
-            aggs.append(F.approx_count_distinct(hashed, _RSD)
-                        .alias(f"{c}_acd"))
+            from jema_js_spark.operators.stats import hll_distinct_agg
+            aggs.append(hll_distinct_agg(c, dtype, _RSD).alias(f"{c}_acd"))
+        elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+            # NaN-safe: Spark max() sorts NaN greatest, and a NaN bound
+            # is not valid JSON (and the kernel rejects every row under
+            # it) — mine bounds over the finite values only
+            finite = F.when(~F.isnan(F.col(c)), F.col(c))
+            aggs.append(F.min(finite).alias(f"{c}_min"))
+            aggs.append(F.max(finite).alias(f"{c}_max"))
         elif isinstance(dtype, T.NumericType):
             aggs.append(F.min(c).alias(f"{c}_min"))
             aggs.append(F.max(c).alias(f"{c}_max"))
@@ -98,7 +112,7 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
     required = []
     for c in cols:
         dtype = by_name[c]
-        if stats[f"{c}_nulls"] == 0 and required_only_when_never_null:
+        if emit_required and stats[f"{c}_nulls"] == 0:
             required.append(c)
         if c in enum_values:
             props[c] = {"enum": enum_values[c]}
@@ -163,9 +177,6 @@ def _mine_node(values: list, enum_max: int, depth: int,
     non_null = [t for t in types if t != "null"]
     if types:
         sub["type"] = types[0] if len(types) == 1 else types
-    scalars = [v for v in values if isinstance(v, (str, bool))
-               or (isinstance(v, (int, float))
-                   and not isinstance(v, bool))]
     if non_null == ["string"]:
         vals = sorted({v for v in values if isinstance(v, str)})
         if 0 < len(vals) <= enum_max:
@@ -179,7 +190,14 @@ def _mine_node(values: list, enum_max: int, depth: int,
             sub["minLength"] = min(len(v) for v in vals)
             sub["maxLength"] = max(len(v) for v in vals)
     elif non_null and set(non_null) <= {"integer", "number"}:
-        nums = [v for v in scalars if isinstance(v, (int, float))]
+        # bools excluded explicitly (bool subclasses int) and non-finite
+        # values skipped: json.loads admits NaN/Infinity, Python's
+        # min() is NaN-poisoned ORDER-DEPENDENTLY, and a NaN bound
+        # would invalidate the very sample it was mined from
+        import math
+        nums = [v for v in values
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
+                and math.isfinite(v)]
         if nums:
             sub["minimum"] = min(nums)
             sub["maximum"] = max(nums)
@@ -238,5 +256,11 @@ def propose_json_contract(df: DataFrame, col: str, sample_rows: int = 2000,
         except (TypeError, ValueError):
             continue
     if not values:
-        return {}
+        # a silent {} would be the accept-everything schema — the exact
+        # inversion of the bootstrap's purpose.  Non-string columns,
+        # all-null columns, and all-corrupt documents land here.
+        raise ValueError(
+            f"no parseable JSON documents sampled from column {col!r} "
+            f"({len(rows)} non-null rows seen); contract mining needs "
+            "a JSON-string column with at least one well-formed doc")
     return _mine_node(values, enum_max_distinct, 0, max_depth)

@@ -116,6 +116,42 @@ def test_json_contract_mixed_types_and_enums(spark):
     assert not v.validate({"tag": "a", "xs": [1]})            # k missing
 
 
+def test_nan_rows_mine_finite_bounds_and_surface_as_violations(spark):
+    # review pin (round 4): NaN must not poison mined bounds (Spark
+    # max() sorts NaN greatest); the NaN row itself is a violation on
+    # BOTH planes (non-finite matches no type — engine semantics)
+    import json
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, 7.5), (3, float("nan"))], "id long, score double")
+    c = propose_contract(df)
+    assert c["properties"]["score"]["minimum"] == 2.5
+    assert c["properties"]["score"]["maximum"] == 7.5
+    out = with_valid(df, c).collect()
+    verdicts = {r["id"]: r["valid"] for r in out}
+    assert verdicts == {1: True, 2: True, 3: False}
+    json.dumps(c, allow_nan=False)   # the contract itself is valid JSON
+
+    # JSON miner: same property, and order-independent
+    from jema_js_spark.schema.inference import propose_json_contract
+    docs_json = [{"v": float("nan")}, {"v": 1}, {"v": 5}]
+    jdf = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs_json], "props string")
+    jc = propose_json_contract(jdf, "props", sample_rows=10)
+    assert jc["properties"]["v"]["minimum"] == 1
+    assert jc["properties"]["v"]["maximum"] == 5
+    assert math.isfinite(jc["properties"]["v"]["minimum"])
+
+
+def test_json_mining_unparseable_is_loud(spark):
+    from jema_js_spark.schema.inference import propose_json_contract
+
+    df = spark.createDataFrame([("not json",), ("{broken",)], "props string")
+    with pytest.raises(ValueError, match="no parseable JSON"):
+        propose_json_contract(df, "props")
+
+
 def test_nullable_columns_not_required(spark, docs):
     masked = docs.withColumn(
         "source", F.when(F.col("doc_id") % 2 == 0, F.col("source")))
