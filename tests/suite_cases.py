@@ -2577,6 +2577,115 @@ _many("minLength.json", {"minLength": 2}, [
     ("\U0001F4A9", "single astral code point is length 1"),
 ])
 
+# additionalProperties: interplay with properties/patternProperties
+_many("additionalProperties.json",
+      {"properties": {"foo": True},
+       "patternProperties": {"^v": True},
+       "additionalProperties": False}, [
+    ({"foo": 1}, "claimed by properties"),
+    ({"vroom": 2}, "claimed by patternProperties"),
+    ({"foo": 1, "vroom": 2, "bar": 3}, "one unclaimed key fails"),
+    ({}, "empty object trivially ok"),
+])
+_many("additionalProperties.json",
+      {"additionalProperties": {"type": "boolean"}}, [
+    ({"a": True, "b": False}, "all additional match the schema"),
+    ({"a": 1}, "additional violates the schema"),
+    ([1, 2], "arrays ignored by additionalProperties"),
+])
+_many("additionalProperties.json",
+      {"properties": {"foo": {}}, "additionalProperties": False}, [
+    ({"foo": None}, "empty-schema property still claims"),
+])
+
+# dependentRequired: multi-key, empty list, chained triggers
+_many("dependentRequired.json",
+      {"dependentRequired": {"a": ["b"], "b": ["c"]}}, [
+    ({"a": 1, "b": 2, "c": 3}, "chained triggers all satisfied"),
+    ({"a": 1, "b": 2}, "second trigger's dep missing"),
+    ({"b": 2, "c": 3}, "only second trigger, satisfied"),
+    ({"c": 3}, "no triggers present"),
+])
+_many("dependentRequired.json", {"dependentRequired": {"a": []}}, [
+    ({"a": 1}, "empty dependency list always ok"),
+])
+_many("dependentRequired.json",
+      {"dependentRequired": {"quux": ["foo", "bar"]}}, [
+    ({"quux": 1, "foo": 2, "bar": 3}, "both deps present"),
+    ({"quux": 1, "foo": 2}, "one of two deps missing"),
+    (["quux"], "arrays ignored by dependentRequired"),
+])
+
+# dependentSchemas: boolean subschemas, interplay with siblings
+_many("dependentSchemas.json",
+      {"dependentSchemas": {"a": True, "b": False}}, [
+    ({"a": 1}, "boolean-true dependent schema"),
+    ({"b": 1}, "boolean-false dependent schema when present"),
+    ({"c": 1}, "false dependent vacuous when absent"),
+])
+_many("dependentSchemas.json",
+      {"properties": {"mode": True},
+       "dependentSchemas": {"mode": {
+           "properties": {"level": {"minimum": 1}},
+           "required": ["level"]}}}, [
+    ({"mode": "x", "level": 2}, "dependent subschema satisfied"),
+    ({"mode": "x", "level": 0}, "dependent bound violated"),
+    ({"mode": "x"}, "dependent required violated"),
+    ({"level": 0}, "trigger absent: bound not applied"),
+])
+
+# exclusive bounds: boundary exactness and float/int mixing
+_many("exclusiveMinimum.json", {"exclusiveMinimum": 1.1}, [
+    (1.1, "exact boundary fails"),
+    (1.1000000000000001, "next float up passes"),
+    (2, "integer above passes"),
+    ("1.2", "strings ignored"),
+])
+_many("exclusiveMaximum.json", {"exclusiveMaximum": 0}, [
+    (0, "exact zero boundary fails"),
+    (-0.0001, "just below passes"),
+    (0.0, "float zero equals integer zero: fails"),
+])
+
+# required: empty list, exotic names, non-objects
+_many("required.json", {"required": []}, [
+    ({}, "empty required always ok"),
+    ({"a": 1}, "empty required with keys"),
+])
+_many("required.json", {"required": [" weird", "__proto__"]}, [
+    ({" weird": 1, "__proto__": 2}, "exotic names present"),
+    ({" weird": 1}, "__proto__ missing"),
+    ("string ignores required", "non-object vacuous"),
+])
+
+# propertyNames: pattern and boolean forms
+_many("propertyNames.json", {"propertyNames": {"pattern": "^[a-z]+$"}}, [
+    ({"abc": 1, "xyz": 2}, "all names match pattern"),
+    ({"abc": 1, "Not": 2}, "one name violates pattern"),
+    ({}, "empty object ok"),
+    ([1], "arrays ignored by propertyNames"),
+])
+_many("propertyNames.json", {"propertyNames": False}, [
+    ({}, "false propertyNames allows only empty"),
+    ({"a": 1}, "false propertyNames rejects any key"),
+])
+
+# defs: defs themselves are not applied, only referenced
+_many("defs.json",
+      {"$defs": {"never": {"type": "string"}}}, [
+    (42, "unreferenced $defs asserts nothing"),
+    ({"$defs": 1}, "a data key named $defs is just data"),
+])
+_many("defs.json",
+      {"$defs": {"pos": {"minimum": 0},
+                  "both": {"allOf": [{"$ref": "#/$defs/pos"},
+                                      {"maximum": 10}]}},
+       "$ref": "#/$defs/both"}, [
+    (5, "ref chain through nested $defs"),
+    (-1, "inner ref bound fails"),
+    (11, "outer allOf bound fails"),
+])
+
 
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
