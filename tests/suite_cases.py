@@ -2686,6 +2686,132 @@ _many("defs.json",
     (11, "outer allOf bound fails"),
 ])
 
+# combinator nesting: not-in-not, anyOf-of-allOf, oneOf ties
+_many("not.json", {"not": {"not": {"type": "integer"}}}, [
+    (1, "double negation: integer passes"),
+    ("x", "double negation: string fails"),
+])
+_many("not.json", {"not": True}, [
+    (1, "not-true rejects everything"),
+])
+_many("not.json", {"not": False}, [
+    (1, "not-false accepts everything"),
+    (None, "not-false accepts null"),
+])
+_many("not.json",
+      {"properties": {"a": {"not": {"const": "forbidden"}}}}, [
+    ({"a": "ok"}, "nested not passes"),
+    ({"a": "forbidden"}, "nested not rejects the const"),
+    ({}, "absent key vacuous under nested not"),
+])
+_many("anyOf.json",
+      {"anyOf": [{"allOf": [{"minimum": 0}, {"maximum": 10}]},
+                  {"allOf": [{"minimum": 100}, {"maximum": 110}]}]}, [
+    (5, "first allOf band"),
+    (105, "second allOf band"),
+    (50, "between the bands fails"),
+    (115, "above both bands fails"),
+])
+_many("oneOf.json",
+      {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]}, [
+    (4, "only first divisor"),
+    (9, "only second divisor"),
+    (6, "both divisors: exactly-one violated"),
+    (7, "neither divisor"),
+])
+_many("oneOf.json", {"oneOf": [True, True]}, [
+    (1, "two boolean-true branches: not exactly one"),
+])
+_many("oneOf.json", {"oneOf": [True, False, False]}, [
+    (1, "exactly one true branch"),
+])
+_many("allOf.json",
+      {"allOf": [{"properties": {"a": {"type": "integer"}}},
+                  {"properties": {"a": {"minimum": 5}}}]}, [
+    ({"a": 7}, "same property constrained by both branches"),
+    ({"a": 3}, "second branch bound fails"),
+    ({"a": "x"}, "first branch type fails"),
+])
+
+# contains: nested subschemas, interplay with items
+_many("contains.json",
+      {"contains": {"properties": {"kind": {"const": "img"}},
+                     "required": ["kind"]}}, [
+    ([{"kind": "img"}, {"kind": "txt"}], "object element matches"),
+    ([{"kind": "txt"}], "no matching object"),
+    ([], "empty array has no match"),
+    ({"kind": "img"}, "objects ignored by contains"),
+])
+_many("contains.json",
+      {"items": {"type": "integer"}, "contains": {"minimum": 100}}, [
+    ([1, 2, 150], "items all pass and one satisfies contains"),
+    ([1, 2, 3], "items pass but contains unsatisfied"),
+    ([1, "x", 150], "contains satisfied but items fail"),
+])
+_many("minContains.json",
+      {"contains": {"type": "integer"}, "minContains": 0}, [
+    ([], "minContains 0 allows empty array"),
+    (["a"], "minContains 0 allows zero matches"),
+])
+_many("minContains.json",
+      {"contains": {"minimum": 5}, "minContains": 2, "maxContains": 3}, [
+    ([5, 6], "exactly minContains"),
+    ([5, 6, 7], "exactly maxContains"),
+    ([5], "below minContains"),
+    ([5, 6, 7, 8], "above maxContains"),
+])
+
+# properties / patternProperties exotics
+_many("properties.json",
+      {"properties": {"": {"type": "integer"}}}, [
+    ({"": 1}, "empty-string property name"),
+    ({"": "x"}, "empty-string property violates"),
+])
+_many("properties.json",
+      {"properties": {"a": {"properties": {"b": {"properties": {
+          "c": {"const": 3}}}}}}}, [
+    ({"a": {"b": {"c": 3}}}, "three-level nested properties"),
+    ({"a": {"b": {"c": 4}}}, "deep const violated"),
+    ({"a": {"b": {}}}, "inner key absent: vacuous"),
+])
+_many("patternProperties.json",
+      {"patternProperties": {"^x-": {"type": "string"},
+                              "id$": {"type": "integer"}}}, [
+    ({"x-tag": "v", "user_id": 7}, "two patterns, both satisfied"),
+    ({"x-id": "v"}, "name matching BOTH patterns must satisfy both"),
+    ({"x-tag": 5}, "first pattern violated"),
+    ({"plain": None}, "no pattern matches: unconstrained"),
+])
+_many("patternProperties.json",
+      {"patternProperties": {"a+": {"maximum": 10}}}, [
+    ({"aaa": 5, "bab": 7}, "unanchored pattern searches anywhere"),
+    ({"bab": 70}, "substring match still constrains"),
+])
+
+# if-then-else: missing branches and boolean conditions
+_many("if-then-else.json", {"if": {"minimum": 10}}, [
+    (50, "if without then: vacuous on match"),
+    (1, "if without else: vacuous on mismatch"),
+])
+_many("if-then-else.json", {"if": True, "then": {"minimum": 5}}, [
+    (7, "boolean-true if applies then"),
+    (2, "boolean-true if: then violated"),
+])
+_many("if-then-else.json", {"if": False, "then": {"minimum": 5},
+                             "else": {"maximum": 0}}, [
+    (-1, "boolean-false if applies else"),
+    (3, "boolean-false if: else violated"),
+])
+_many("if-then-else.json",
+      {"if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
+       "then": {"required": ["alpha"]},
+       "else": {"required": ["beta"]}}, [
+    ({"kind": "a", "alpha": 1}, "then branch satisfied"),
+    ({"kind": "a", "beta": 1}, "then branch requires alpha"),
+    ({"kind": "b", "beta": 1}, "else branch satisfied"),
+    ({"kind": "b", "alpha": 1}, "else branch requires beta"),
+])
+
 
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
