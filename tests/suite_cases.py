@@ -2530,6 +2530,50 @@ _many("anchor.json",
     ([3, 4], "anchor target asserts per element"),
 ])
 
+# dynamicRef: bookending, non-bookended fallback, scope overrides
+_many("dynamicRef.json",
+      {"$id": "http://example.com/dyn-a/root.json",
+       "$defs": {"base": {"$dynamicAnchor": "T", "type": "string"}},
+       "properties": {"x": {"$dynamicRef": "#T"}}}, [
+    ({"x": "s"}, "dynamicRef to its own resource's anchor"),
+    ({"x": 1}, "dynamic target asserts"),
+])
+_many("dynamicRef.json",
+      {"$id": "http://example.com/dyn-b/outer.json",
+       "$defs": {
+           "strict": {"$dynamicAnchor": "T", "type": "integer"},
+           "inner": {"$id": "inner.json",
+                      "$defs": {"loose": {"$dynamicAnchor": "T"}},
+                      "properties": {"v": {"$dynamicRef": "#T"}}}},
+       "$ref": "inner.json"}, [
+    ({"v": 3}, "outer scope's bookended anchor wins: integer ok"),
+    ({"v": "s"}, "outer scope's anchor asserts integer"),
+])
+_many("dynamicRef.json",
+      {"$id": "http://example.com/dyn-c/root.json",
+       "$defs": {"plain": {"$anchor": "P", "type": "integer"}},
+       "properties": {"x": {"$dynamicRef": "#P"}}}, [
+    ({"x": 2}, "dynamicRef to a plain $anchor behaves as $ref"),
+    ({"x": "s"}, "non-bookended target still asserts"),
+])
+
+# anchor: pointer-vs-anchor fragments, anchor inside combinators
+_many("anchor.json",
+      {"$defs": {"n": {"$anchor": "num", "minimum": 0},
+                  "m": {"maximum": 5}},
+       "allOf": [{"$ref": "#num"}, {"$ref": "#/$defs/m"}]}, [
+    (3, "anchor fragment and pointer fragment side by side"),
+    (-1, "anchor target fails"),
+    (6, "pointer target fails"),
+])
+_many("anchor.json",
+      {"$defs": {"s": {"$anchor": "leaf",
+                        "properties": {"v": {"minimum": 1}}}},
+       "items": {"anyOf": [{"$ref": "#leaf"}, {"type": "integer"}]}}, [
+    ([{"v": 2}, 7], "anchor ref inside anyOf inside items"),
+    ([{"v": 0}], "anchored subschema fails, no other branch"),
+])
+
 # min/maxItems: boundaries + non-array ignores
 _many("maxItems.json", {"maxItems": 0}, [
     ([], "maxItems 0 allows only empty"),
