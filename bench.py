@@ -83,10 +83,18 @@ def main() -> None:
         # plan cost — the same protocol the flagship always used.
         # Safe against the stage-reuse artifact because fn() builds a
         # NEW DataFrame each call (fresh RDD lineage, nothing skipped).
+        # Median of 3 timed passes (round 5, VERDICT r4 #5): one timed
+        # run on a 3×-ambient-noise box made ±13% swings read as
+        # regressions; the median of three fresh-plan runs is robust to
+        # a single neighbor burst while keeping the harness ~2× cost.
         fn()
-        t0 = time.perf_counter()
-        result = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        result = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            result = fn()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[1], 3)
         return result
 
     # 1. flagship: contract validation over N_PAGES synthetic pages

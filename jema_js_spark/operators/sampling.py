@@ -51,7 +51,22 @@ def _unit_hash(cols: Sequence[Column], seed: int,
     everywhere), so an external system — or the round's DuckDB oracle —
     can reproduce the draw bit-for-bit and audit exactly which rows a
     100 TB sample kept.  52 bits keeps the integer exact in a double,
-    so the division is exact-rounded identically in every engine."""
+    so the division is exact-rounded identically in every engine.
+
+    Key contract (both methods for NULLs; md5 for separators): key
+    columns must be NON-NULL — ``concat_ws`` SKIPS a NULL component, so
+    a NULL key collapses onto its neighbours' key string and, worse,
+    diverges from the published oracle formula which assumes every
+    component present (``xxhash64`` hashes NULL as a distinct value but
+    a NULL key row is still one undifferentiated bucket).  For
+    multi-column md5 keys the components must not contain ``'|'`` —
+    ``('a|b','c')`` and ``('a','b|c')`` would join to the same string
+    and receive identical, correlated draws.  Escaping is deliberately
+    NOT applied: the draw's value IS its audit surface (the DuckDB
+    ``sample_split`` twin recomputes ``md5('<key>|<seed>')`` verbatim),
+    so the formula stays the simplest thing an external engine can
+    reproduce; callers with separator-bearing keys pre-hash them into a
+    single clean column (e.g. ``sha2(url, 256)``) first."""
     if method == "md5":
         key = F.concat_ws("|", *[c.cast("string") for c in cols],
                           F.lit(str(seed)))
@@ -128,6 +143,15 @@ def stratified_cap(df: DataFrame, group_cols: Sequence[str], n: int,
     a hot group costs ``partial_buckets`` parallel tasks, not one."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    # the two phases stage reserved working columns over the full input
+    # row — an input already carrying one would be silently replaced
+    # and then dropped from the output (ADVICE r4): fail loudly, same
+    # class of guard as stream_first_seen (validate_stream.py)
+    clash = {"__pri", "__salt", "__rn"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"stratified_cap reserves working columns {sorted(clash)}; "
+            "rename or drop them on the input")
     gcols = [F.col(c) for c in group_cols]
     pri = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     salt = F.pmod(F.xxhash64(pri, F.lit(seed + 1)), F.lit(partial_buckets))

@@ -47,6 +47,35 @@ __all__ = ["propose_contract", "propose_json_contract"]
 _RSD = 0.02
 
 
+def _bound_down(v) -> float:
+    """Largest double ≤ ``v`` (a Decimal or float observed minimum).
+
+    ``float(Decimal)`` rounds to NEAREST, so a decimal128 minimum not
+    representable in a double can round UP — emitting a ``minimum``
+    above the actual observed value and breaking the module's
+    closed-over-observed-data guarantee (ADVICE r4).  Nudge one ULP
+    down whenever rounding went up."""
+    import math
+    from decimal import Decimal
+
+    f = float(v)
+    if isinstance(v, Decimal) and math.isfinite(f) and Decimal(f) > v:
+        return math.nextafter(f, -math.inf)
+    return f
+
+
+def _bound_up(v) -> float:
+    """Smallest double ≥ ``v`` — mirror of :func:`_bound_down` for the
+    observed maximum (nearest-rounding can round DOWN)."""
+    import math
+    from decimal import Decimal
+
+    f = float(v)
+    if isinstance(v, Decimal) and math.isfinite(f) and Decimal(f) < v:
+        return math.nextafter(f, math.inf)
+    return f
+
+
 def _string_length_bounds(c: str):
     # code points, matching min/maxLength semantics (SURVEY §7.4)
     return (F.min(F.length(F.col(c))).alias(f"{c}_minlen"),
@@ -134,8 +163,8 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
         elif isinstance(dtype, T.NumericType):
             sub = {"type": "number"}
             if stats.get(f"{c}_min") is not None:
-                sub["minimum"] = float(stats[f"{c}_min"])
-                sub["maximum"] = float(stats[f"{c}_max"])
+                sub["minimum"] = _bound_down(stats[f"{c}_min"])
+                sub["maximum"] = _bound_up(stats[f"{c}_max"])
             props[c] = sub
         elif isinstance(dtype, T.TimestampType):
             props[c] = {"type": "string", "format": "date-time"}

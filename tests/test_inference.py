@@ -161,3 +161,24 @@ def test_nullable_columns_not_required(spark, docs):
     # masked rows still validate: NULL means "key absent" in the bridge
     out = with_valid(masked, contract)
     assert out.filter(~F.col("valid")).count() == 0
+
+
+def test_decimal_bounds_stay_closed_over_data(spark):
+    # decimal128 values not representable in a double: float() rounds
+    # to nearest, so a naive cast can emit minimum > observed min /
+    # maximum < observed max (ADVICE r4).  The mined contract must
+    # nudge one ULP outward so with_valid stays all-true.
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("0.100000000000000005"),),
+         (Decimal("12345678901234567.891"),),
+         (Decimal("-0.300000000000000007"),)], "amount decimal(38,18)")
+    contract = propose_contract(df, emit_required=False)
+    sub = contract["properties"]["amount"]
+    assert Decimal(sub["minimum"]) <= Decimal("-0.300000000000000007")
+    assert Decimal(sub["maximum"]) >= Decimal("12345678901234567.891")
+    out = with_valid(df, contract)
+    n, ok = out.agg(F.count(F.lit(1)),
+                    F.sum(F.col("valid").cast("long"))).collect()[0]
+    assert n == ok == 3

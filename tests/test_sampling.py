@@ -131,3 +131,11 @@ def test_stratified_cap_exact(spark, docs):
                    stratified_cap(docs.repartition(17), ["lang"], n=5, seed=2)
                    .select("doc_id").collect())
     assert got == again
+
+
+def test_stratified_cap_rejects_reserved_columns(spark, docs):
+    # working columns would be silently replaced then dropped (ADVICE
+    # r4) — the guard must name the clash
+    poisoned = docs.withColumn("__pri", F.lit(1))
+    with pytest.raises(ValueError, match="__pri"):
+        stratified_cap(poisoned, ["lang"], n=5)
