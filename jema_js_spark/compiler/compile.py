@@ -260,6 +260,17 @@ class SchemaCompiler:
         checks = self._compile_node(self.schema.schema, root, (), (), set())
         return CompiledPlan(checks=checks, compiler=self)
 
+    def compile_plan_for_column(self, col: Column,
+                                dtype: T.DataType) -> "CompiledPlan":
+        """Compile against a single typed COLUMN instead of the row —
+        the JSON columnar route (validation/json_plane.py) parses a
+        JSON string column into a struct and validates the struct value
+        itself, so the schema's root applies to the column, not the
+        row shape."""
+        texpr = _TExpr(col, dtype)
+        checks = self._compile_node(self.schema.schema, texpr, (), (), set())
+        return CompiledPlan(checks=checks, compiler=self)
+
     # -- recursive compile ------------------------------------------------
     def _compile_node(self, node: Any, texpr: _TExpr,
                       spath: Tuple, dpath: Tuple,
@@ -1416,24 +1427,82 @@ def _h_unsupported(reason):
 # verdict when every *other* check already passed (any earlier error
 # makes the row invalid regardless — the reference's lazy generator
 # reaches the sweep with a fully-materialized evaluated set only on the
-# no-error path, schema.js:216-227).  On that path, for schemas without
-# result-dependent applicators (anyOf/oneOf/not/$ref/dependentSchemas/
-# dependencies, whose *partial* evaluation order would matter), the
-# evaluated set is statically derivable from properties /
-# patternProperties / additionalProperties / allOf / if-then-else.
+# no-error path, schema.js:216-227).  On that path the evaluated set is
+# statically derivable whenever each applicator's contribution is:
+#
+# - unconditional and full — properties / patternProperties /
+#   additionalProperties / allOf, and (round 5) a non-cyclic ``$ref``
+#   target, which the kernel visits exactly like an inlined allOf
+#   branch (schema.js:345-353: plain ``yield from`` into the target);
+# - nothing at all — ``not`` suppresses collection via the
+#   stop_collecting flag (schema.js:410-412), PROVIDED no nested
+#   ``not`` anywhere below it can hit the quirky plain-reset (the
+#   inner probe's exit sets the flag False, not back to its entry
+#   value, re-enabling collection for the rest of the outer probe);
+# - conditional on a statically-expressible guard — then/else claims
+#   under the if-outcome, and (round 5) dependentSchemas /
+#   schema-form dependencies claims under trigger-key presence
+#   (schema.js:616-642: the branch runs iff the key is present, and on
+#   the no-error path it validates fully, so its claims are its full
+#   static set);
+# - or covered — probing applicators (``if``, and round 5
+#   anyOf/oneOf, which under collecting mode probe EVERY branch,
+#   schema.js:381-395) may leak an order-dependent partial claim set
+#   from a FAILED probe, which no static predicate can reproduce — but
+#   a leaked claim over an always-claimed key changes nothing, so
+#   probe branches are admissible exactly when their full static claim
+#   set is already always-claimed (claim-free branches like
+#   ``{"required": [...]}`` trivially so).
+#
+# Anything outside these shapes raises ColumnarUnsupported and takes
+# the carried-sibling Plane-B fallback (whole-node-equivalent — the
+# safety rail the CLAUDE.md invariant demands).  $dynamicRef stays
+# kernel-only: its target is runtime-scoped.
 
-_DISQUALIFYING = ("anyOf", "oneOf", "not", "$ref", "$dynamicRef",
-                  "dependentSchemas", "dependencies")
+
+def _contains_not_deep(c, node: Any, seen: Optional[set] = None) -> bool:
+    """``not`` anywhere in the subtree (following $ref targets, walking
+    the containers iter_subschemas skips) — the scope in which the
+    kernel's plain-reset quirk could re-enable claim collection inside
+    an outer suppressed probe."""
+    from jema_js_spark.schema.frontend import iter_subschemas
+
+    if seen is None:
+        seen = set()
+    if not isinstance(node, dict) or id(node) in seen:
+        return False
+    seen.add(id(node))
+    if "not" in node:
+        return True
+    if "$ref" in node or "$dynamicRef" in node:
+        target = c.schema.registry.ref_targets.get(id(node))
+        if target is not None and _contains_not_deep(c, target, seen):
+            return True
+    extra = []
+    pprops = node.get("patternProperties")
+    if isinstance(pprops, dict):
+        extra.extend(pprops.values())
+    deps = node.get("dependencies")
+    if isinstance(deps, dict):
+        extra.extend(v for v in deps.values() if isinstance(v, dict))
+    if any(_contains_not_deep(c, sub, seen) for sub in extra):
+        return True
+    return any(_contains_not_deep(c, sub, seen)
+               for sub in iter_subschemas(node))
 
 
-def _claimed_keys_static(node: dict, texpr: _TExpr, descend) :
+def _claimed_keys_static(c, node: Any, texpr: _TExpr, descend,
+                         ref_stack: frozenset = frozenset()):
     """Set of statically-claimed property names plus an optional
-    per-remaining-key guard Column (for if/then/else claims).  Returns
+    per-remaining-key guard Column (for conditional claims).  Returns
     (always_claimed: set, conditional: dict[name, Column]) or raises
     ColumnarUnsupported."""
-    for kw in _DISQUALIFYING:
-        if kw in node:
-            raise ColumnarUnsupported(f"unevaluated* with {kw} needs the kernel")
+    if not isinstance(node, dict):
+        return set(), {}          # boolean subschemas claim nothing
+    if "$dynamicRef" in node:
+        raise ColumnarUnsupported(
+            "unevaluated* with $dynamicRef needs the kernel "
+            "(runtime-scoped target)")
     always: set = set()
     conditional: Dict[str, Column] = {}
 
@@ -1460,11 +1529,73 @@ def _claimed_keys_static(node: dict, texpr: _TExpr, descend) :
     all_of = node.get("allOf")
     if isinstance(all_of, list):
         for branch in all_of:
-            if isinstance(branch, dict):
-                b_always, b_cond = _claimed_keys_static(branch, texpr, descend)
-                always |= b_always
-                for name, guard in b_cond.items():
-                    merge_conditional(name, guard)
+            b_always, b_cond = _claimed_keys_static(c, branch, texpr,
+                                                    descend, ref_stack)
+            always |= b_always
+            for name, guard in b_cond.items():
+                merge_conditional(name, guard)
+
+    if "$ref" in node:
+        # on the no-error path the target validates fully, so its
+        # claims are its full static set — an inlined allOf branch
+        target = c.schema.registry.ref_targets.get(id(node))
+        if target is None:
+            raise ColumnarUnsupported(f"unresolved $ref {node['$ref']}")
+        if id(node) in ref_stack:
+            raise ColumnarUnsupported(
+                "cyclic $ref in unevaluated* claim analysis needs the kernel")
+        t_always, t_cond = _claimed_keys_static(
+            c, target, texpr, descend, ref_stack | {id(node)})
+        always |= t_always
+        for name, guard in t_cond.items():
+            merge_conditional(name, guard)
+
+    if "not" in node:
+        # claims inside `not` are suppressed (stop_collecting) — it
+        # contributes nothing — unless a nested `not` below it could
+        # plain-reset the flag mid-probe (kernel quirk, schema.js:412)
+        if _contains_not_deep(c, node["not"]):
+            raise ColumnarUnsupported(
+                "unevaluated* with nested not-in-not needs the kernel "
+                "(plain stop_collecting reset re-enables collection)")
+
+    for probe_kw in ("anyOf", "oneOf"):
+        branches = node.get(probe_kw)
+        if not isinstance(branches, list):
+            continue
+        # collecting mode probes EVERY branch; a failed probe leaks the
+        # claims made before its first error — order-dependent, so each
+        # branch's full static claim set must already be always-claimed
+        # (then leaks change nothing and passing branches add nothing)
+        for branch in branches:
+            b_always, b_cond = _claimed_keys_static(c, branch, texpr,
+                                                    descend, ref_stack)
+            uncovered = (b_always | set(b_cond)) - always
+            if uncovered:
+                raise ColumnarUnsupported(
+                    f"unevaluated* with {probe_kw}-branch claims over "
+                    f"{sorted(uncovered)} needs the kernel "
+                    "(failed probes leave partial claims)")
+
+    for dep_kw in ("dependentSchemas", "dependencies"):
+        deps = node.get(dep_kw)
+        if not isinstance(deps, dict):
+            continue
+        field_names = set(texpr.field_names())
+        for trigger, branch in deps.items():
+            if isinstance(branch, list):
+                continue          # draft-4 required-form: no claims
+            b_always, b_cond = _claimed_keys_static(c, branch, texpr,
+                                                    descend, ref_stack)
+            if not (b_always or b_cond):
+                continue
+            if trigger not in field_names:
+                continue          # trigger key can never be present
+            present = ~texpr.field(trigger).null_col()
+            for name in b_always:
+                merge_conditional(name, present)
+            for name, sub_guard in b_cond.items():
+                merge_conditional(name, present & sub_guard)
 
     if "if" in node and node.get("if") is not None:
         # the `if` probe itself claims keys (kernel records evaluated
@@ -1476,19 +1607,20 @@ def _claimed_keys_static(node: dict, texpr: _TExpr, descend) :
         # merge under the p_if guard, and any probe-branch claim not
         # otherwise covered forces Plane B.
         if_branch = node["if"]
-        if isinstance(if_branch, dict):
-            i_always, i_cond = _claimed_keys_static(if_branch, texpr, descend)
-            uncovered = (i_always | set(i_cond)) - always
-            if uncovered:
-                raise ColumnarUnsupported(
-                    "unevaluated* with if-probe claims over "
-                    f"{sorted(uncovered)} needs the kernel "
-                    "(failed probes leave partial claims)")
+        i_always, i_cond = _claimed_keys_static(c, if_branch, texpr,
+                                                descend, ref_stack)
+        uncovered = (i_always | set(i_cond)) - always
+        if uncovered:
+            raise ColumnarUnsupported(
+                "unevaluated* with if-probe claims over "
+                f"{sorted(uncovered)} needs the kernel "
+                "(failed probes leave partial claims)")
         p_if = descend(node["if"], texpr)
         for branch_key, guard in (("then", p_if), ("else", ~p_if)):
             branch = node.get(branch_key)
             if isinstance(branch, dict):
-                b_always, b_cond = _claimed_keys_static(branch, texpr, descend)
+                b_always, b_cond = _claimed_keys_static(c, branch, texpr,
+                                                        descend, ref_stack)
                 for name in b_always:
                     merge_conditional(name, guard)
                 for name, sub_guard in b_cond.items():
@@ -1503,7 +1635,7 @@ def _h_unevaluated_properties(c, kw, sval, node, texpr, jt, is_null, add,
     if jt != "object":
         add(kw, sval, F.lit(True))
         return
-    always, conditional = _claimed_keys_static(node, texpr, descend)
+    always, conditional = _claimed_keys_static(c, node, texpr, descend, refs)
     preds = []
     for prop in texpr.field_names():
         if prop in always:
@@ -1526,7 +1658,8 @@ def _h_unevaluated_items(c, kw, sval, node, texpr, jt, is_null, add,
     if texpr.is_row or jt != "array":
         add(kw, sval, F.lit(True))
         return
-    for kw2 in _DISQUALIFYING + ("allOf", "if"):
+    for kw2 in ("anyOf", "oneOf", "not", "$ref", "$dynamicRef",
+                "dependentSchemas", "dependencies", "allOf", "if"):
         if kw2 in node:
             raise ColumnarUnsupported(f"unevaluatedItems with {kw2} needs the kernel")
     # claims: prefixItems positions, all items if `items` present,

@@ -23,7 +23,55 @@ _ALL_COLS = ["id", "url", "text", "lang", "score", "n", "flag", "tags",
 
 def _leaf(rng: random.Random) -> dict:
     kind = rng.choice(["str", "num", "arr", "enum", "type",
-                       "objapp", "uneval", "uneval_probe", "refs", "deps"])
+                       "objapp", "uneval", "uneval_probe", "refs", "deps",
+                       "uneval_static"])
+    if kind == "uneval_static":
+        # round-5 static claim-analysis shapes (VERDICT r4 #1):
+        # unevaluated* beside anyOf/oneOf/not/dependentSchemas/$ref —
+        # randomly covered (→ Plane A) or uncovered (→ Plane B), both
+        # differentially pinned to the kernel
+        claimed = rng.sample(_ALL_COLS, rng.randint(4, 9))
+        out = {"properties": {c: True for c in claimed},
+               "unevaluatedProperties": rng.choice(
+                   [False, {"type": rng.choice(["string", "number"])}])}
+        sib = rng.choice(["anyOf", "oneOf", "not", "deps", "ref"])
+        if sib in ("anyOf", "oneOf"):
+            branches = []
+            for _ in range(rng.randint(1, 3)):
+                b_col = rng.choice(_ALL_COLS)   # covered or not — random
+                branches.append(rng.choice([
+                    {"required": [b_col]},
+                    {"properties": {b_col: {"type": rng.choice(
+                        ["string", "number", "boolean", "array"])}}},
+                    {"properties": {b_col: True}, "required": [b_col]},
+                ]))
+            out[sib] = branches
+        elif sib == "not":
+            inner = rng.choice([
+                {"required": [rng.choice(_ALL_COLS)]},
+                {"properties": {rng.choice(_ALL_COLS): {
+                    "type": rng.choice(["string", "number"])}}},
+                # nested not — must stay Plane B (plain-reset quirk)
+                {"not": {"required": [rng.choice(_ALL_COLS)]}},
+            ])
+            out["not"] = inner
+        elif sib == "deps":
+            trigger = rng.choice(_ALL_COLS)
+            dep_col = rng.choice(_ALL_COLS)
+            out[rng.choice(["dependentSchemas", "dependencies"])] = {
+                trigger: {"properties": {dep_col: True},
+                          **({"required": [dep_col]}
+                             if rng.random() < 0.3 else {})}}
+        else:
+            # $anchor, not a '#/$defs/…' pointer: the leaf may be
+            # embedded at any depth by the combinator wrapper
+            anchor = f"u{rng.randrange(1 << 30):x}"
+            target_cols = rng.sample(_ALL_COLS, rng.randint(2, 6))
+            out["$defs"] = {"t": {"$anchor": anchor,
+                                   "properties": {c: True
+                                                  for c in target_cols}}}
+            out["$ref"] = f"#{anchor}"
+        return out
     if kind == "uneval_probe":
         # round-2: unevaluated* with a claiming if-probe / combinator
         # sibling — must fall back to Plane B and match the kernel's

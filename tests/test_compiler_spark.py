@@ -221,6 +221,91 @@ SCHEMAS = [
                                   "properties": {"depth": True}}}},
         {"properties": {"meta": {"properties": {"zip": True}}}},
     ]},
+    # -- round-5 static Plane-A specializations (VERDICT r4 #1) --------
+    # anyOf with CLAIM-FREE branches (required/type only): collecting
+    # mode probes every branch but none touches the evaluated set, so
+    # the sweep is the pure static claim set — Plane A now
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {},
+                     "score": {}, "n": {}, "flag": {}, "tags": {},
+                     "nums": {}, "meta": {}},
+     "anyOf": [{"required": ["url"]}, {"required": ["id"]}]},
+    # ...even when every branch FAILS (row invalid, sweep moot)
+    {"unevaluatedProperties": {"type": "string"},
+     "properties": {"id": {}, "lang": {}},
+     "anyOf": [{"required": ["zzz_sail"]}, {"properties": {}}]},
+    # anyOf branches whose claims are ⊆ the always-claimed set: a
+    # failed probe's partial leak can only re-claim covered keys
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {},
+                     "score": {}, "n": {}, "flag": {}, "tags": {},
+                     "nums": {}, "meta": {}},
+     "anyOf": [{"properties": {"id": {"minimum": 1}}, "required": ["id"]},
+                {"properties": {"url": {"minLength": 40}},
+                 "required": ["url"]}]},
+    # oneOf, same coverage rule
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {},
+                     "score": {}, "n": {}, "flag": {}, "tags": {},
+                     "nums": {}, "meta": {}},
+     "oneOf": [{"properties": {"lang": {"const": "en"}},
+                 "required": ["lang"]},
+                {"required": ["flag"]}]},
+    # `not` suppresses claim collection entirely (stop_collecting) —
+    # ignorable for the claim set when no nested not can plain-reset it
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "url": {}, "text": {}, "lang": {},
+                     "score": {}, "n": {}, "flag": {}, "tags": {},
+                     "nums": {}, "meta": {}},
+     "not": {"properties": {"lang": {"const": "zz"}}, "required": ["lang"]}},
+    # nested not-in-not: the inner probe's exit RE-ENABLES collection
+    # for the rest of the outer probe (plain reset, schema.js:412) —
+    # must stay Plane B and still match the kernel bit-for-bit
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "lang": {}},
+     "not": {"not": {"required": ["id"]},
+              "properties": {"url": {"type": "string"}}}},
+    # $ref target claims flow like an inlined allOf branch — the
+    # ADVICE-r1 idiom ($ref + unevaluatedProperties) is Plane A now
+    {"$defs": {"half": {"properties": {"id": {}, "url": {}, "text": {},
+                                         "lang": {}, "score": {}}}},
+     "$ref": "#/$defs/half",
+     "properties": {"n": {}, "flag": {}, "tags": {}, "nums": {},
+                     "meta": {}},
+     "unevaluatedProperties": False},
+    # dependentSchemas claims are conditional on trigger-key presence —
+    # statically expressible as a presence guard
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "text": {}, "lang": {}, "score": {}, "n": {},
+                     "flag": {}, "tags": {}, "nums": {}, "meta": {}},
+     "dependentSchemas": {"id": {"properties": {"url": {}}}}},
+    # ...and via the draft-4 schema-form dependencies shim; the list
+    # form claims nothing
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "text": {}, "lang": {}, "score": {}, "n": {},
+                     "flag": {}, "tags": {}, "nums": {}, "meta": {}},
+     "dependencies": {"id": {"properties": {"url": {}}},
+                       "lang": ["text"]}},
+    # trigger key outside the table shape: branch can never run,
+    # claims vacuous — 'url' stays unclaimed and MUST be swept
+    {"unevaluatedProperties": False,
+     "properties": {"id": {}, "text": {}, "lang": {}, "score": {}, "n": {},
+                     "flag": {}, "tags": {}, "nums": {}, "meta": {}},
+     "dependentSchemas": {"zzz_sail": {"properties": {"url": {}}}}},
+    # the representative bench contract's exact shape (claim-free anyOf
+    # + covered if-probe + $ref inside a property): the round-5 target
+    {"type": "object", "required": ["id", "url", "nums"],
+     "$defs": {"small": {"type": "number", "maximum": 1e6}},
+     "properties": {
+         "id": {"type": "integer", "minimum": 0},
+         "url": {"allOf": [{"type": "string", "minLength": 5}]},
+         "nums": {"type": "array", "items": {"$ref": "#/$defs/small"},
+                   "contains": {"minimum": 0}, "minContains": 1}},
+     "if": {"properties": {"id": {"minimum": 50}}, "required": ["id"]},
+     "then": {"properties": {"nums": {"maxItems": 16}}},
+     "else": {"properties": {"url": {"maxLength": 40}}},
+     "anyOf": [{"required": ["url"]}, {"required": ["alias"]}],
+     "unevaluatedProperties": {"type": ["string", "number", "array"]}},
 ]
 
 
@@ -585,8 +670,64 @@ def test_static_unevaluated_is_plane_a(spark, df):
                               "meta": {}}}
     cov = SchemaCompiler(schema).compile_plan(df).coverage()
     assert cov["plane_b_checks"] == 0, cov
-    # ...while result-dependent combinators still fall back
+    # ...while probing combinators with UNCOVERED claims still fall back
     schema_b = {"unevaluatedProperties": False,
                 "anyOf": [{"properties": {"id": {}}}]}
     cov_b = SchemaCompiler(schema_b).compile_plan(df).coverage()
     assert cov_b["plane_b_checks"] >= 1
+
+
+def test_round5_static_unevaluated_specializations_plane(spark, df):
+    """Round-5 claim-analysis extensions (VERDICT r4 #1): claim-free /
+    claim-covered probing combinators, $ref targets, not-suppression,
+    and presence-guarded dependentSchemas all compile Plane A; the
+    leak-hazard shapes stay Plane B."""
+    all_props = {k: {} for k in ("id", "url", "text", "lang", "score",
+                                   "n", "flag", "tags", "nums", "meta")}
+    plane_a = [
+        {"unevaluatedProperties": False, "properties": all_props,
+         "anyOf": [{"required": ["url"]}, {"required": ["id"]}]},
+        {"unevaluatedProperties": False, "properties": all_props,
+         "oneOf": [{"required": ["url"]}, {"required": ["id"]}]},
+        {"unevaluatedProperties": False, "properties": all_props,
+         "anyOf": [{"properties": {"id": {"minimum": 1}}}]},
+        {"unevaluatedProperties": False, "properties": all_props,
+         "not": {"required": ["zz"]}},
+        {"$defs": {"h": {"properties": all_props}}, "$ref": "#/$defs/h",
+         "unevaluatedProperties": False},
+        {"unevaluatedProperties": False, "properties": all_props,
+         "dependentSchemas": {"id": {"properties": {"url": {}}}}},
+    ]
+    for schema in plane_a:
+        cov = SchemaCompiler(schema).compile_plan(df).coverage()
+        assert cov["plane_b_checks"] == 0, (schema, cov)
+    plane_b = [
+        # branch claims outside the always set: failed-probe leak hazard
+        {"unevaluatedProperties": False,
+         "anyOf": [{"properties": {"id": {}}}, {"required": ["url"]}]},
+        # nested not-in-not: plain stop_collecting reset
+        {"unevaluatedProperties": False, "properties": all_props,
+         "not": {"not": {"required": ["id"]}}},
+        # recursive $ref in the claim chain
+        {"$defs": {"loop": {"$ref": "#/$defs/loop"}},
+         "$ref": "#/$defs/loop", "unevaluatedProperties": False},
+    ]
+    for schema in plane_b:
+        cov = SchemaCompiler(schema).compile_plan(df).coverage()
+        assert cov["plane_b_checks"] >= 1, (schema, cov)
+
+
+def test_representative_contract_is_plane_a(spark):
+    """The shared bench contract (bench_contracts.py) — the round-4
+    kernel-plane workload — now compiles 100% Plane A against its
+    struct shape: the 17× plane gap closed for this contract class."""
+    from jema_js_spark.bench_contracts import REPRESENTATIVE_KERNEL_CONTRACT
+
+    df = spark.range(4).select(
+        (F.col("id") % 100).alias("k"),
+        F.concat(F.lit("user"), F.col("id")).alias("name"),
+        F.array(F.col("id") % 7, F.col("id") % 11,
+                F.col("id") % 13).alias("xs"))
+    cov = SchemaCompiler(REPRESENTATIVE_KERNEL_CONTRACT) \
+        .compile_plan(df).coverage()
+    assert cov["plane_a_fraction"] == 1.0, cov["plane_b_names"]
