@@ -159,14 +159,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("source", "lang",
                         F.round(F.col("count") / F.col("tot"), 6).alias("share")))
 
-    # -- kernel path over dynamic JSON (events.props) ----------------------
+    # -- dynamic JSON (events.props): kernel plane + the round-5 JSON
+    # columnar route side-by-side.  Both columns must agree with the
+    # DuckDB twin; the route's kernel-parity on hostile shapes is
+    # separately pinned in tests/test_json_plane.py.
     def q_json_props_kernel(spark, sf_dir):
+        from jema_js_spark.validation.json_plane import with_valid_json
+
         schema = {"type": "object", "required": ["k"],
                   "properties": {"k": {"type": "integer", "minimum": 0,
                                         "maximum": 80}}}
         udf = kernel_validate_udf(schema)
-        return _events(spark, sf_dir).select(
-            "event_id", udf(F.col("props")).alias("valid"))
+        routed = with_valid_json(_events(spark, sf_dir), "props", schema,
+                                 col_name="valid_columnar")
+        return routed.select("event_id", udf(F.col("props")).alias("valid"),
+                             "valid_columnar")
 
     def q_windowed_verdicts(spark, sf_dir):
         # the batch analog of the streaming windowed-verdict surface:
@@ -779,7 +786,9 @@ def oracle_sql() -> dict[str, str]:
         "json_props_kernel": """
             SELECT event_id,
                    coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
-                            BETWEEN 0 AND 80, FALSE) AS valid
+                            BETWEEN 0 AND 80, FALSE) AS valid,
+                   coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                            BETWEEN 0 AND 80, FALSE) AS valid_columnar
             FROM events""",
         "text_features": f"""
             WITH t AS (

@@ -180,6 +180,20 @@ def main() -> None:
     extras["kernel_docs_per_sec"] = round(
         N_KERNEL_DOCS / timings["kernel_json"], 1)
 
+    # 12. the SAME representative contract over the SAME docs through
+    # the round-5 JSON columnar route (validation/json_plane.py):
+    # variant tag gates + typed struct + Plane-A plan, zero Python for
+    # conforming rows.  kernel_json above is the Plane-B cost of this
+    # workload; the ratio is the measured plane gap the route closes.
+    from jema_js_spark.validation.json_plane import with_valid_json
+
+    def json_columnar_run():
+        out = with_valid_json(kdocs, "doc", REPRESENTATIVE_KERNEL_CONTRACT)
+        return out.agg(F.sum(F.col("valid").cast("long"))).collect()
+    bench("json_columnar", json_columnar_run)
+    extras["json_columnar_docs_per_sec"] = round(
+        N_KERNEL_DOCS / timings["json_columnar"], 1)
+
     # plane-coverage pin (VERDICT r3 #6): a silent regression of
     # flagship-contract keywords from Plane A (Catalyst) to Plane B
     # (kernel UDF) must show up in BENCH_r*.json diffs
@@ -197,6 +211,7 @@ def main() -> None:
         "n_pages": N_PAGES,
         "cpus": CPUS,
         "kernel_docs_per_sec": extras["kernel_docs_per_sec"],
+        "json_columnar_docs_per_sec": extras["json_columnar_docs_per_sec"],
         "n_kernel_docs": N_KERNEL_DOCS,
         "plane_a_pct": round(cov["plane_a_fraction"] * 100, 1),
     }

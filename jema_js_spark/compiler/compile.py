@@ -767,6 +767,28 @@ def _h_multiple_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
         add(kw, sval, F.lit(True))
         return
     gate = _numeric_gate(texpr, jt, is_null)
+    # integral column × integral divisor: below 2^53 the JS float dance
+    # is exactly long divisibility, so take pmod there (pmod, never %:
+    # the sign- and overflow-safe form under ANSI) and keep the float
+    # chain only for the magnitudes where JS rounding diverges.
+    # multipleOf 1 on an integral column is vacuously true in JS float
+    # semantics at ANY long magnitude (v/1 round-trips Math.round
+    # exactly, including the >2^53 doubles, which are all integral).
+    if texpr.is_integral_type() and isinstance(sval, (int, float)) \
+            and not isinstance(sval, bool) and float(sval).is_integer() \
+            and sval != 0:
+        m = int(sval)
+        if m in (1, -1):
+            add(kw, sval, F.lit(True))
+            return
+        v = texpr.col.cast("double")
+        q = v / F.lit(float(sval))
+        js_ok = _finite(q) & (q * F.lit(float(sval))
+                              == _js_round_col(q) * F.lit(float(sval)))
+        ok = F.when(texpr.col.between(F.lit(-(1 << 53)), F.lit(1 << 53)),
+                    F.pmod(texpr.col, F.lit(abs(m))) == 0).otherwise(js_ok)
+        add(kw, sval, gate | ok)
+        return
     v = texpr.col.cast("double")
     q = v / F.lit(float(sval))
     # exact columnar replica of schema.js:462-468 (JS Math.round, not

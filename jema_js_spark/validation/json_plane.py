@@ -1,0 +1,387 @@
+"""Columnar (Plane-A) validation for dynamic JSON string columns.
+
+The kernel UDF (``kernel_udf.py``) validates any JSON document with
+full draft 2020-12 semantics, but it is the slow plane: Arrow-batched
+Python at ~300k docs/s vs the columnar plane's millions of rows/s.
+At 100 TB a JSON column with a KNOWN contract should not pay that tax
+for the overwhelmingly common well-shaped rows.
+
+This module routes each row at runtime, entirely JVM-side:
+
+1. ``try_parse_json`` + per-field ``schema_of_variant`` tags decide
+   whether the document's observed shape is exactly representable in
+   the typed relational bridge (SQL NULL ⇔ absent key — see
+   compiler/compile.py).  The tags are authoritative: typed
+   ``variant_get`` extraction COERCES (a JSON string "5" extracts as
+   long 5), so the gate must read the tag, never rely on extraction
+   failure.
+2. Routable rows are parsed into a typed struct and validated by the
+   columnar compiler (``SchemaCompiler.compile_plan_for_column``) —
+   whole-stage-codegen, zero Python.
+3. Every other row (malformed JSON, duplicate keys — ``try_parse_json``
+   nulls both — non-objects, extra keys, JSON-null-valued fields,
+   wrong-typed fields, numeric-exactness hazards) takes the kernel UDF,
+   which is always right.  The two subsets are computed as two filters
+   over the source and unioned, so the Python stage runs ONLY on the
+   (at crawl scale, tiny) non-conforming subset — a ``F.when`` over a
+   pandas UDF would still evaluate the UDF for every row, because
+   Spark projects pandas UDFs in a separate ArrowEvalPython node
+   before the branch.
+
+Routing gates that protect exact kernel parity (each has a
+differential test in tests/test_json_plane.py):
+
+- JSON null values route to the kernel: the bridge reads SQL NULL as
+  *absent*, but the kernel sees a present null (e.g. ``required`` must
+  still pass) — reference semantics, schema.js:231-288.
+- Pure-integer literals beyond ±2^53 route to the kernel: json.loads
+  keeps an exact Python int while the struct holds a rounded double
+  (tag BIGINT gates on magnitude; a huge literal surfaces as
+  DECIMAL(p≥16,0), and one past DECIMAL's 38 digits melts into a
+  DOUBLE tag, caught by a raw-token pure-integer regex).
+- DECIMAL-tagged values are admitted only while their integer part
+  fits 15 digits (p − s ≤ 15): fractional literals are float on both
+  planes (and Spark's decimal→double cast is correctly rounded — the
+  tests pin parity against Python's strtod), but an integer-valued
+  token like ``"10000000000000000001"`` also tags DECIMAL(20,0) and
+  is exact only on the kernel plane.
+
+The cost of a mis-routed row is never a wrong verdict — every gate
+fails CLOSED onto the kernel; the gates only decide how FAST a row is
+judged.
+
+Reference scope: jema.js validates in-memory values one at a time
+(schema.js:59-73); two-plane routing over a table is engine design
+with no reference analog, mandated by the 10^12-row target.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jema_js_spark.compiler.compile import CompiledPlan, SchemaCompiler
+from jema_js_spark.schema.frontend import Schema
+
+__all__ = ["analyze_json_contract", "with_valid_json", "JsonColumnPlan"]
+
+# struct field names must survive the $.name variant path and struct
+# field syntax unquoted
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_SCALAR_SQL = {"integer": "bigint", "number": "double",
+               "string": "string", "boolean": "boolean"}
+_SCALAR_SPARK = {"integer": T.LongType(), "number": T.DoubleType(),
+                 "string": T.StringType(), "boolean": T.BooleanType()}
+
+# largest integer magnitude a double holds exactly
+_EXACT_LONG = 1 << 53
+
+# a pure-integer token of ≥16 digits may exceed 2^53 — kernel keeps it
+# exact, a double would not.  Array form: the token must be delimited
+# by array syntax so digit runs inside fractions don't match.
+_BIG_INT_SCALAR = r"^-?[0-9]{16,}$"
+_BIG_INT_IN_ARRAY = r"(^|[\[,\s])-?[0-9]{16,}([,\]\s]|$)"
+
+# DECIMAL(p,s) admitted while the integer part fits 15 digits exactly
+_DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"
+
+
+@dataclass
+class JsonColumnPlan:
+    """Static routing analysis of one contract: either a typed field
+    layout (``routable``) or the reasons the contract stays whole on
+    the kernel plane."""
+
+    schema: Any
+    fields: Dict[str, Tuple[str, Optional[str]]] = field(default_factory=dict)
+    reasons: List[str] = field(default_factory=list)
+
+    @property
+    def routable(self) -> bool:
+        return not self.reasons
+
+    def struct_type(self) -> T.StructType:
+        out = []
+        for name, (decl, elem) in self.fields.items():
+            if decl == "array":
+                dtype: T.DataType = T.ArrayType(_SCALAR_SPARK[elem])
+            else:
+                dtype = _SCALAR_SPARK[decl]
+            out.append(T.StructField(name, dtype, True))
+        return T.StructType(out)
+
+
+def _declared_type(schema: Schema, node: Any,
+                   seen: Optional[set] = None) -> Optional[str]:
+    """The single JSON type this subschema forces, found at the node,
+    in an allOf branch, or through a $ref hop — conjunctive positions
+    only, so a value of any OTHER type is guaranteed invalid (and may
+    therefore be judged by the kernel route without a columnar twin)."""
+    if seen is None:
+        seen = set()
+    if not isinstance(node, dict) or id(node) in seen:
+        return None
+    seen.add(id(node))
+    t = node.get("type")
+    if isinstance(t, str):
+        return t
+    if t is not None:
+        return None                       # union type: not a single type
+    for branch in node.get("allOf") or []:
+        found = _declared_type(schema, branch, seen)
+        if found is not None:
+            return found
+    if "$ref" in node:
+        target = schema.registry.ref_targets.get(id(node))
+        found = _declared_type(schema, target, seen)
+        if found is not None:
+            return found
+    return None
+
+
+def analyze_json_contract(schema: Any) -> JsonColumnPlan:
+    """Decide whether a contract's conforming documents are exactly
+    representable as a flat typed struct.  Unroutable contracts are not
+    an error — ``with_valid_json`` just runs them whole on the kernel
+    plane — but the reasons are published so a pipeline owner can see
+    why a contract is stuck on the slow plane."""
+    if not isinstance(schema, Schema):
+        schema = Schema(schema)
+    plan = JsonColumnPlan(schema=schema)
+    root = schema.schema
+    if not isinstance(root, dict):
+        plan.reasons.append("root schema is boolean — no declared shape")
+        return plan
+    props = root.get("properties")
+    if not isinstance(props, dict) or not props:
+        plan.reasons.append("root has no properties — no field layout")
+        return plan
+    for name, sub in props.items():
+        if not _NAME_RE.match(name):
+            plan.reasons.append(
+                f"property {name!r} needs path quoting — kernel only")
+            continue
+        decl = _declared_type(schema, sub)
+        if decl in _SCALAR_SQL:
+            plan.fields[name] = (decl, None)
+        elif decl == "array":
+            items = sub.get("items") if isinstance(sub, dict) else None
+            if items is None and isinstance(sub, dict) and "$ref" in sub:
+                target = schema.registry.ref_targets.get(id(sub))
+                if isinstance(target, dict):
+                    items = target.get("items")
+            elem = _declared_type(schema, items)
+            if elem in _SCALAR_SQL:
+                plan.fields[name] = ("array", elem)
+            else:
+                plan.reasons.append(
+                    f"property {name!r}: array items need a single scalar "
+                    f"type, got {elem!r}")
+        else:
+            plan.reasons.append(
+                f"property {name!r}: no single scalar/array type "
+                f"(got {decl!r})")
+    return plan
+
+
+def _decimal_gate(tag: Column, max_int_digits: int = 15) -> Column:
+    p = F.regexp_extract(tag, _DECIMAL_RE, 1)
+    s = F.regexp_extract(tag, _DECIMAL_RE, 2)
+    return (p != "") & ((p.cast("int") - s.cast("int")) <= max_int_digits)
+
+
+def _exact_long_range(x: Column) -> Column:
+    # NOT F.abs: abs(Long.MIN_VALUE) throws under ANSI
+    return x.between(F.lit(-_EXACT_LONG), F.lit(_EXACT_LONG))
+
+
+def _field_gate(v: Column, doc: Column, name: str,
+                decl: str, elem: Optional[str]) -> Column:
+    """True when this field's observed JSON shape is exactly
+    representable in its typed struct slot.  Absent fields (tag SQL
+    NULL) pass: absent maps to struct NULL = absent under the bridge."""
+    path = f"$.{name}"
+    tag = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+    if decl == "integer":
+        ok = (tag == "BIGINT") & _exact_long_range(
+            F.try_variant_get(v, path, "bigint"))
+    elif decl == "number":
+        raw = F.get_json_object(doc, path)
+        ok = (
+            ((tag == "BIGINT") & _exact_long_range(
+                F.try_variant_get(v, path, "bigint")))
+            | ((tag == "DOUBLE") & ~raw.rlike(_BIG_INT_SCALAR))
+            | _decimal_gate(tag)
+        )
+    elif decl == "string":
+        ok = tag == "STRING"
+    elif decl == "boolean":
+        ok = tag == "BOOLEAN"
+    else:                                  # array<elem>
+        if elem == "integer":
+            arr = F.try_variant_get(v, path, "array<bigint>")
+            ok = (tag == "ARRAY<VOID>") | (
+                (tag == "ARRAY<BIGINT>")
+                & F.forall(arr, lambda e: e.isNull() | _exact_long_range(e)))
+        elif elem == "number":
+            arr = F.try_variant_get(v, path, "array<bigint>")
+            raw = F.get_json_object(doc, path)
+            dec_elem = F.regexp_extract(tag, r"ARRAY<" + _DECIMAL_RE + ">", 0)
+            ok = (
+                (tag == "ARRAY<VOID>")
+                | ((tag == "ARRAY<BIGINT>")
+                   & F.forall(arr, lambda e: e.isNull()
+                              | _exact_long_range(e)))
+                | ((tag == "ARRAY<DOUBLE>")
+                   & ~raw.rlike(_BIG_INT_IN_ARRAY))
+                | ((dec_elem != "")
+                   & _decimal_gate(F.replace(F.replace(
+                       tag, F.lit("ARRAY<"), F.lit("")),
+                       F.lit(">"), F.lit(""))))
+            )
+        elif elem == "string":
+            ok = tag.isin("ARRAY<VOID>", "ARRAY<STRING>")
+        else:
+            ok = tag.isin("ARRAY<VOID>", "ARRAY<BOOLEAN>")
+    # absent is always representable; a present JSON null (tag VOID)
+    # never is (the bridge would read it as absent)
+    return tag.isNull() | F.coalesce(ok, F.lit(False))
+
+
+def _extraction(v: Column, name: str, decl: str,
+                elem: Optional[str]) -> Column:
+    path = f"$.{name}"
+    if decl == "array":
+        return F.try_variant_get(v, path, f"array<{_SCALAR_SQL[elem]}>")
+    return F.try_variant_get(v, path, _SCALAR_SQL[decl])
+
+
+def with_valid_json(df: DataFrame, json_col: str, schema: Any,
+                    col_name: str = "valid",
+                    format_assertion: bool = False,
+                    remotes: Optional[dict] = None,
+                    route_col: Optional[str] = None) -> DataFrame:
+    """``validate()`` over a JSON string column: adds a boolean column,
+    computed JVM-side for every row whose document fits the contract's
+    typed shape, by the row kernel for the rest.  ``route_col`` (when
+    set) additionally records which plane judged each row — the
+    observability knob for route-rate monitoring at scale.
+
+    Verdict-equivalent to ``kernel_validate_udf(schema)(json_col)`` on
+    every row (differentially pinned); the union does re-scan the
+    source once per plane, which at crawl scale is the right trade —
+    scans are columnar and cheap, Python rows are not."""
+    from jema_js_spark.validation.kernel_udf import kernel_validate_udf
+
+    if not isinstance(schema, Schema):
+        schema = Schema(schema)
+    plan = analyze_json_contract(schema)
+
+    kernel_pred = kernel_validate_udf(
+        schema.schema, remotes=remotes, format_assertion=format_assertion)
+
+    if not plan.routable:
+        out = df.withColumn(col_name, F.coalesce(
+            kernel_pred(F.col(json_col)), F.lit(False)))
+        if route_col:
+            out = out.withColumn(route_col, F.lit("kernel"))
+        return out
+
+    reserved = {"__jv", "__jv_parsed"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"with_valid_json reserves working columns {sorted(reserved)}; "
+            "rename or drop them on the input")
+
+    doc = F.col(json_col)
+    # Generate-node barrier (explode of a 1-element array): Catalyst
+    # re-inlines a derived column's defining expression into EVERY
+    # downstream reference (the documented ~100× minhash hazard,
+    # CLAUDE.md), and the variant parse + key list are referenced by
+    # every gate.  A generated attribute is a real attribute — parsed
+    # once per row, referenced for free.  Measured: the naive
+    # withColumn form re-parsed per reference and ran SLOWER than the
+    # kernel it was meant to beat.
+    staged = df.select(
+        "*",
+        F.explode(F.array(F.struct(
+            F.try_parse_json(doc).alias("v"),
+            F.json_object_keys(doc).alias("keys"),
+        ))).alias("__jv"))
+    v = F.col("__jv.v")
+    keys = F.col("__jv.keys")
+    known = F.array(*[F.lit(n) for n in plan.fields])
+    gates = [
+        v.isNotNull(),                       # parses; no duplicate keys
+        keys.isNotNull(),                    # is an object
+        F.size(F.array_except(keys, known)) == 0,
+    ]
+    gates += [_field_gate(v, doc, n, decl, elem)
+              for n, (decl, elem) in plan.fields.items()]
+    full_gates = functools.reduce(lambda a, b: a & b, gates)
+
+    # common-shape shortcut: ONE root schema_of_variant equality
+    # replaces the whole per-field gate chain for the dominant
+    # "every field present, canonically typed" document (variant object
+    # keys render in sorted byte order, so the string is unique per
+    # shape).  Numeric magnitude guards still apply — the tag alone
+    # can't see a >2^53 long.  `number` fields have no single canonical
+    # tag (BIGINT/DOUBLE/DECIMAL all conform), so contracts with one
+    # skip the shortcut and keep the full gates.
+    shortcut = None
+    if all(decl != "number" and elem != "number"
+           for decl, elem in plan.fields.values()):
+        expected = "OBJECT<" + ", ".join(
+            f"{n}: " + ("ARRAY<" + {"integer": "BIGINT",
+                                     "string": "STRING",
+                                     "boolean": "BOOLEAN"}[e] + ">"
+                        if d == "array" else
+                        {"integer": "BIGINT", "string": "STRING",
+                         "boolean": "BOOLEAN"}[d])
+            for n, (d, e) in sorted(plan.fields.items())) + ">"
+        guards = [F.schema_of_variant(v) == F.lit(expected)]
+        for n, (d, e) in plan.fields.items():
+            if d == "integer":
+                guards.append(_exact_long_range(
+                    F.try_variant_get(v, f"$.{n}", "bigint")))
+            elif d == "array" and e == "integer":
+                guards.append(F.forall(
+                    F.try_variant_get(v, f"$.{n}", "array<bigint>"),
+                    lambda x: x.isNull() | _exact_long_range(x)))
+        shortcut = functools.reduce(lambda a, b: a & b, guards)
+
+    if shortcut is not None:
+        route = F.when(F.coalesce(shortcut, F.lit(False)), F.lit(True)) \
+            .otherwise(F.coalesce(full_gates, F.lit(False)))
+    else:
+        route = F.coalesce(full_gates, F.lit(False))
+
+    struct_type = plan.struct_type()
+    parsed = F.struct(*[
+        _extraction(v, n, decl, elem).alias(n)
+        for n, (decl, elem) in plan.fields.items()]).cast(struct_type)
+
+    compiled: CompiledPlan = SchemaCompiler(
+        schema, format_assertion=format_assertion) \
+        .compile_plan_for_column(F.col("__jv_parsed"), struct_type)
+
+    # the parsed struct gets its own barrier: the compiled plan
+    # references it once per check
+    fast = (staged.filter(route)
+            .select("*", F.explode(F.array(parsed)).alias("__jv_parsed"))
+            .withColumn(col_name, compiled.valid_column())
+            .drop("__jv", "__jv_parsed"))
+    slow = (staged.filter(~route)
+            .withColumn(col_name, F.coalesce(kernel_pred(doc), F.lit(False)))
+            .drop("__jv"))
+    if route_col:
+        fast = fast.withColumn(route_col, F.lit("columnar"))
+        slow = slow.withColumn(route_col, F.lit("kernel"))
+    return fast.unionByName(slow)

@@ -1,0 +1,262 @@
+"""JSON columnar route (validation/json_plane.py): every row's verdict
+must equal the kernel UDF's, whatever plane judged it — the routing
+gates only decide speed, never outcome.  The hostile battery aims one
+doc at every gate: parse failures, duplicate keys, non-objects, extra
+keys, JSON-null fields, wrong types, numeric-exactness hazards (big
+ints, long decimals), unicode, empty containers."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from jema_js_spark.kernel.kernel import Validator
+from jema_js_spark.schema.frontend import Schema
+from jema_js_spark.validation.json_plane import (
+    analyze_json_contract,
+    with_valid_json,
+)
+
+CONTRACT = {
+    "type": "object", "required": ["k", "name", "xs"],
+    "$defs": {"small_int": {"type": "integer", "maximum": 12}},
+    "properties": {
+        "k": {"type": "integer", "minimum": 0, "multipleOf": 1},
+        "name": {"allOf": [{"type": "string", "minLength": 5},
+                           {"pattern": "^user[0-9]+$"}]},
+        "xs": {"type": "array", "items": {"$ref": "#/$defs/small_int"},
+               "minItems": 3, "uniqueItems": True,
+               "contains": {"minimum": 0}, "minContains": 1},
+    },
+    "if": {"properties": {"k": {"minimum": 50}}, "required": ["k"]},
+    "then": {"properties": {"xs": {"maxItems": 16}}},
+    "else": {"properties": {"name": {"maxLength": 40}}},
+    "anyOf": [{"required": ["name"]}, {"required": ["alias"]}],
+    "unevaluatedProperties": {"type": ["string", "number", "array"]},
+}
+
+NUM_CONTRACT = {
+    "type": "object",
+    "properties": {
+        "x": {"type": "number", "minimum": 0.1,
+              "maximum": 10000000000000000000.0},
+        "b": {"type": "boolean", "const": True},
+        "ds": {"type": "array", "items": {"type": "number",
+                                           "exclusiveMaximum": 1e19}},
+        "ss": {"type": "array", "items": {"type": "string",
+                                           "minLength": 1}},
+    },
+    "required": ["x"],
+    "additionalProperties": False,
+}
+
+HOSTILE_DOCS = [
+    # clean conforming shapes
+    '{"k": 5, "name": "user5", "xs": [1,2,3]}',
+    '{"k": 99, "name": "user99", "xs": [0,1,2,3]}',
+    '{"k": 5, "name": "user5", "xs": [1,2,3], "extra": "ok"}',
+    '{"k": 5, "name": "user5", "xs": [1,2,3], "extra": {"deep": 1}}',
+    # violations that still route columnar
+    '{"k": -1, "name": "user1", "xs": [1,2,3]}',
+    '{"k": 5, "name": "nope", "xs": [1,2,3]}',
+    '{"k": 5, "name": "user5", "xs": [1,1,1]}',
+    '{"k": 5, "name": "user5", "xs": []}',
+    '{"name": "user5", "xs": [1,2,3]}',
+    '{}',
+    # kernel-route shapes: JSON null values (present ≠ absent)
+    '{"k": null, "name": "user5", "xs": [1,2,3]}',
+    '{"k": 5, "name": null, "xs": [1,2,3]}',
+    # wrong types
+    '{"k": "5", "name": "user5", "xs": [1,2,3]}',
+    '{"k": 5.0, "name": "user5", "xs": [1,2,3]}',
+    '{"k": 5.7, "name": "user5", "xs": [1,2,3]}',
+    '{"k": 5, "name": 7, "xs": [1,2,3]}',
+    '{"k": 5, "name": "user5", "xs": "nope"}',
+    '{"k": 5, "name": "user5", "xs": [1, "a", 3]}',
+    '{"k": 5, "name": "user5", "xs": [1, null, 3]}',
+    '{"k": 5, "name": "user5", "xs": [[1]]}',
+    '{"k": 5, "name": "user5", "xs": {"0": 1}}',
+    # numeric exactness hazards
+    '{"k": 9007199254740993, "name": "user5", "xs": [1,2,3]}',
+    '{"k": 9223372036854775807, "name": "user5", "xs": [1,2,3]}',
+    '{"k": 10000000000000000001, "name": "user5", "xs": [1,2,3]}',
+    '{"k": 100000000000000000000000000000000000000001, "name": "user5", '
+    '"xs": [1,2,3]}',
+    '{"k": 5, "name": "user5", "xs": [9007199254740993, 1, 2]}',
+    # malformed / duplicate keys / non-objects
+    'not json at all',
+    '{"k": 1, "k": 2, "name": "user1", "xs": [1,2,3]}',
+    '[1, 2, 3]',
+    '"a string document"',
+    '17',
+    'true',
+    'null',
+    None,
+    # unicode
+    '{"k": 5, "name": "user5", "xs": [1,2,3], "emoji": "\\ud83d\\ude00"}',
+    '{"k": 5, "name": "us\\u00e9r5", "xs": [1,2,3]}',
+]
+
+NUM_DOCS = [
+    '{"x": 1.5}', '{"x": 0.1}', '{"x": 0.09999999999999999}',
+    '{"x": 5}', '{"x": -0.0}', '{"x": 1e308}', '{"x": 1e-300}',
+    '{"x": 0.30000000000000004}', '{"x": 0.1234567890123456789}',
+    '{"x": 10000000000000000000}',      # == maximum as exact int: kernel
+    '{"x": 10000000000000000001}',      # > maximum only in exact ints
+    '{"x": 9999999999999999999.5}',
+    '{"x": 123456789012345678901234567890123456789012}',
+    '{"x": 1.5, "b": true}', '{"x": 1.5, "b": false}',
+    '{"x": 1.5, "b": null}', '{"x": 1.5, "b": 1}',
+    '{"x": 1.5, "ds": []}', '{"x": 1.5, "ds": [0.5, 2]}',
+    '{"x": 1.5, "ds": [null]}', '{"x": 1.5, "ds": [1e19]}',
+    '{"x": 1.5, "ds": [9999999999999999999]}',
+    '{"x": 1.5, "ds": [10000000000000000001, 1.5]}',
+    '{"x": 1.5, "ds": [0.1234567890123456789, 2]}',
+    '{"x": 1.5, "ds": [1, 2.5, -3]}',
+    '{"x": 1.5, "ss": ["a", "b"]}', '{"x": 1.5, "ss": [""]}',
+    '{"x": 1.5, "ss": ["a", null]}', '{"x": 1.5, "ss": [1]}',
+    '{"x": 1.5, "zzz": 1}',
+]
+
+
+def _kernel_verdicts(contract, docs):
+    v = Validator(Schema(contract))
+    out = {}
+    for d in docs:
+        try:
+            value = None if d is None else json.loads(d)
+        except (TypeError, ValueError):
+            out[d] = False
+            continue
+        try:
+            out[d] = v.validate(value)
+        except Exception:
+            out[d] = False
+    return out
+
+
+@pytest.mark.parametrize("contract,docs", [
+    (CONTRACT, HOSTILE_DOCS),
+    (NUM_CONTRACT, NUM_DOCS),
+])
+def test_route_matches_kernel_on_hostile_docs(spark, contract, docs):
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i long, doc string")
+    out = with_valid_json(df, "doc", contract, route_col="route").collect()
+    expected = _kernel_verdicts(contract, docs)
+    bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, bad
+    assert len(out) == len(docs)          # union loses no rows
+
+
+def test_clean_docs_route_columnar(spark):
+    from jema_js_spark.bench_contracts import (
+        REPRESENTATIVE_KERNEL_CONTRACT, representative_json_docs)
+
+    docs = representative_json_docs(spark, 500, num_partitions=4)
+    out = with_valid_json(docs, "doc", REPRESENTATIVE_KERNEL_CONTRACT,
+                          route_col="route")
+    routes = {r["route"]: r["count"]
+              for r in out.groupBy("route").count().collect()}
+    assert routes == {"columnar": 500}
+
+
+def test_fast_plane_has_no_python_stage(spark):
+    """The columnar subset's physical plan must be UDF-free — the whole
+    point of the route (the kernel stage may appear only on the
+    non-conforming subset)."""
+    from jema_js_spark.bench_contracts import (
+        REPRESENTATIVE_KERNEL_CONTRACT, representative_json_docs)
+    from jema_js_spark.compiler.compile import SchemaCompiler
+    from jema_js_spark.validation.json_plane import JsonColumnPlan
+
+    plan = analyze_json_contract(REPRESENTATIVE_KERNEL_CONTRACT)
+    compiled = SchemaCompiler(REPRESENTATIVE_KERNEL_CONTRACT) \
+        .compile_plan_for_column(F.lit(None).cast(plan.struct_type()),
+                                 plan.struct_type())
+    cov = compiled.coverage()
+    assert cov["plane_a_fraction"] == 1.0, cov["plane_b_names"]
+
+
+def test_unroutable_contracts_fall_back_whole(spark):
+    docs = ['{"a": {"b": 1}}', '{"a": null}', 'junk', '{"a": [1, {"z": 2}]}']
+    contracts = [
+        {"properties": {"a": {"type": "object"}}},            # nested object
+        {"properties": {"a": {"type": ["integer", "string"]}}},  # union
+        {"properties": {"a": {"type": "array",
+                               "items": {"type": "object"}}}},
+        {"properties": {}},                                    # no layout
+        True,                                                  # boolean root
+    ]
+    for contract in contracts:
+        plan = analyze_json_contract(contract)
+        assert not plan.routable, contract
+        df = spark.createDataFrame([(d,) for d in docs], "doc string")
+        out = with_valid_json(df, "doc", contract, route_col="route")
+        rows = out.collect()
+        expected = _kernel_verdicts(contract, docs)
+        assert all(r["route"] == "kernel" for r in rows)
+        assert all(r["valid"] == expected[r["doc"]] for r in rows)
+
+
+def test_reserved_columns_guarded(spark):
+    df = spark.createDataFrame([("{}", 1)], "doc string, __jv long")
+    with pytest.raises(ValueError, match="__jv"):
+        with_valid_json(df, "doc", CONTRACT)
+
+
+def test_decimal_double_cast_parity(spark):
+    """The gate admits DECIMAL-tagged fractions on the premise that
+    Spark's decimal→double conversion equals Python strtod for p−s ≤ 15
+    — pin it on adversarial literals."""
+    lits = ["0.1", "5.7", "0.30000000000000004", "123456.789012345",
+            "0.000001", "999999999999999.9", "0.12345678901234568",
+            "-0.3000000000000001", "2.2250738585072011e-308"]
+    docs = ['{"x": %s}' % s for s in lits]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    got = {r["doc"]: r["x"] for r in df.select(
+        "doc", F.try_variant_get(F.try_parse_json("doc"), "$.x",
+                                 "double").alias("x")).collect()}
+    for s, d in zip(lits, docs):
+        assert got[d] == float(s), (s, got[d])
+
+
+def test_random_docs_route_matches_kernel(spark):
+    """Fuzz axis: random documents over the contract's key space with
+    hostile values in every slot — parity on all of them."""
+    import random
+
+    rng = random.Random(515)
+    k_pool = [0, 5, 50, 99, -1, 5.0, 5.7, "5", None, True,
+              9007199254740993, 2**53, 2**53 - 1, 10**20, [1], {"z": 1}]
+    name_pool = ["user1", "user123456", "nope", "", None, 7, 1.5,
+                 "usér5", True, ["user1"]]
+    xs_pool = [[1, 2, 3], [], [0], [1, 1, 2], [12, 13, 1], [1, None, 2],
+               [1.5, 2, 3], ["a"], [[1]], [10**17, 1, 2], None, "xs", 5,
+               [1, 2, 3, 4] * 5]
+    extra_pool = [None, "s", 5, 1.5, [1], {"d": 1}, True]
+
+    def gen():
+        doc = {}
+        if rng.random() < 0.9:
+            doc["k"] = rng.choice(k_pool)
+        if rng.random() < 0.9:
+            doc["name"] = rng.choice(name_pool)
+        if rng.random() < 0.9:
+            doc["xs"] = rng.choice(xs_pool)
+        if rng.random() < 0.3:
+            doc["extra"] = rng.choice(extra_pool)
+        if rng.random() < 0.1:
+            doc["alias"] = "a"
+        return json.dumps(doc)
+
+    docs = list({gen() for _ in range(300)})
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", CONTRACT, route_col="route").collect()
+    expected = _kernel_verdicts(CONTRACT, docs)
+    bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
