@@ -353,7 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from jema_js_spark.operators.multimodal import (
             attach_media_metadata, decode_image_features, gif_bytes,
-            png_bytes, synthesize_bmp)
+            jpeg_bytes, png_bytes, synthesize_bmp)
 
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
         bmp = synthesize_bmp(
@@ -380,9 +380,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gif_rows.append((2000 + i, bytearray(gif_bytes(arr))))
         gif_df = spark.createDataFrame(gif_rows,
                                        "media_id long, payload binary")
+        # JPEG (round 5): REAL baseline JFIF through the from-scratch
+        # Huffman+dequant+IDCT decoder.  Solid YCbCr plants with EVEN
+        # channel values make every DC-only block exact under the flat
+        # q=16 tables, and the decoder's floor(x+0.5) YCbCr→RGB formula
+        # is IEEE-reproducible in SQL — so the oracle needs no codec.
+        jpeg_rows = []
+        for i in range(30):
+            w, h = i % 5 + 2, 2
+            y, cb, cr = (i * 14) % 256, (i * 6 + 2) % 256, (i * 22) % 256
+            arr = np.full((h, w, 3), [y, cb, cr], dtype=np.uint8)
+            jpeg_rows.append((3000 + i, bytearray(jpeg_bytes(arr, ycbcr=True))))
+        jpeg_df = spark.createDataFrame(jpeg_rows,
+                                        "media_id long, payload binary")
         media = attach_media_metadata(
-            bmp_rows.unionAll(png_df).unionAll(gif_df))
-        fmt = F.when(F.col("media_id") >= 2000, F.lit("gif")) \
+            bmp_rows.unionAll(png_df).unionAll(gif_df).unionAll(jpeg_df))
+        fmt = F.when(F.col("media_id") >= 3000, F.lit("jpeg")) \
+            .when(F.col("media_id") >= 2000, F.lit("gif")) \
             .when(F.col("media_id") >= 1000, F.lit("png")) \
             .otherwise(F.lit("bmp"))
         return decode_image_features(media).select(
@@ -1120,6 +1134,24 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id * 17 % 256)::DOUBLE,
                    (doc_id * 9 % 256)::DOUBLE,
                    (doc_id * 2 % 256)::DOUBLE
+            FROM documents WHERE doc_id < 30
+            UNION ALL
+            -- real baseline JPEG: solid even-valued YCbCr plants are
+            -- DC-only-exact under flat q=16 tables, and the decoder's
+            -- floor(x+0.5) YCbCr->RGB float formula is reproduced here
+            -- verbatim (same IEEE doubles, same operation order)
+            SELECT doc_id + 3000, 'jpeg',
+                   (doc_id % 5 + 2)::INT, 2::INT,
+                   least(255, greatest(0, floor(
+                       (doc_id * 14 % 256)
+                       + 1.402 * ((doc_id * 22 % 256) - 128) + 0.5)))::DOUBLE,
+                   least(255, greatest(0, floor(
+                       (doc_id * 14 % 256)
+                       - 0.344136 * (((doc_id * 6 + 2) % 256) - 128)
+                       - 0.714136 * ((doc_id * 22 % 256) - 128) + 0.5)))::DOUBLE,
+                   least(255, greatest(0, floor(
+                       (doc_id * 14 % 256)
+                       + 1.772 * (((doc_id * 6 + 2) % 256) - 128) + 0.5)))::DOUBLE
             FROM documents WHERE doc_id < 30""",
         "audio_features": """
             -- planted square wave (n pairs of samples v1, v2): the

@@ -254,6 +254,68 @@ def test_gif_pixel_decode_roundtrip():
         assert got.shape == arr.shape and (got == arr).all(), (h, w, ncol)
 
 
+def test_jpeg_solid_plants_roundtrip_exact():
+    """Baseline JPEG codec (round 5): DC-only blocks under the flat
+    q=16 tables round-trip EXACTLY for even channel values — the
+    property the media_pixels oracle stands on — in 4:4:4, 4:2:0, with
+    and without restart markers, gray and color."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import _decode_jpeg, jpeg_bytes
+
+    def expected_rgb(y, cb, cr):
+        r = np.floor(y + 1.402 * (cr - 128) + 0.5)
+        g = np.floor(y - 0.344136 * (cb - 128)
+                     - 0.714136 * (cr - 128) + 0.5)
+        b = np.floor(y + 1.772 * (cb - 128) + 0.5)
+        return [int(np.clip(x, 0, 255)) for x in (r, g, b)]
+
+    for v in (0, 2, 64, 128, 254):
+        arr = np.full((10, 13, 1), v, dtype=np.uint8)
+        got = _decode_jpeg(jpeg_bytes(arr))
+        assert got.shape == (10, 13, 1) and (got == v).all(), v
+    for (y, cb, cr) in [(128, 128, 128), (100, 120, 140), (200, 64, 90),
+                        (0, 128, 128), (254, 2, 250)]:
+        for sub, ri in [("444", 0), ("420", 0), ("444", 2), ("420", 1)]:
+            arr = np.full((9, 11, 3), [y, cb, cr], dtype=np.uint8)
+            got = _decode_jpeg(jpeg_bytes(arr, ycbcr=True, subsampling=sub,
+                                          restart_interval=ri))
+            exp = expected_rgb(y, cb, cr)
+            assert got.shape == (9, 11, 3), (sub, ri)
+            assert (got.reshape(-1, 3) == exp).all(), ((y, cb, cr), sub, ri)
+
+
+def test_jpeg_lossy_roundtrip_and_guards():
+    """Non-uniform content: bounded reconstruction error (flat q=16),
+    restart markers bit-identical to the plain stream; progressive /
+    truncated / desynced payloads raise the documented exceptions."""
+    import numpy as np
+    import pytest as _pytest
+
+    from jema_js_spark.operators.multimodal import _decode_jpeg, jpeg_bytes
+
+    xs = np.linspace(0, 255, 37)
+    grad = np.tile(xs, (19, 1)).astype(np.uint8)[..., None]
+    plain = _decode_jpeg(jpeg_bytes(grad))
+    assert np.abs(plain.astype(int)[..., 0]
+                  - grad[..., 0].astype(int)).mean() < 2.0
+    assert (plain == _decode_jpeg(jpeg_bytes(grad, restart_interval=2))).all()
+
+    rgb = np.full((8, 8, 3), [200, 100, 50], dtype=np.uint8)
+    assert np.abs(_decode_jpeg(jpeg_bytes(rgb)).astype(int)
+                  - rgb.astype(int)).max() <= 2   # RGB colorspace path
+
+    payload = jpeg_bytes(grad)
+    with _pytest.raises(ValueError):
+        _decode_jpeg(payload[:40])                # truncated pre-SOS
+    with _pytest.raises(ValueError):
+        _decode_jpeg(payload[:len(payload) // 2])  # truncated entropy
+    with _pytest.raises(NotImplementedError):     # progressive SOF2
+        _decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b"
+                     b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+    with _pytest.raises(ValueError):
+        _decode_jpeg(b"\xff\xd8\x00\x00")         # marker desync
+
+
 def test_gif_decode_edge_paths(spark):
     """Header-only GIFs fall back to the fake decoder; corrupt LZW data
     and interlaced images are loud per-row errors."""
@@ -538,7 +600,8 @@ def test_attach_media_metadata_wav(spark):
 
 def _fuzz_prefixes():
     return [b"", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a",
-            b"RIFF", b"RIFF\x10\x00\x00\x00WAVEfmt "]
+            b"RIFF", b"RIFF\x10\x00\x00\x00WAVEfmt ", b"\xff\xd8",
+            b"\xff\xd8\xff\xdb\x00\x43\x00" + b"\x10" * 64]
 
 
 def test_codec_fuzz_no_hangs_and_wellformed_success():
@@ -551,14 +614,14 @@ def test_codec_fuzz_no_hangs_and_wellformed_success():
     from hypothesis import strategies as st
 
     from jema_js_spark.operators.multimodal import (
-        _decode_bmp, _decode_gif, _decode_png, _decode_wav)
+        _decode_bmp, _decode_gif, _decode_jpeg, _decode_png, _decode_wav)
 
     @settings(max_examples=250, deadline=None)
     @given(prefix=st.sampled_from(_fuzz_prefixes()),
            junk=st.binary(max_size=400))
     def run(prefix, junk):
         payload = prefix + junk
-        for fn in (_decode_bmp, _decode_png, _decode_gif):
+        for fn in (_decode_bmp, _decode_png, _decode_gif, _decode_jpeg):
             try:
                 arr = fn(payload)
             except Exception:
