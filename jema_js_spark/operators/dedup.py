@@ -28,7 +28,8 @@ from jema_js_spark.operators.text import char_ngrams, fingerprint64, word_tokens
 
 __all__ = ["exact_dedup", "exact_dup_groups", "minhash_signature",
            "minhash_candidates", "minhash_dedup_report", "simhash64",
-           "simhash_candidates", "ngram_jaccard", "verify_pairs"]
+           "simhash_candidates", "ngram_jaccard", "verify_pairs",
+           "connected_components"]
 
 
 # ---------------------------------------------------------------------------
@@ -308,3 +309,61 @@ def verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
                         ngram_jaccard(F.col("__ta"), F.col("__tb"),
                                       n, max_ngrams))
             .drop("__ta", "__tb"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components of the (undirected) pair graph:
+    ``(id, root)`` for every vertex, where ``root`` is the smallest id
+    in the vertex's component — the exact canonical-attribution
+    semantics chained near-dup drops need (VERDICT r4 #4: in a chain
+    A–B, B–C the plain larger-id-drops rule orphans C from its
+    verified neighbor; with components C's canonical is the chain
+    root A).
+
+    Hash-min label propagation with pointer jumping: each round every
+    vertex takes the min label over itself and its neighbors, then
+    compresses ``label ← label(label)`` — the combination doubles the
+    propagation distance per round, so convergence is O(log diameter)
+    rounds, each one equi-join + min-aggregation (map-side combined).
+    Per-round ``localCheckpoint`` cuts the lineage (the documented
+    Catalyst re-inlining hazard makes iterative loops quadratic
+    otherwise).  The edge list here is near-dup PAIRS — orders of
+    magnitude smaller than the corpus — so the per-round cost is small
+    even at 100 TB corpus scale; ``max_iter`` bounds the loop and a
+    non-converged graph raises loudly rather than returning partial
+    roots."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "label"))
+        new = (labels.unionByName(msgs)
+               .groupBy("id").agg(F.min("label").alias("label")))
+        # pointer jump: label ← label(label) (labels are vertex ids)
+        jumped = (new.alias("x")
+                  .join(new.select(F.col("id").alias("__jid"),
+                                   F.col("label").alias("__jlab")),
+                        F.col("x.label") == F.col("__jid"), "left")
+                  .select(F.col("x.id").alias("id"),
+                          F.least(F.col("x.label"),
+                                  F.coalesce(F.col("__jlab"),
+                                             F.col("x.label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.join(labels.withColumnRenamed("label", "__old"),
+                               "id")
+                   .filter(F.col("label") != F.col("__old")).count())
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("root"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (components this deep mean a pathological "
+        "near-dup graph worth inspecting)")

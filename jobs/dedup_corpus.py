@@ -16,15 +16,20 @@ Pipeline (each stage is the scale shape documented in SCALE.md):
    (band-bucket equi-joins, ``max_bucket``-capped), then
    ``verify_pairs`` re-scores every candidate with exact n-gram
    Jaccard — candidates are a recall set, never a verdict.
-3. **drop**    — for each verified pair above ``--jaccard``, the
-   larger id drops: a doc survives iff NO verified pair links it to a
-   smaller id — one connected-components-free pass.  Chain caveat
-   (standard transitive-chain dedup, ADVICE r3): in a chain A–B, B–C
-   with A–C unverified, both B and C drop, so C's nearest VERIFIED
-   neighbor (B) is itself dropped and C's surviving chain root A may
-   sit below ``--jaccard`` similarity to C.  If per-drop canonical
-   attribution matters, post-join drops to ``near_pairs`` and keep
-   only rows whose ``id_a`` survived.
+3. **drop**    — two survivor modes (``--survivor-mode``):
+
+   - ``pair`` (default, unchanged): for each verified pair above
+     ``--jaccard``, the larger id drops — one join, no iteration.
+     Chain caveat (standard transitive-chain dedup, ADVICE r3): in a
+     chain A–B, B–C with A–C unverified, both B and C drop, so C's
+     nearest VERIFIED neighbor (B) is itself dropped and C's surviving
+     chain root A may sit below ``--jaccard`` similarity to C.
+   - ``cc`` (round 5, VERDICT r4 #4): connected components over the
+     verified-pair graph — every non-root member drops and its
+     canonical IS its verified-component root, written to
+     ``<output>/canonicals`` as ``(id, root)`` rows.  Exact chain
+     semantics at the cost of O(log diameter) bounded hash-min
+     iterations over the (small) pair graph.
 4. **report**  — one JSON line: input/survivor counts per stage plus
    the duplicate-pair histogram, and parquet outputs:
    ``<output>/survivors``, ``<output>/exact_groups``,
@@ -57,6 +62,12 @@ def main() -> None:
                          "(recall knob; verification does the precision)")
     ap.add_argument("--no-near", action="store_true",
                     help="exact dedup only (skip MinHash+verify)")
+    ap.add_argument("--survivor-mode", choices=("pair", "cc"),
+                    default="pair",
+                    help="pair: larger id of each verified pair drops "
+                         "(chains may orphan); cc: connected-component "
+                         "roots survive and every drop's canonical is "
+                         "its component root")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("jema-dedup").getOrCreate()
@@ -85,11 +96,23 @@ def main() -> None:
         verified = spark.read.parquet(f"{args.output}/near_pairs")
         n_near_pairs = verified.count()
 
-        # 3. drop the larger id of every verified pair (id_a < id_b by
-        # construction, so id_b is never a canonical survivor of its
-        # pair) — a left-anti equi-join, no connected components needed
-        drop_ids = verified.select(F.col("id_b").alias(args.id_col)) \
-            .distinct()
+        if args.survivor_mode == "cc":
+            # 3. connected components: roots survive; every dropped
+            # member's canonical is its verified-component root
+            from jema_js_spark.operators.dedup import connected_components
+
+            comp = connected_components(verified.select("id_a", "id_b"))
+            canonicals = comp.filter(F.col("id") != F.col("root"))
+            canonicals.write.mode("overwrite") \
+                .parquet(f"{args.output}/canonicals")
+            drop_ids = spark.read.parquet(f"{args.output}/canonicals") \
+                .select(F.col("id").alias(args.id_col))
+        else:
+            # 3. drop the larger id of every verified pair (id_a < id_b
+            # by construction, so id_b is never a canonical survivor of
+            # its pair) — a left-anti equi-join, no iteration
+            drop_ids = verified.select(F.col("id_b").alias(args.id_col)) \
+                .distinct()
         n_dropped = drop_ids.count()
         survivors = survivors.join(drop_ids, args.id_col, "left_anti")
 

@@ -48,3 +48,74 @@ def test_dedup_corpus_job(spark, tmp_path):
     # no planted near-dup id survives; min-id originals do
     assert not any(i >= 2 * 10**6 for i in ids)
     assert report["n_survivors"] == len(ids)
+
+
+def test_connected_components_chain_semantics(spark):
+    # A–B, B–C verified but A–C not: pair mode orphans C from every
+    # verified neighbor; cc mode maps both B and C to the chain root A
+    from jema_js_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),            # chain A=1, B=2, C=3
+         (10, 11),                  # separate pair
+         (20, 21), (21, 22), (20, 22),  # triangle
+         (30, 31), (32, 31)],       # root via larger-first edge
+        "id_a long, id_b long")
+    roots = {r["id"]: r["root"]
+             for r in connected_components(pairs).collect()}
+    assert roots == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_connected_components_long_path_and_guard(spark):
+    from jema_js_spark.operators.dedup import connected_components
+
+    # a 64-vertex path: pointer jumping must converge well under
+    # max_iter (O(log diameter))
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "id_a long, id_b long")
+    roots = connected_components(pairs, max_iter=12)
+    assert roots.filter(F.col("root") != 0).count() == 0
+    # non-convergence is loud, never partial
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_dedup_corpus_job_cc_mode(spark, tmp_path):
+    # planted A–B–C chain: base doc (A), one near-dup of A (B), one
+    # near-dup of B (C, built so its similarity to A sits lower) — cc
+    # mode must drop B and C with canonicals pointing at the chain root
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .filter(F.col("doc_id") < 40).select("doc_id", "text")
+    b = docs.select((F.col("doc_id") + 10**6).alias("doc_id"),
+                    F.concat("text", F.lit(" tail one")).alias("text"))
+    c = docs.select((F.col("doc_id") + 2 * 10**6).alias("doc_id"),
+                    F.concat("text", F.lit(" tail one more")).alias("text"))
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    docs.union(b).union(c).write.parquet(src)
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "dedup_corpus.py"),
+         "--input", src, "--output", out, "--jaccard", "0.8",
+         "--survivor-mode", "cc"],
+        capture_output=True, text=True, env=env, timeout=420)
+    assert res.returncode == 0, res.stderr[-2000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+
+    canon = {r["id"]: r["root"] for r in
+             spark.read.parquet(f"{out}/canonicals").collect()}
+    survivors = {r["doc_id"] for r in
+                 spark.read.parquet(f"{out}/survivors").collect()}
+    # every plant dropped, canonical = chain root = the base doc id
+    for base in range(40):
+        for plant in (base + 10**6, base + 2 * 10**6):
+            if plant in canon:
+                assert canon[plant] < 10**6, (plant, canon[plant])
+            assert plant not in survivors, plant
+    # roots survive, dropped set == canonicals' members
+    assert report["near_removed"] == len(canon)
+    assert all(r in survivors for r in set(canon.values()))
