@@ -425,11 +425,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             v2=F.pmod(F.col("n_chars") * 37, F.lit(20000)) - 10000)
         rows = docs.select(F.col("doc_id").alias("media_id"),
                            wav.alias("payload"))
+        # round-5 columns: zcr (square wave: exactly 1 when the two
+        # levels straddle zero, else 0) and dominant_hz (alternating
+        # square → exactly Nyquist rate/2; equal levels → flat
+        # spectrum → 0.0) — both closed-form over the planted params
         return decode_audio_features(rows).select(
             "media_id", "sample_rate", "n_samples",
             F.round("duration_ms", 6).alias("duration_ms"),
             "peak", F.round("rms", 6).alias("rms"),
-            F.round("mean_amp", 6).alias("mean_amp"))
+            F.round("mean_amp", 6).alias("mean_amp"),
+            F.round("zcr", 6).alias("zcr"),
+            F.round("dominant_hz", 6).alias("dominant_hz"))
 
     def q_video_frames(spark, sf_dir):
         # REAL video-frame decode end to end: driver-built multi-frame
@@ -1171,7 +1177,16 @@ def oracle_sql() -> dict[str, str]:
                    round(n * 1000 / sr, 6) AS duration_ms,
                    greatest(abs(v1), abs(v2))::INT AS peak,
                    round(sqrt((v1 * v1 + v2 * v2) / 2.0), 6) AS rms,
-                   round((v1 + v2) / 2.0, 6) AS mean_amp
+                   round((v1 + v2) / 2.0, 6) AS mean_amp,
+                   -- adjacent products are all v1*v2: every pair
+                   -- crosses (zcr 1) iff the levels straddle zero
+                   (CASE WHEN v1 * v2 < 0 THEN 1.0
+                         ELSE 0.0 END)::DOUBLE AS zcr,
+                   -- alternating square: all energy at Nyquist sr/2
+                   -- (an exactly representable double both engines hit);
+                   -- equal levels → flat spectrum → reported 0.0
+                   round(CASE WHEN v1 = v2 THEN 0.0
+                              ELSE sr / 2.0 END, 6) AS dominant_hz
             FROM d""",
         "video_frames": """
             -- animated-GIF plants: media i has (i%4 + 1) solid-color

@@ -21,6 +21,11 @@ The proposed contract is CLOSED over the observed data by construction
 ``required`` lists the never-null columns), so ``with_valid(df,
 propose_contract(df))`` is all-true on the profiled table — the
 self-consistency oracle the tests pin.  It compiles 100% Plane A.
+Nested exception (round 5): struct/array sub-contracts are mined from
+a bounded deterministic SAMPLE (same draw as the JSON miner), so on
+tables larger than ``nested_sample_rows`` a nested value outside the
+sampled bounds surfaces as a violation for contract review — the same
+documented trade :func:`propose_json_contract` makes.
 
 Non-finite exception: bounds are mined over FINITE values only, and a
 NaN/Infinity row does NOT validate under the mined contract — by
@@ -82,9 +87,49 @@ def _string_length_bounds(c: str):
             F.max(F.length(F.col(c))).alias(f"{c}_maxlen"))
 
 
+def _mine_container(df: DataFrame, c: str, dtype,
+                    enum_max_distinct: int, sample_rows: int,
+                    max_depth: int) -> dict:
+    """Round-5 nested mining (VERDICT r4 #8): a struct/array column's
+    sub-contract via the JSON miner over a bounded deterministic
+    sample (smallest content hashes — same draw as
+    :func:`propose_json_contract`, constant driver cost at any table
+    size).  The relational bridge applies on the way out (``to_json``
+    drops NULL struct fields → absent keys), and non-finite doubles are
+    restored from the column's float paths so a NaN element mines as a
+    number, not the string "NaN" (it still fails the mined ``type`` —
+    the module's documented non-finite exception).  MapType columns
+    stay a bare ``{"type": "object"}``: their key space is data, not
+    schema, and sampled-key ``properties`` would be noise."""
+    import json
+
+    from jema_js_spark.compiler.compile import _TExpr
+    from jema_js_spark.validation.kernel_udf import _restore_nonfinite
+
+    rows = (df.select(F.to_json(F.col(c)).alias("doc"))
+            .filter(F.col(c).isNotNull())
+            .orderBy(F.xxhash64(F.col("doc")))
+            .limit(sample_rows).collect())
+    fpaths = [tuple(p) for p in _TExpr(F.col(c), dtype).float_paths()]
+    values = []
+    for r in rows:
+        try:
+            v = json.loads(r["doc"])
+        except (TypeError, ValueError):
+            continue
+        if fpaths:
+            v = _restore_nonfinite(v, fpaths)
+        values.append(v)
+    if not values:
+        return {}
+    return _mine_node(values, enum_max_distinct, 1, max_depth)
+
+
 def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
                      enum_max_distinct: int = 16,
-                     emit_required: bool = True) -> dict:
+                     emit_required: bool = True,
+                     nested_sample_rows: int = 2000,
+                     max_depth: int = 3) -> dict:
     """Propose a draft 2020-12 object contract for ``df``'s rows.
 
     - numeric columns → ``{"type": "integer"|"number", "minimum",
@@ -95,8 +140,12 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
       "string", "minLength", "maxLength"}`` over code points
     - boolean → ``{"type": "boolean"}``; timestamps/dates → ``{"type":
       "string", "format": "date-time"|"date"}`` (annotation; the
-      relational bridge renders them as strings); arrays/maps/structs →
-      container type only (mine nested contracts per-level if needed)
+      relational bridge renders them as strings)
+    - struct/array columns → REAL sub-contracts (round 5): a bounded
+      hash-ordered sample of the column runs through the JSON miner,
+      so ``meta`` structs get per-field ``properties``/bounds/enums
+      and arrays get ``items`` + size bounds, to ``max_depth`` levels;
+      maps keep the bare container type (keys are data)
     - ``required`` = columns with zero observed NULLs (the relational
       bridge maps SQL NULL to "key absent")
     """
@@ -171,8 +220,16 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
         elif isinstance(dtype, T.DateType):
             props[c] = {"type": "string", "format": "date"}
         elif isinstance(dtype, T.ArrayType):
-            props[c] = {"type": "array"}
-        elif isinstance(dtype, (T.MapType, T.StructType)):
+            sub = {"type": "array"}
+            sub.update(_mine_container(df, c, dtype, enum_max_distinct,
+                                       nested_sample_rows, max_depth))
+            props[c] = sub
+        elif isinstance(dtype, T.StructType):
+            sub = {"type": "object"}
+            sub.update(_mine_container(df, c, dtype, enum_max_distinct,
+                                       nested_sample_rows, max_depth))
+            props[c] = sub
+        elif isinstance(dtype, T.MapType):
             props[c] = {"type": "object"}
         else:
             props[c] = {}

@@ -122,10 +122,39 @@ simple_schemas = st.recursive(
 )
 
 
+def _contains_multiple_of(schema) -> bool:
+    if isinstance(schema, dict):
+        return "multipleOf" in schema or any(
+            _contains_multiple_of(v) for v in schema.values())
+    if isinstance(schema, list):
+        return any(_contains_multiple_of(v) for v in schema)
+    return False
+
+
+def _huge_number(value) -> bool:
+    if isinstance(value, bool):
+        return False
+    if isinstance(value, (int, float)):
+        return abs(value) >= 2 ** 50
+    if isinstance(value, list):
+        return any(_huge_number(v) for v in value)
+    if isinstance(value, dict):
+        return any(_huge_number(v) for v in value.values())
+    return False
+
+
 @settings(max_examples=300, deadline=None)
 @given(schema=simple_schemas, value=json_values)
 def test_kernel_matches_spec_oracle(schema, value):
     assume(not _unevaluated_under_probe(schema))
+    # the reference's float-tolerant multipleOf (q*m === round(q)*m in
+    # doubles, schema.js:462-468) deliberately diverges from the spec
+    # oracle's exact remainder near the double precision limit — e.g.
+    # (2^53−1) is "a multiple of 3" in JS arithmetic (a round-5
+    # hypothesis find; divisors were already dialect-neutral, huge
+    # VALUES were not).  The quirk is pinned explicitly below; the
+    # oracle grades the exact-arithmetic remainder.
+    assume(not (_contains_multiple_of(schema) and _huge_number(value)))
     expected = jsonschema.Draft202012Validator(
         copy.deepcopy(schema) if isinstance(schema, dict) else schema
     ).is_valid(copy.deepcopy(value))
@@ -154,3 +183,18 @@ def test_unevaluated_inside_not_pins_reference_semantics():
     for schema, value, expected in cases:
         assert validate(copy.deepcopy(schema), copy.deepcopy(value)) == expected, (
             schema, value)
+
+
+def test_multiple_of_float_tolerance_near_precision_limit():
+    """Reference quirk pin (round 5): js_multiple_of runs the JS double
+    dance, so (2^53−1) mod 3 — exactly 1 in integer arithmetic — still
+    "is" a multiple of 3: q = v/3 rounds to a value whose round-trip
+    q*3 == round(q)*3 holds.  Both planes must keep this verdict (the
+    compiler mirrors the same float chain; pmod applies only below
+    2^53)."""
+    v = 9007199254740991.0            # 2^53 − 1
+    assert v % 3 != 0                  # spec-exact arithmetic disagrees
+    assert validate({"multipleOf": 3}, v) is True
+    # and the sub-2^53 integral regime matches exact arithmetic
+    assert validate({"multipleOf": 3}, 9.0) is True
+    assert validate({"multipleOf": 3}, 10.0) is False

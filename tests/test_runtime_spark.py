@@ -565,6 +565,67 @@ def test_decode_audio_features_vs_numpy(spark):
         assert r["duration_ms"] == pytest.approx(n * 1000 / r["sample_rate"])
 
 
+def test_stereo_and_8bit_wav_decode_features(spark):
+    """Round-5 decoder extensions (VERDICT r4 #6/#7): stereo per-channel
+    RMS, 8-bit centered decode, zero-crossing rate, and FFT dominant
+    frequency — all against closed-form planted waveforms."""
+    import numpy as np
+    from jema_js_spark.operators.multimodal import (
+        _decode_wav, decode_audio_features, wav_bytes)
+
+    # 8-bit round-trip: centered contract
+    vals = np.array([-128, -1, 0, 1, 127, 64, -64], dtype=np.int16)
+    samples, rate = _decode_wav(wav_bytes(vals, 8000, bits=8))
+    assert rate == 8000 and (samples[:, 0] == vals).all()
+    with pytest.raises(ValueError):
+        wav_bytes(np.array([300]), bits=8)
+    # unsupported bit depth stays a loud NotImplementedError
+    import struct
+    hdr24 = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                     8000 * 3, 3, 24)
+             + b"data" + struct.pack("<I", 3) + b"\x00\x00\x00")
+    with pytest.raises(NotImplementedError):
+        _decode_wav(hdr24)
+
+    # stereo square L=(a,-a), R=(b,b): closed-form per-channel features
+    n_pairs, a, b_ = 40, 12000, 5000
+    left = np.tile([a, -a], n_pairs)
+    right = np.tile([b_, b_], n_pairs)
+    stereo = np.stack([left, right], axis=1).astype(np.int16)
+    mono8 = np.tile([60, -60], 30).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes(stereo, 16000))),
+         (2, bytearray(wav_bytes(mono8, 8000, bits=8)))],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r for r in decode_audio_features(df).collect()}
+
+    st = out[1]
+    assert st["decode_error"] is None and st["n_channels"] == 2
+    assert st["n_samples"] == 2 * n_pairs
+    assert st["rms_left"] == float(a)            # |±a| rms exactly a
+    assert st["rms_right"] == float(b_)
+    assert st["zcr"] == 1.0                      # ch0 alternates sign
+    assert st["dominant_hz"] == 16000 / 2        # Nyquist exactly
+    assert st["peak"] == a
+    # flat overall rms = sqrt((a²+b²)/2) over interleaved samples
+    assert st["rms"] == pytest.approx(
+        float(np.sqrt((a * a + b_ * b_) / 2.0)), abs=0)
+
+    m8 = out[2]
+    assert m8["decode_error"] is None and m8["n_channels"] == 1
+    assert m8["rms"] == 60.0 and m8["peak"] == 60
+    assert m8["zcr"] == 1.0 and m8["dominant_hz"] == 8000 / 2
+    assert m8["rms_right"] is None
+
+    # constant wave: zcr 0, flat spectrum reports 0.0 (not FFT noise)
+    const = np.full(50, 900, dtype=np.int16)
+    dfc = spark.createDataFrame([(3, bytearray(wav_bytes(const, 8000)))],
+                                "media_id long, payload binary")
+    rc = decode_audio_features(dfc).collect()[0]
+    assert rc["zcr"] == 0.0 and rc["dominant_hz"] == 0.0
+
+
 def test_synthesize_wav_matches_python_writer(spark):
     import numpy as np
     from jema_js_spark.operators.multimodal import synthesize_wav, wav_bytes
