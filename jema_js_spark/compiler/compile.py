@@ -767,27 +767,18 @@ def _h_multiple_of(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
         add(kw, sval, F.lit(True))
         return
     gate = _numeric_gate(texpr, jt, is_null)
-    # integral column × integral divisor: below 2^53 the JS float dance
-    # is exactly long divisibility, so take pmod there (pmod, never %:
-    # the sign- and overflow-safe form under ANSI) and keep the float
-    # chain only for the magnitudes where JS rounding diverges.
-    # multipleOf 1 on an integral column is vacuously true in JS float
-    # semantics at ANY long magnitude (v/1 round-trips Math.round
-    # exactly, including the >2^53 doubles, which are all integral).
+    # multipleOf ±1 on an integral column is vacuously true in JS float
+    # semantics at ANY long magnitude (v/1 is an integral double, which
+    # Math.round fixes) — the common "assert integer-ness" idiom costs
+    # nothing.  A broader pmod fast path is deliberately NOT taken: the
+    # kernel's float dance falsely accepts non-multiples well BELOW
+    # 2^53 (q = v/m loses its fractional part once |q| ≥ 2^52 — e.g.
+    # (2^53−1) "is" a multiple of 3, round-5 review find), so exact
+    # long arithmetic would DIVERGE from the kernel, and a huge
+    # integral divisor would overflow the pmod literal besides.
     if texpr.is_integral_type() and isinstance(sval, (int, float)) \
-            and not isinstance(sval, bool) and float(sval).is_integer() \
-            and sval != 0:
-        m = int(sval)
-        if m in (1, -1):
-            add(kw, sval, F.lit(True))
-            return
-        v = texpr.col.cast("double")
-        q = v / F.lit(float(sval))
-        js_ok = _finite(q) & (q * F.lit(float(sval))
-                              == _js_round_col(q) * F.lit(float(sval)))
-        ok = F.when(texpr.col.between(F.lit(-(1 << 53)), F.lit(1 << 53)),
-                    F.pmod(texpr.col, F.lit(abs(m))) == 0).otherwise(js_ok)
-        add(kw, sval, gate | ok)
+            and not isinstance(sval, bool) and sval in (1, -1, 1.0, -1.0):
+        add(kw, sval, F.lit(True))
         return
     v = texpr.col.cast("double")
     q = v / F.lit(float(sval))

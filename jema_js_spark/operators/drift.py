@@ -136,13 +136,27 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, col: str,
          .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
                  F.coalesce("cb", F.lit(0)).alias("cb")))
     # lazy broadcast bounds (no driver collect): hi+1 keeps the max
-    # value inside the top bucket (width_bucket's range is half-open)
-    bounds = u.agg(F.min(F.col("v").cast("double")).alias("__lo"),
-                   (F.max(F.col("v").cast("double")) + 1.0).alias("__hi"))
-    ub = u.crossJoin(F.broadcast(bounds)).withColumn(
-        "__bkt", F.width_bucket(F.col("v").cast("double"),
-                                F.col("__lo"), F.col("__hi"),
-                                F.lit(partitions)))
+    # value inside the top bucket (width_bucket's range is half-open).
+    # Bounds are over FINITE values only and non-finite doubles get
+    # explicit edge buckets matching Spark's sort order
+    # (−Inf < finite < +Inf < NaN) — a NaN/Inf bound would make
+    # width_bucket NULL out every row and silently return a NULL
+    # statistic (round-5 review find; the pre-bucketing form handled
+    # these values through the plain sort).
+    vd = F.col("v").cast("double")
+    finite = ~F.isnan(vd) & (vd != float("inf")) & (vd != float("-inf"))
+    bounds = u.agg(
+        F.min(F.when(finite, vd)).alias("__lo"),
+        (F.max(F.when(finite, vd)) + 1.0).alias("__hi"))
+    bkt = (F.when(F.isnan(vd), F.lit(partitions + 2))
+           .when(vd == float("inf"), F.lit(partitions + 1))
+           .when(vd == float("-inf"), F.lit(0))
+           .otherwise(F.coalesce(
+               F.width_bucket(vd, F.col("__lo"), F.col("__hi"),
+                              F.lit(partitions)),
+               # all-non-finite input: no finite bounds — one bucket
+               F.lit(1))))
+    ub = u.crossJoin(F.broadcast(bounds)).withColumn("__bkt", bkt)
     totals = ub.groupBy("__bkt").agg(F.sum("ca").alias("__ta"),
                                      F.sum("cb").alias("__tb"))
     w_off = Window.orderBy("__bkt").rowsBetween(

@@ -579,6 +579,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     if h <= 0 or w <= 0 or not comps:
         raise ValueError(f"bad JPEG dimensions {w}x{h}")
     scan_comps, entropy_start = scan
+    if len(scan_comps) != len(comps):
+        # T.81 allows baseline images split into sequential
+        # single-component scans; decoding only the first would
+        # SILENTLY return a grayscale plane for a color image
+        # (round-5 review find) — stay loud like the other
+        # unsupported modes
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (non-interleaved components) "
+            "needs a codec via set_decoder('image', fn)")
     hmax = max(ch for _, ch, _, _ in comps)
     vmax = max(cv for _, _, cv, _ in comps)
     mcux = -(-w // (8 * hmax))
@@ -1322,6 +1331,11 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                         samples, rate = fn(payload, None)
                     else:
                         samples, rate = _decode_wav(payload)
+                    samples = np.asarray(samples)
+                    if samples.ndim == 1:
+                        # custom decoders may return 1-D mono (the
+                        # pre-round-5 code accepted it) — normalize
+                        samples = samples[:, np.newaxis]
                     flat = np.asarray(samples, dtype=np.float64).reshape(-1)
                     n, ch = samples.shape
                     ch0 = np.asarray(samples[:, 0], dtype=np.float64)

@@ -53,20 +53,29 @@ _RSD = 0.02
 
 
 def _bound_down(v) -> float:
-    """Largest double ≤ ``v`` (a Decimal or float observed minimum).
+    """Largest double ≤ ``v`` (a Decimal/int/float observed minimum).
 
-    ``float(Decimal)`` rounds to NEAREST, so a decimal128 minimum not
-    representable in a double can round UP — emitting a ``minimum``
-    above the actual observed value and breaking the module's
-    closed-over-observed-data guarantee (ADVICE r4).  Nudge one ULP
-    down whenever rounding went up."""
+    ``float()`` rounds to NEAREST, so a value not representable in a
+    double (decimal128, or an int beyond 2^53) can round UP — emitting
+    a ``minimum`` above the actual observed value and breaking the
+    module's closed-over-observed-data guarantee (ADVICE r4; the int
+    case hardened after a round-5 review).  Nudge one ULP down
+    whenever rounding went up.  (Today's propose_contract emits
+    integer-column bounds as exact ints and never routes them here —
+    this guards the function's own contract for any future caller.)"""
     import math
     from decimal import Decimal
 
     f = float(v)
-    if isinstance(v, Decimal) and math.isfinite(f) and Decimal(f) > v:
-        return math.nextafter(f, -math.inf)
-    return f
+    if not math.isfinite(f):
+        return f
+    if isinstance(v, Decimal):
+        rounded_up = Decimal(f) > v
+    elif isinstance(v, int) and not isinstance(v, bool):
+        rounded_up = f > v                   # exact int↔float compare
+    else:
+        rounded_up = False
+    return math.nextafter(f, -math.inf) if rounded_up else f
 
 
 def _bound_up(v) -> float:
@@ -76,9 +85,15 @@ def _bound_up(v) -> float:
     from decimal import Decimal
 
     f = float(v)
-    if isinstance(v, Decimal) and math.isfinite(f) and Decimal(f) < v:
-        return math.nextafter(f, math.inf)
-    return f
+    if not math.isfinite(f):
+        return f
+    if isinstance(v, Decimal):
+        rounded_down = Decimal(f) < v
+    elif isinstance(v, int) and not isinstance(v, bool):
+        rounded_down = f < v
+    else:
+        rounded_down = False
+    return math.nextafter(f, math.inf) if rounded_down else f
 
 
 def _string_length_bounds(c: str):

@@ -731,3 +731,27 @@ def test_representative_contract_is_plane_a(spark):
     cov = SchemaCompiler(REPRESENTATIVE_KERNEL_CONTRACT) \
         .compile_plan(df).coverage()
     assert cov["plane_a_fraction"] == 1.0, cov["plane_b_names"]
+
+
+def test_multiple_of_boundary_matches_kernel(spark):
+    """Round-5 review find: an exact-pmod fast path diverged from the
+    kernel's float dance near 2^53 ((2^53−1) IS a multiple of 3 in JS
+    arithmetic).  The fast path is now ±1-only; pin the boundary
+    values differentially on integral and double columns."""
+    from jema_js_spark.kernel.kernel import validate
+
+    vals = [(1 << 53) - 1, 1 << 53, -(1 << 53), (1 << 53) + 2,
+            (1 << 52) + 1, 97, -97, 0, 9223372036854775807]
+    df = spark.createDataFrame([(i, v, float(v)) for i, v in enumerate(vals)],
+                               "i long, n long, d double")
+    for m in (1, 2, 3, 7):
+        schema = {"properties": {"n": {"multipleOf": m},
+                                  "d": {"multipleOf": m}}}
+        plan = SchemaCompiler(schema).compile_plan(df)
+        got = {r["i"]: r["v"] for r in
+               df.select("i", plan.valid_column().alias("v")).collect()}
+        for i, v in enumerate(vals):
+            expected = validate({"properties": {
+                "n": {"multipleOf": m}, "d": {"multipleOf": m}}},
+                {"n": v, "d": float(v)})
+            assert got[i] == expected, (m, v, got[i], expected)

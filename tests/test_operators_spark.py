@@ -444,3 +444,34 @@ def test_embedding_near_dups(spark, emb):
     planted = {(r["vec_id"], r["vec_id"] + 1000000)
                for r in emb.limit(5).collect()}
     assert planted <= found, f"missing {planted - found}"
+
+
+def test_ks_exact_nonfinite_values(spark):
+    """Round-5 review find: NaN/Inf values made the bucket bounds
+    non-finite, width_bucket NULLed every row, and ks came back NULL.
+    Non-finite values get explicit edge buckets matching Spark's sort
+    order (−Inf < finite < +Inf < NaN)."""
+    import bisect
+    import math
+
+    a = spark.createDataFrame(
+        [(float(x),) for x in range(20)] + [(float("nan"),)],
+        "x double")
+    b = spark.createDataFrame(
+        [(float(x) + 5,) for x in range(20)] + [(float("inf"),)],
+        "x double")
+    got = ks_exact(a, b, "x", partitions=4).collect()[0]["ks"]
+    assert got is not None
+
+    def key(x):       # Spark sort order: -inf < finite < +inf < nan
+        return (2, 0.0) if math.isnan(x) else (1, x)
+    va = sorted((key(float(x)) for x in range(20)), ) + [(2, 0.0)]
+    va = sorted(va)
+    vb = sorted([key(float(x) + 5) for x in range(20)] + [key(float("inf"))])
+    grid = sorted(set(va) | set(vb))
+    want = max(abs(bisect.bisect_right(va, g) / len(va)
+                   - bisect.bisect_right(vb, g) / len(vb)) for g in grid)
+    assert got == pytest.approx(want, abs=1e-6)
+    # all-non-finite sides do not crash or NULL out
+    nf = spark.createDataFrame([(float("nan"),), (float("inf"),)], "x double")
+    assert ks_exact(nf, nf, "x").collect()[0]["ks"] == 0.0

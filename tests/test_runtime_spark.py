@@ -724,3 +724,47 @@ def test_checkpoint_resume(spark):
         calls.clear()
         run_partitioned(spark, df, "day", ledger2, work)
         assert sorted(calls) == ["2", "3", "4"]
+
+
+def test_custom_audio_decoder_accepts_1d_mono(spark):
+    # round-5 review find: the per-channel refactor broke 1-D mono
+    # arrays from set_decoder plugins (accepted pre-round-5)
+    import numpy as np
+    from jema_js_spark.operators.multimodal import (
+        _DECODERS, decode_audio_features, set_decoder)
+
+    set_decoder("audio", lambda payload, meta: (
+        np.array([5, -5, 5, -5], dtype=np.int16), 4000))
+    try:
+        df = spark.createDataFrame([(1, bytearray(b"anything"))],
+                                   "media_id long, payload binary")
+        r = decode_audio_features(df).collect()[0]
+        assert r["decode_error"] is None
+        assert r["n_channels"] == 1 and r["n_samples"] == 4
+        assert r["rms"] == 5.0 and r["zcr"] == 1.0
+    finally:
+        _DECODERS.pop("audio", None)
+
+
+def test_multiscan_jpeg_is_loud():
+    # round-5 review find: a 3-component SOF with a 1-component SOS
+    # (sequential non-interleaved scans) must not silently decode as
+    # grayscale
+    import struct
+
+    import pytest as _pytest
+
+    from jema_js_spark.operators.multimodal import _decode_jpeg, jpeg_bytes
+    import numpy as np
+
+    payload = bytearray(jpeg_bytes(
+        np.full((8, 8, 3), [100, 120, 140], dtype=np.uint8), ycbcr=True))
+    # rewrite the SOS header to a single-component scan
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    (old_len,) = struct.unpack(">H", payload[i + 2:i + 4])
+    new_sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" \
+        + b"\x00\x3f\x00"
+    payload[i:i + 2 + old_len] = new_sos
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        _decode_jpeg(bytes(payload))
