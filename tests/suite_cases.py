@@ -2857,6 +2857,135 @@ _many("if-then-else.json",
 ])
 
 
+# --- round-5 batch: unevaluated* beside probing applicators -----------
+# The static claim analysis (compiler/compile.py round 5) compiles the
+# covered/claim-free regimes of these shapes to Plane A; the corpus
+# pins the verdicts on BOTH planes so a future specialization change
+# cannot silently shift semantics.  All cases below agree with the
+# spec oracle (probed before authoring); the leak-hazard shapes route
+# to Plane B and still match.
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True, "b": True},
+       "anyOf": [{"required": ["a"]}, {"required": ["b"]}],
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "claim-free anyOf branch passes, claims from properties"),
+    ({"b": 2}, "second claim-free branch"),
+    ({"a": 1, "b": 2}, "both branches pass"),
+    ({"a": 1, "c": 3}, "unclaimed key still swept"),
+    ({"c": 3}, "no branch passes"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True, "b": True},
+       "anyOf": [{"properties": {"a": {"type": "integer"}},
+                   "required": ["a"]},
+                  {"properties": {"b": {"type": "string"}},
+                   "required": ["b"]}],
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "covered-claim branch: a claimed by outer properties too"),
+    ({"a": "s", "b": "t"}, "first branch fails, second passes"),
+    ({"a": "s"}, "both branches fail"),
+    ({"a": 1, "z": 9}, "extra key swept despite branch pass"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True, "b": True},
+       "oneOf": [{"required": ["a"]}, {"required": ["b"]}],
+       "unevaluatedProperties": {"type": "integer"}}, [
+    ({"a": 1, "x": 2}, "oneOf passes; unclaimed x matches sweep schema"),
+    ({"a": 1, "x": "s"}, "unclaimed x fails sweep schema"),
+    ({"a": 1, "b": 2}, "both oneOf branches pass: oneOf fails"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True},
+       "not": {"required": ["zz"]},
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "not-suppressed claims: properties still claim a"),
+    ({"a": 1, "c": 2}, "not passes but c unclaimed"),
+    ({"zz": 1, "a": 2}, "not fails"),
+])
+_many("unevaluatedProperties.json",
+      {"not": {"not": {"required": ["a"]}, "properties": {"a": True}},
+       "unevaluatedProperties": False}, [
+    ({"a": 1}, "nested not-in-not with claim-bearing sibling"),
+    ({}, "inner not satisfied, outer not fails"),
+])
+_many("unevaluatedProperties.json",
+      {"properties": {"a": True},
+       "dependentSchemas": {"a": {"properties": {"b": True}}},
+       "unevaluatedProperties": False}, [
+    ({"a": 1, "b": 2}, "dependent branch claims b when a present"),
+    ({"b": 2}, "trigger absent: b unclaimed and swept"),
+    ({"a": 1, "b": 2, "c": 3}, "c outside trigger claims"),
+])
+# draft-4 `dependencies` was removed in 2020-12, so the jsonschema
+# oracle ignores it entirely — the shim's claims must be PINNED
+# (schema.js:626-642 keeps the keyword; its branch claims flow into
+# the evaluated set exactly like dependentSchemas)
+_c("unevaluatedProperties.json",
+   {"properties": {"a": True},
+    "dependencies": {"a": {"properties": {"b": True}}},
+    "unevaluatedProperties": False},
+   {"a": 1, "b": 2}, "draft-4 schema-form dependency claims b",
+   pinned=True,
+   why="reference keeps draft-4 dependencies (schema.js:626-642); its "
+       "branch claims b, so the sweep passes — the 2020-12 oracle "
+       "drops the keyword and would sweep b")
+_c("unevaluatedProperties.json",
+   {"properties": {"a": True},
+    "dependencies": {"a": {"properties": {"b": True}}},
+    "unevaluatedProperties": False},
+   {"b": 2}, "trigger absent: swept",
+   pinned=False,
+   why="no trigger, no claims on either dialect — b is swept")
+_many("unevaluatedProperties.json",
+      {"$defs": {"half": {"properties": {"b": True}}},
+       "$ref": "#/$defs/half",
+       "properties": {"a": True},
+       "unevaluatedProperties": False}, [
+    ({"a": 1, "b": 2}, "$ref target claims like an inlined allOf"),
+    ({"a": 1, "b": 2, "c": 3}, "key outside ref+properties swept"),
+])
+_many("unevaluatedProperties.json",
+      {"$defs": {"small": {"type": "integer", "maximum": 12}},
+       "type": "object", "required": ["k", "name"],
+       "properties": {
+           "k": {"type": "integer", "minimum": 0},
+           "name": {"allOf": [{"type": "string", "minLength": 5}]},
+           "xs": {"type": "array", "items": {"$ref": "#/$defs/small"}}},
+       "if": {"properties": {"k": {"minimum": 50}}, "required": ["k"]},
+       "then": {"properties": {"xs": {"maxItems": 2}}},
+       "else": {"properties": {"name": {"maxLength": 8}}},
+       "anyOf": [{"required": ["name"]}, {"required": ["alias"]}],
+       "unevaluatedProperties": {"type": ["string", "number"]}}, [
+    ({"k": 3, "name": "hello", "xs": [1, 2]},
+     "representative-contract shape: conforming"),
+    ({"k": 3, "name": "hello", "extra": "fine"},
+     "typed sweep admits string extra"),
+    ({"k": 3, "name": "hello", "extra": [1]},
+     "typed sweep rejects array extra"),
+    ({"k": 99, "name": "long-enough-name", "xs": [1, 2, 3]},
+     "then branch: too many items"),
+    ({"k": 3, "name": "much-too-long", "xs": [1]},
+     "else branch: name too long"),
+    ({"k": 3, "name": "hello", "xs": [13]}, "ref'd item bound violated"),
+])
+_many("unevaluatedItems.json",
+      {"prefixItems": [True],
+       "oneOf": [{"minItems": 1}, {"maxItems": 0}],
+       "unevaluatedItems": False}, [
+    ([1], "claim-free oneOf beside unevaluatedItems"),
+    ([1, 2], "second slot unclaimed"),
+    ([], "empty: second oneOf branch"),
+])
+_many("unevaluatedItems.json",
+      {"$defs": {"head": {"prefixItems": [True, True]}},
+       "$ref": "#/$defs/head",
+       "unevaluatedItems": {"type": "integer"}}, [
+    ([1, "a"], "ref'd prefix claims two slots"),
+    ([1, "a", 3], "third slot must match sweep schema"),
+    ([1, "a", "b"], "third slot fails sweep schema"),
+])
+
+
 def load_remote_registry():
     """Registry pre-loaded with the REMOTES documents (offline analog of
     the suite's localhost:1234 server, FIXTURES.md §1)."""
