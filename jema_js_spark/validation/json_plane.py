@@ -69,7 +69,8 @@ from pyspark.sql import types as T
 from jema_js_spark.compiler.compile import CompiledPlan, SchemaCompiler
 from jema_js_spark.schema.frontend import Schema
 
-__all__ = ["analyze_json_contract", "with_valid_json", "JsonColumnPlan"]
+__all__ = ["analyze_json_contract", "with_valid_json",
+           "json_violation_rows", "JsonColumnPlan"]
 
 # struct field names must survive the $.name variant path and struct
 # field syntax unquoted
@@ -385,3 +386,87 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
         fast = fast.withColumn(route_col, F.lit("columnar"))
         slow = slow.withColumn(route_col, F.lit("kernel"))
     return fast.unionByName(slow)
+
+
+def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
+                        id_cols: Optional[List[str]] = None,
+                        format_assertion: bool = False,
+                        remotes: Optional[dict] = None) -> DataFrame:
+    """``errors()`` over a JSON string column — the errors-path twin of
+    :func:`with_valid_json`, completing the reference API triple
+    (validate / errors) for dynamic JSON.  One output row per kernel
+    error, carrying the reference's error fields in the same column
+    shape as the row-plane ``violation_rows`` (check, keyword,
+    schema_path, data_path, schema_value, message — schema.js:665-674;
+    messages come straight from the kernel, so they are byte-identical
+    to the reference's).
+
+    Scale shape: the columnar route screens first — VALID rows (on
+    either plane) emit nothing by construction, so the Python
+    error-materializing stage runs ONLY over the invalid residue.  On
+    healthy data the errors pass stays scan-dominated, the same
+    property the row-plane violations path has (SCALE.md).
+
+    Unparseable documents (malformed JSON / duplicate keys — states the
+    reference's in-memory API cannot even receive) emit a single
+    synthetic row with keyword ``__parse__``; kernel-level failures
+    (depth limit, unresolvable refs) emit keyword ``__error__``."""
+    import json as _json
+
+    from jema_js_spark.kernel.jstypes import js_to_string
+
+    id_cols = list(id_cols or [])
+    routed = with_valid_json(df.select(*id_cols, json_col), json_col,
+                             schema, col_name="__jv_valid",
+                             format_assertion=format_assertion,
+                             remotes=remotes)
+    residue = routed.filter(~F.col("__jv_valid"))
+
+    if not isinstance(schema, Schema):
+        schema = Schema(schema)
+    schema_json = _json.dumps(schema.schema)
+    remotes_json = _json.dumps(remotes) if remotes else None
+
+    id_fields = [f"`{f.name}` {f.dataType.simpleString()}"
+                 for f in df.select(*id_cols).schema.fields]
+    out_schema = ", ".join(id_fields + [
+        "check string", "keyword string", "schema_path string",
+        "data_path string", "schema_value string", "message string"])
+
+    def run(batches):
+        import pandas as pd
+
+        from jema_js_spark.validation.kernel_udf import _get_validator
+
+        v = _get_validator(schema_json, remotes_json, format_assertion)
+        cols = id_cols + ["check", "keyword", "schema_path", "data_path",
+                          "schema_value", "message"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ids = [getattr(r, c) for c in id_cols]
+                doc = getattr(r, json_col)
+                try:
+                    value = None if doc is None else _json.loads(doc)
+                except (TypeError, ValueError):
+                    rows.append(ids + ["__parse__", "__parse__", "[]", "[]",
+                                       "", "document is not parseable JSON"])
+                    continue
+                try:
+                    for err in v.iter_errors(value):
+                        spath = [str(x) for x in err.schema_stack]
+                        keyword = next(
+                            (x for x in reversed(spath)
+                             if not x.isdigit()), "")
+                        rows.append(ids + [
+                            ".".join(spath), keyword,
+                            _json.dumps(err.schema_stack),
+                            _json.dumps(err.data_stack),
+                            js_to_string(err.schema_value),
+                            err.message])
+                except Exception as exc:
+                    rows.append(ids + ["__error__", "__error__", "[]", "[]",
+                                       "", str(exc)[:200]])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return residue.drop("__jv_valid").mapInPandas(run, out_schema)

@@ -260,3 +260,41 @@ def test_random_docs_route_matches_kernel(spark):
     bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
            for r in out if r["valid"] != expected[r["doc"]]]
     assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+
+
+def test_json_violation_rows_matches_kernel_errors(spark):
+    """errors() over a JSON column: per-doc rows must equal the
+    kernel's iter_errors stream byte-for-byte (messages are the
+    reference's), valid rows emit nothing, unparseable docs get the
+    synthetic __parse__ row, and id columns ride along."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    docs = [(i, d) for i, d in enumerate(HOSTILE_DOCS)]
+    df = spark.createDataFrame(docs, "i long, doc string")
+    out = json_violation_rows(df, "doc", CONTRACT, id_cols=["i"])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["i"], []).append((r["keyword"], r["message"]))
+
+    v = Validator(Schema(CONTRACT))
+    for i, d in docs:
+        try:
+            value = None if d is None else json.loads(d)
+        except (TypeError, ValueError):
+            assert got.get(i) == [("__parse__",
+                                   "document is not parseable JSON")], d
+            continue
+        expected = [e.message for e in v.iter_errors(value)]
+        messages = [m for _, m in sorted(got.get(i, []))]
+        assert sorted(messages) == sorted(expected), (d, messages, expected)
+    # every valid doc is absent from the output entirely
+    valid_ids = {i for i, d in docs
+                 if d is not None and _try_valid(v, d)}
+    assert valid_ids.isdisjoint(got), valid_ids & set(got)
+
+
+def _try_valid(v, d):
+    try:
+        return v.validate(json.loads(d))
+    except Exception:
+        return False

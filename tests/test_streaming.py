@@ -152,3 +152,45 @@ def test_stream_first_seen_reserved_column_is_loud(spark):
         [(1, 0)], "key long, first_seen_batch_dupes long")
     with pytest.raises(ValueError, match="first_seen_batch_dupes"):
         stream_first_seen(df, ["key"], ttl_minutes=None)
+
+
+def test_with_valid_json_streaming(spark):
+    """The round-5 JSON columnar route is stateless (two filtered
+    branches + union), so it must run unchanged under micro-batch
+    streaming — conforming docs judged columnar, residue by the
+    kernel, verdicts identical to the batch run on the same rows."""
+    from jema_js_spark.validation.json_plane import with_valid_json
+
+    contract = {"type": "object", "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 0,
+                                      "maximum": 80}}}
+    doc = (F.when(F.col("value") % 11 == 0, F.lit("not json"))
+           .when(F.col("value") % 7 == 0,
+                 F.concat(F.lit('{"k": "s'), F.col("value"), F.lit('"}')))
+           .otherwise(F.concat(F.lit('{"k": '),
+                               F.pmod(F.col("value"), F.lit(100)),
+                               F.lit("}"))))
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "500").load()
+              .withColumn("doc", doc).select("value", "doc"))
+    out = with_valid_json(stream, "doc", contract, route_col="route")
+    q = (out.writeStream.format("memory").queryName("jv_stream")
+         .trigger(processingTime="200 milliseconds").start())
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM jv_stream").collect()[0][0] >= 100:
+            break
+        time.sleep(0.5)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM jv_stream").collect()
+    assert len(rows) >= 100
+    batch = spark.createDataFrame([(r["value"], r["doc"]) for r in rows],
+                                  "value long, doc string")
+    expected = {r["value"]: r["valid"] for r in with_valid_json(
+        batch, "doc", contract).collect()}
+    routes = {r["route"] for r in rows}
+    assert routes == {"columnar", "kernel"}          # both planes ran
+    bad = [(r["value"], r["doc"]) for r in rows
+           if r["valid"] != expected[r["value"]]]
+    assert not bad, bad[:3]
