@@ -1666,23 +1666,118 @@ def _h_unevaluated_properties(c, kw, sval, node, texpr, jt, is_null, add,
     add(kw, sval, pred)
 
 
+def _claimed_items_static(c, node: Any,
+                          ref_stack: frozenset = frozenset(),
+                          at_sweep_node: bool = False):
+    """Statically-claimed item positions for the unevaluatedItems
+    sweep: returns ``(n_prefix, all_claimed)`` — positions below
+    ``n_prefix`` are always claimed; ``all_claimed`` when an ``items``
+    keyword evaluates every element — or raises ColumnarUnsupported.
+
+    Same soundness frame as :func:`_claimed_keys_static` (round 5),
+    specialized to index claims (schema.js:289-338): allOf branches
+    and non-cyclic $ref targets contribute their full static claims on
+    the no-error path; probing anyOf/oneOf/if-then-else branches are
+    admissible only when their claims are already covered (a failed
+    probe's partial leak over covered positions changes nothing);
+    ``not`` contributes nothing (stop_collecting) barring the nested
+    plain-reset quirk; ``contains`` claims are RUNTIME (whichever
+    elements match) and are handled only at the sweep's own node —
+    anywhere deeper forces the kernel.  dependentSchemas /
+    dependentRequired / draft-4 dependencies are object-gated in the
+    kernel (vocabulary ``affects``; _v_dependencies bails on
+    non-dicts) and never claim items."""
+    if not isinstance(node, dict):
+        return 0, False
+    if "$dynamicRef" in node:
+        raise ColumnarUnsupported(
+            "unevaluatedItems with $dynamicRef needs the kernel")
+    if not at_sweep_node and "contains" in node \
+            and node.get("contains") is not None:
+        # contains claims are RUNTIME (whichever elements match); the
+        # sweep's own node handles them via the element probe — any
+        # deeper occurrence forces the kernel
+        raise ColumnarUnsupported(
+            "unevaluatedItems with contains inside an in-place branch "
+            "needs the kernel (runtime element claims)")
+    n_prefix = 0
+    all_claimed = False
+    prefix = node.get("prefixItems")
+    if isinstance(prefix, list):
+        n_prefix = len(prefix)
+    if "items" in node and node.get("items") is not None:
+        all_claimed = True
+
+    for branch in node.get("allOf") or []:
+        bn, ball = _claimed_items_static(c, branch, ref_stack)
+        n_prefix = max(n_prefix, bn)
+        all_claimed |= ball
+
+    if "$ref" in node:
+        target = c.schema.registry.ref_targets.get(id(node))
+        if target is None:
+            raise ColumnarUnsupported(f"unresolved $ref {node['$ref']}")
+        if id(node) in ref_stack:
+            raise ColumnarUnsupported(
+                "cyclic $ref in unevaluatedItems claim analysis "
+                "needs the kernel")
+        tn, tall = _claimed_items_static(c, target,
+                                         ref_stack | {id(node)})
+        n_prefix = max(n_prefix, tn)
+        all_claimed |= tall
+
+    if "not" in node and _contains_not_deep(c, node["not"]):
+        raise ColumnarUnsupported(
+            "unevaluatedItems with nested not-in-not needs the kernel "
+            "(plain stop_collecting reset re-enables collection)")
+    # (`contains` inside `not` needs no scan: its claims are
+    # stop_collecting-suppressed like every other not-subtree claim)
+
+    def covered(bn: int, ball: bool) -> bool:
+        return (not ball or all_claimed) and (bn <= n_prefix or all_claimed)
+
+    for probe_kw in ("anyOf", "oneOf"):
+        for branch in node.get(probe_kw) or []:
+            bn, ball = _claimed_items_static(c, branch, ref_stack)
+            if not covered(bn, ball):
+                raise ColumnarUnsupported(
+                    f"unevaluatedItems with {probe_kw}-branch claims "
+                    "beyond the covered prefix needs the kernel "
+                    "(failed probes leave partial claims)")
+
+    if "if" in node and node.get("if") is not None:
+        for branch_key in ("if", "then", "else"):
+            branch = node.get(branch_key)
+            if branch is None and branch_key != "if":
+                continue
+            bn, ball = _claimed_items_static(c, branch, ref_stack)
+            # conservative: then/else claims are merged only when
+            # already covered (no conditional index guards — unlike
+            # the key analysis, a guarded PREFIX LENGTH would need
+            # per-position conditionals)
+            if not covered(bn, ball):
+                raise ColumnarUnsupported(
+                    "unevaluatedItems with if/then/else claims beyond "
+                    "the covered prefix needs the kernel")
+    return n_prefix, all_claimed
+
+
 def _h_unevaluated_items(c, kw, sval, node, texpr, jt, is_null, add,
                          descend, checks, spath, dpath, refs):
     if texpr.is_row or jt != "array":
         add(kw, sval, F.lit(True))
         return
-    for kw2 in ("anyOf", "oneOf", "not", "$ref", "$dynamicRef",
-                "dependentSchemas", "dependencies", "allOf", "if"):
-        if kw2 in node:
-            raise ColumnarUnsupported(f"unevaluatedItems with {kw2} needs the kernel")
     # claims: prefixItems positions, all items if `items` present,
-    # contains-matching elements (schema.js:289-331)
-    if "items" in node and node.get("items") is not None:
+    # contains-matching elements (schema.js:289-331).  The node's own
+    # `contains` keeps its runtime element-probe handling below; the
+    # claim analysis (round 5) folds allOf/$ref and covered probing
+    # branches — anything else raises to the carried-sibling fallback.
+    n_prefix, all_claimed = _claimed_items_static(c, node, refs,
+                                                  at_sweep_node=True)
+    if all_claimed:
         add(kw, sval, F.lit(True))  # items evaluates every element
         return
     elem_t = texpr.dtype.elementType
-    prefix = node.get("prefixItems")
-    n_prefix = len(prefix) if isinstance(prefix, list) else 0
     contains = node.get("contains") if "contains" in node else None
     tail = F.slice(texpr.col, n_prefix + 1,
                    F.greatest(F.size(texpr.col) - n_prefix, F.lit(0))) \

@@ -24,7 +24,45 @@ _ALL_COLS = ["id", "url", "text", "lang", "score", "n", "flag", "tags",
 def _leaf(rng: random.Random) -> dict:
     kind = rng.choice(["str", "num", "arr", "enum", "type",
                        "objapp", "uneval", "uneval_probe", "refs", "deps",
-                       "uneval_static"])
+                       "uneval_static", "uneval_items_static"])
+    if kind == "uneval_items_static":
+        # round-5 items claim analysis: unevaluatedItems beside
+        # allOf/anyOf/oneOf/not/$ref — randomly covered (→ Plane A) or
+        # uncovered (→ Plane B), both pinned to the kernel
+        col = rng.choice(["tags", "nums"])
+        inner = ({"minLength": 1} if col == "tags"
+                 else {"minimum": rng.randint(0, 2)})
+        body = {"unevaluatedItems": rng.choice(
+            [False, inner, {"type": "string" if col == "tags"
+                             else "number"}])}
+        if rng.random() < 0.7:
+            body["prefixItems"] = [rng.choice([True, inner])
+                                    for _ in range(rng.randint(1, 2))]
+        sib = rng.choice(["allOf", "anyOf", "oneOf", "not", "ref",
+                           "items", "if"])
+        branch = rng.choice([
+            {"prefixItems": [rng.choice([True, inner])
+                              for _ in range(rng.randint(1, 3))]},
+            {"minItems": rng.randint(0, 3)},
+            {"items": inner},
+            {"contains": inner},
+        ])
+        if sib in ("allOf", "anyOf", "oneOf"):
+            body[sib] = [branch]
+        elif sib == "not":
+            body["not"] = rng.choice([branch,
+                                       {"not": {"minItems": 1}}])
+        elif sib == "items":
+            body["items"] = inner
+        elif sib == "if":
+            body["if"] = branch
+            if rng.random() < 0.6:
+                body["then"] = rng.choice([branch, {"maxItems": 4}])
+        else:
+            anchor = f"i{rng.randrange(1 << 30):x}"
+            body["$defs"] = {"t": {"$anchor": anchor, **branch}}
+            body["$ref"] = f"#{anchor}"
+        return {"properties": {col: body}}
     if kind == "uneval_static":
         # round-5 static claim-analysis shapes (VERDICT r4 #1):
         # unevaluated* beside anyOf/oneOf/not/dependentSchemas/$ref —

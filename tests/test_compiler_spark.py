@@ -292,6 +292,43 @@ SCHEMAS = [
      "properties": {"id": {}, "text": {}, "lang": {}, "score": {}, "n": {},
                      "flag": {}, "tags": {}, "nums": {}, "meta": {}},
      "dependentSchemas": {"zzz_sail": {"properties": {"url": {}}}}},
+    # -- round-5 unevaluatedItems static claims (same frame as keys) --
+    # allOf branches: max prefix claim wins, columnar
+    {"properties": {"nums": {
+        "allOf": [{"prefixItems": [{"minimum": 0}]},
+                   {"prefixItems": [True, {"maximum": 5}]}],
+        "unevaluatedItems": {"maximum": 3}}}},
+    # items inside an allOf branch claims everything
+    {"properties": {"nums": {
+        "allOf": [{"items": {"minimum": 0}}],
+        "unevaluatedItems": False}}},
+    # claim-free anyOf beside the sweep
+    {"properties": {"nums": {
+        "prefixItems": [{"minimum": 0}],
+        "anyOf": [{"minItems": 1}, {"maxItems": 0}],
+        "unevaluatedItems": {"maximum": 3}}}},
+    # anyOf branch claims BEYOND the covered prefix: Plane B, must
+    # still match the kernel's partial-claim probe semantics
+    {"properties": {"nums": {
+        "prefixItems": [{"minimum": 0}],
+        "anyOf": [{"prefixItems": [True, {"maximum": 2}]},
+                   {"minItems": 0}],
+        "unevaluatedItems": False}}},
+    # not beside the sweep contributes nothing
+    {"properties": {"nums": {
+        "prefixItems": [True],
+        "not": {"minItems": 4},
+        "unevaluatedItems": {"maximum": 2}}}},
+    # $ref target's prefix claims like an inlined allOf
+    {"$defs": {"head2": {"prefixItems": [True, {"minimum": 1}]}},
+     "properties": {"nums": {"$ref": "#/$defs/head2",
+                              "unevaluatedItems": {"maximum": 3}}}},
+    # covered if/then/else (claims within the node prefix)
+    {"properties": {"nums": {
+        "prefixItems": [{"minimum": 0}, True],
+        "if": {"prefixItems": [{"minimum": 2}]},
+        "then": {"prefixItems": [True, {"maximum": 9}]},
+        "unevaluatedItems": False}}},
     # the representative bench contract's exact shape (claim-free anyOf
     # + covered if-probe + $ref inside a property): the round-5 target
     {"type": "object", "required": ["id", "url", "nums"],
@@ -711,6 +748,49 @@ def test_round5_static_unevaluated_specializations_plane(spark, df):
         # recursive $ref in the claim chain
         {"$defs": {"loop": {"$ref": "#/$defs/loop"}},
          "$ref": "#/$defs/loop", "unevaluatedProperties": False},
+    ]
+    for schema in plane_b:
+        cov = SchemaCompiler(schema).compile_plan(df).coverage()
+        assert cov["plane_b_checks"] >= 1, (schema, cov)
+
+
+def test_round5_static_unevaluated_items_planes(spark, df):
+    """unevaluatedItems claim analysis (round-5 symmetric extension):
+    allOf/$ref prefix claims, claim-free probes, and not-suppression
+    compile Plane A; uncovered probe claims stay Plane B."""
+    plane_a = [
+        {"properties": {"nums": {
+            "allOf": [{"prefixItems": [True, True]}],
+            "unevaluatedItems": False}}},
+        {"properties": {"nums": {
+            "prefixItems": [True],
+            "anyOf": [{"minItems": 1}, {"maxItems": 0}],
+            "unevaluatedItems": False}}},
+        {"properties": {"nums": {
+            "prefixItems": [True],
+            "not": {"minItems": 9},
+            "unevaluatedItems": False}}},
+        {"$defs": {"h": {"prefixItems": [True, True]}},
+         "properties": {"nums": {"$ref": "#/$defs/h",
+                                  "unevaluatedItems": False}}},
+        {"properties": {"nums": {
+            "allOf": [{"items": {"minimum": 0}}],
+            "unevaluatedItems": False}}},
+    ]
+    for schema in plane_a:
+        cov = SchemaCompiler(schema).compile_plan(df).coverage()
+        assert cov["plane_b_checks"] == 0, (schema, cov)
+    plane_b = [
+        {"properties": {"nums": {
+            "anyOf": [{"prefixItems": [True, True]}],
+            "unevaluatedItems": False}}},
+        {"properties": {"nums": {
+            "prefixItems": [True],
+            "not": {"not": {"minItems": 1}},
+            "unevaluatedItems": False}}},
+        {"properties": {"nums": {
+            "allOf": [{"contains": {"minimum": 2}}],
+            "unevaluatedItems": False}}},
     ]
     for schema in plane_b:
         cov = SchemaCompiler(schema).compile_plan(df).coverage()
