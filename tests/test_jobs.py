@@ -119,3 +119,53 @@ def test_dedup_corpus_job_cc_mode(spark, tmp_path):
     # roots survive, dropped set == canonicals' members
     assert report["near_removed"] == len(canon)
     assert all(r in survivors for r in set(canon.values()))
+
+
+def test_validate_pages_job_kill_and_resume(spark, tmp_path):
+    """The production validation job end-to-end via subprocess: fresh
+    run validates every partition-day; a re-submitted --resume run
+    skips all of them through the parquet ledger (north-rule
+    resumability at the deploy surface, not just the library)."""
+    from jema_js_spark.sources.pages import synthetic_pages
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "run")
+    synthetic_pages(spark, 4000, num_partitions=8).write.parquet(src)
+    contract = {
+        "required": ["url", "text"],
+        "properties": {"url": {"pattern": "^https?://"},
+                        "text": {"minLength": 1}},
+    }
+    schema_path = str(tmp_path / "contract.json")
+    with open(schema_path, "w") as f:
+        json.dump(contract, f)
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    args = [sys.executable, os.path.join(REPO, "jobs", "validate_pages.py"),
+            "--input", src, "--schema", schema_path, "--output", out,
+            "--run-id", "t1"]
+    res = subprocess.run(args, capture_output=True, text=True, env=env,
+                         timeout=420)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["partitions_done"] > 0 and rep["partitions_skipped"] == 0
+    # the pages generator plants hot-domain duplicate urls — the job's
+    # dataset check must agree with an in-process recount
+    from jema_js_spark.operators.uniqueness import duplicate_keys
+
+    expected_dups = duplicate_keys(spark.read.parquet(src), "url").count()
+    assert rep["checks"]["uniqueness"]["dup_keys"] == expected_dups > 0
+
+    # violations landed per day and carry the reference message shape
+    days = spark.read.parquet(f"{out}/days/*/violations")
+    assert days.count() > 0
+    msg = days.select("message").first()["message"]
+    assert "does not match" in msg or "missing required" in msg
+
+    # kill-free resume: everything skips, nothing recomputes
+    res2 = subprocess.run(args + ["--resume"], capture_output=True,
+                          text=True, env=env, timeout=420)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    rep2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert rep2["partitions_done"] == 0
+    assert rep2["partitions_skipped"] == rep["partitions_done"]
