@@ -66,7 +66,14 @@ def _bound_down(v) -> float:
     import math
     from decimal import Decimal
 
-    f = float(v)
+    import sys
+
+    try:
+        f = float(v)
+    except OverflowError:                    # |int| beyond double range
+        # largest double still ≤ v: the finite max for positive
+        # overflow, −inf for negative (no finite double is small enough)
+        return sys.float_info.max if v > 0 else -math.inf
     if not math.isfinite(f):
         return f
     if isinstance(v, Decimal):
@@ -84,7 +91,13 @@ def _bound_up(v) -> float:
     import math
     from decimal import Decimal
 
-    f = float(v)
+    import sys
+
+    try:
+        f = float(v)
+    except OverflowError:
+        # smallest double still ≥ v: mirror of the _bound_down cases
+        return -sys.float_info.max if v < 0 else math.inf
     if not math.isfinite(f):
         return f
     if isinstance(v, Decimal):

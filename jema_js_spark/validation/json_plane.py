@@ -407,10 +407,13 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     healthy data the errors pass stays scan-dominated, the same
     property the row-plane violations path has (SCALE.md).
 
-    Unparseable documents (malformed JSON / duplicate keys — states the
-    reference's in-memory API cannot even receive) emit a single
-    synthetic row with keyword ``__parse__``; kernel-level failures
-    (depth limit, unresolvable refs) emit keyword ``__error__``."""
+    Unparseable documents (malformed JSON — a state the reference's
+    in-memory API cannot even receive) emit a single synthetic row
+    with keyword ``__parse__``.  Duplicate-key documents are NOT
+    unparseable here: ``json.loads`` applies last-key-wins (as JS
+    ``JSON.parse`` does), so they are judged and error-reported like
+    any other document.  Kernel-level failures (depth limit,
+    unresolvable refs) emit keyword ``__error__``."""
     import json as _json
 
     from jema_js_spark.kernel.jstypes import js_to_string
@@ -443,9 +446,14 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
                           "schema_value", "message"]
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
-                ids = [getattr(r, c) for c in id_cols]
-                doc = getattr(r, json_col)
+            # positional column zip, NOT itertuples: pandas renames
+            # non-identifier / underscore-leading column names (e.g. a
+            # document-store `_id`) to positional `_1`-style fields,
+            # which would AttributeError per task (round-5 review find)
+            id_arrays = [pdf[c].tolist() for c in id_cols]
+            doc_array = pdf[json_col].tolist()
+            for row_i, doc in enumerate(doc_array):
+                ids = [a[row_i] for a in id_arrays]
                 try:
                     value = None if doc is None else _json.loads(doc)
                 except (TypeError, ValueError):

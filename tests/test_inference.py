@@ -243,3 +243,20 @@ def test_map_columns_stay_bare_object(spark):
         [({"a": 1},), ({"b": 2},)], "m map<string,int>")
     contract = propose_contract(df, emit_required=False)
     assert contract["properties"]["m"] == {"type": "object"}
+
+
+def test_bound_nudging_overflow_ints(spark):
+    # round-5 review find: float(10**400) raises OverflowError; the
+    # guard must return a bound on the CORRECT side of the value
+    import math
+    import sys
+
+    from jema_js_spark.schema.inference import _bound_down, _bound_up
+
+    assert _bound_down(10 ** 400) == sys.float_info.max      # ≤ v, finite
+    assert _bound_down(-(10 ** 400)) == -math.inf
+    assert _bound_up(10 ** 400) == math.inf
+    assert _bound_up(-(10 ** 400)) == -sys.float_info.max    # ≥ v, finite
+    # big-but-representable ints still nudge outward correctly
+    v = (1 << 53) + 3
+    assert _bound_down(v) <= v and _bound_up(v) >= v

@@ -298,3 +298,20 @@ def _try_valid(v, d):
         return v.validate(json.loads(d))
     except Exception:
         return False
+
+
+def test_json_violation_rows_underscore_and_spaced_id_cols(spark):
+    # round-5 review find: itertuples renames non-identifier /
+    # underscore-leading columns — positional access must survive a
+    # document-store `_id` and a spaced column name
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    df = spark.createDataFrame(
+        [(1, "x", '{"k": 1}'), (2, "y", "junk")],
+        "`_id` long, `my col` string, doc string")
+    out = json_violation_rows(df, "doc", {"required": ["k"],
+                                           "properties": {"k": {"minimum": 3}}},
+                              id_cols=["_id", "my col"]).collect()
+    got = {(r["_id"], r["my col"], r["keyword"]) for r in out}
+    assert (1, "x", "minimum") in got
+    assert (2, "y", "__parse__") in got
