@@ -147,12 +147,62 @@ def _declared_type(schema: Schema, node: Any,
     return None
 
 
+def _find_items(schema: Schema, node: Any,
+                seen: Optional[set] = None) -> Any:
+    """First ``items`` subschema found in a conjunctive position of a
+    property subschema (the node itself, allOf branches, $ref
+    targets)."""
+    if seen is None:
+        seen = set()
+    if not isinstance(node, dict) or id(node) in seen:
+        return None
+    seen.add(id(node))
+    if node.get("items") is not None and "items" in node:
+        return node["items"]
+    for branch in node.get("allOf") or []:
+        found = _find_items(schema, branch, seen)
+        if found is not None:
+            return found
+    if "$ref" in node:
+        return _find_items(schema, schema.registry.ref_targets.get(id(node)),
+                           seen)
+    return None
+
+
+def _collect_property_sources(schema: Schema, node: Any,
+                              out: Dict[str, list],
+                              seen: Optional[set] = None) -> None:
+    """Property subschemas from every CONJUNCTIVE position: the node's
+    own ``properties`` plus allOf branches and non-cyclic $ref targets
+    (all applied to the same document, so each source constrains the
+    same field — any one of them may declare the routing type, and a
+    value violating another source is invalid on whichever plane
+    judges it)."""
+    if seen is None:
+        seen = set()
+    if not isinstance(node, dict) or id(node) in seen:
+        return
+    seen.add(id(node))
+    props = node.get("properties")
+    if isinstance(props, dict):
+        for k, v in props.items():
+            out.setdefault(k, []).append(v)
+    for branch in node.get("allOf") or []:
+        _collect_property_sources(schema, branch, out, seen)
+    if "$ref" in node:
+        _collect_property_sources(
+            schema, schema.registry.ref_targets.get(id(node)), out, seen)
+
+
 def analyze_json_contract(schema: Any) -> JsonColumnPlan:
     """Decide whether a contract's conforming documents are exactly
     representable as a flat typed struct.  Unroutable contracts are not
     an error — ``with_valid_json`` just runs them whole on the kernel
     plane — but the reasons are published so a pipeline owner can see
-    why a contract is stuck on the slow plane."""
+    why a contract is stuck on the slow plane.  The field layout is
+    drawn from every conjunctive position (root ``properties``, allOf
+    branches, $ref targets) — the ``allOf``-composed strict-contract
+    idiom routes like a flat one."""
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     plan = JsonColumnPlan(schema=schema)
@@ -160,10 +210,13 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
     if not isinstance(root, dict):
         plan.reasons.append("root schema is boolean — no declared shape")
         return plan
-    props = root.get("properties")
-    if not isinstance(props, dict) or not props:
+    sources: Dict[str, list] = {}
+    _collect_property_sources(schema, root, sources)
+    if not sources:
         plan.reasons.append("root has no properties — no field layout")
         return plan
+    props = {name: subs[0] if len(subs) == 1 else {"allOf": subs}
+             for name, subs in sources.items()}
     for name, sub in props.items():
         if not _NAME_RE.match(name):
             plan.reasons.append(
@@ -173,11 +226,7 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
         if decl in _SCALAR_SQL:
             plan.fields[name] = (decl, None)
         elif decl == "array":
-            items = sub.get("items") if isinstance(sub, dict) else None
-            if items is None and isinstance(sub, dict) and "$ref" in sub:
-                target = schema.registry.ref_targets.get(id(sub))
-                if isinstance(target, dict):
-                    items = target.get("items")
+            items = _find_items(schema, sub)
             elem = _declared_type(schema, items)
             if elem in _SCALAR_SQL:
                 plan.fields[name] = ("array", elem)

@@ -315,3 +315,96 @@ def test_json_violation_rows_underscore_and_spaced_id_cols(spark):
     got = {(r["_id"], r["my col"], r["keyword"]) for r in out}
     assert (1, "x", "minimum") in got
     assert (2, "y", "__parse__") in got
+
+
+def test_random_numeric_literals_route_matches_kernel(spark):
+    """Adversarial numeric-literal fuzz for the routing gates: random
+    digit counts (1-45), fractions, exponents, signs — exactly the
+    space where BIGINT/DECIMAL/DOUBLE tags, the 2^53 magnitude gate,
+    and the raw pure-integer regex must cooperate."""
+    import random
+
+    rng = random.Random(808)
+
+    def lit():
+        kind = rng.choice(["int", "frac", "exp", "intexp"])
+        digits = "".join(rng.choice("0123456789")
+                         for _ in range(rng.randint(1, 45)))
+        digits = digits.lstrip("0") or "0"
+        sign = rng.choice(["", "-"])
+        if kind == "int":
+            return f"{sign}{digits}"
+        if kind == "frac":
+            frac = "".join(rng.choice("0123456789")
+                           for _ in range(rng.randint(1, 25)))
+            return f"{sign}{digits}.{frac}"
+        if kind == "exp":
+            return f"{sign}{digits}.{rng.randint(0, 99)}e{rng.randint(-200, 200)}"
+        return f"{sign}{digits}e{rng.randint(-30, 30)}"
+
+    contract = {"type": "object", "required": ["x"],
+                "properties": {
+                    "x": {"type": "number", "minimum": -1e30,
+                          "exclusiveMaximum": 1e25},
+                    "xs": {"type": "array",
+                            "items": {"type": "number",
+                                      "multipleOf": 0.5}}}}
+    docs = []
+    for _ in range(250):
+        parts = ['"x": ' + lit()]
+        if rng.random() < 0.5:
+            parts.append('"xs": [' + ", ".join(
+                lit() for _ in range(rng.randint(0, 4))) + "]")
+        docs.append("{" + ", ".join(parts) + "}")
+    docs = sorted(set(docs))
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", contract, route_col="route").collect()
+    expected = _kernel_verdicts(contract, docs)
+    bad = [(r["doc"][:80], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+
+
+def test_allof_composed_contracts_route(spark):
+    """The allOf-composed strict-contract idiom (base schema + $ref'd
+    extension) must route like a flat contract — the field layout is
+    drawn from every conjunctive position."""
+    contract = {
+        "$defs": {"base": {"properties": {"k": {"type": "integer",
+                                                  "minimum": 0}},
+                            "required": ["k"]}},
+        "$ref": "#/$defs/base",
+        "allOf": [{"properties": {"name": {"type": "string",
+                                             "minLength": 2}}},
+                   {"properties": {"xs": {"allOf": [
+                       {"type": "array"},
+                       {"items": {"type": "integer", "maximum": 9}}]}}}],
+        "properties": {"flag": {"type": "boolean"}},
+        "unevaluatedProperties": False,
+    }
+    plan = analyze_json_contract(contract)
+    assert plan.routable, plan.reasons
+    assert set(plan.fields) == {"k", "name", "xs", "flag"}
+    assert plan.fields["xs"] == ("array", "integer")
+
+    docs = [
+        '{"k": 1, "name": "ab", "xs": [1, 2], "flag": true}',
+        '{"k": 1, "name": "a"}',            # minLength violated
+        '{"k": -1}',                        # minimum violated
+        '{"name": "ab"}',                   # required k missing
+        '{"k": 1, "xs": [10]}',             # ref'd item bound violated
+        '{"k": 1, "zz": 1}',                # unevaluated extra
+        '{"k": "s"}', '{"k": null}', 'junk',
+        '{"k": 1, "xs": "not-an-array"}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", contract, route_col="route").collect()
+    expected = _kernel_verdicts(contract, docs)
+    bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, bad
+    # the well-shaped docs actually took the columnar plane
+    routes = {r["doc"]: r["route"] for r in out}
+    assert routes['{"k": 1, "name": "ab", "xs": [1, 2], "flag": true}'] \
+        == "columnar"
+    assert routes['{"k": -1}'] == "columnar"
