@@ -17,8 +17,33 @@ shows up in keyword iteration.
 
 from __future__ import annotations
 
+import contextlib
+import sys
 from typing import Any, Dict, Iterator, Optional
 from urllib.parse import urljoin
+
+
+@contextlib.contextmanager
+def _schema_depth_guard():
+    """Raised recursion limit + clean DepthLimitExceeded for the
+    compile-phase schema walks — the construction-time twin of the
+    kernel's validate/iter_errors guard (kernel.py), sharing its limit
+    and exception type (imported lazily: kernel imports this module)."""
+    from jema_js_spark.kernel.kernel import (
+        _RECURSION_LIMIT,
+        DepthLimitExceeded,
+    )
+
+    old = sys.getrecursionlimit()
+    try:
+        if old < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        yield
+    except RecursionError:
+        raise DepthLimitExceeded(
+            "schema nesting exceeds the compile depth limit") from None
+    finally:
+        sys.setrecursionlimit(old)
 
 __all__ = ["Schema", "SchemaRegistry", "SchemaNotFound", "RefResolutionError"]
 
@@ -192,12 +217,17 @@ class Schema:
         # '' anchor = the schema itself, reachable as '#' (schema.js:40)
         self.anchors: Dict[str, Any] = {"": self.schema}
         self.dyn_anchors: Dict[str, Any] = {}
-        if isinstance(schema, dict):
-            self._find_anchors(schema, _top=True)
-        self.foreign: Dict[str, "Schema"] = {}
-        self._dereffed = False
-        if not _skip_deref:
-            self.deref()
+        # the compile-phase walks recurse with the SCHEMA's depth, at
+        # the same raised limit + clean-exception contract the kernel
+        # gives the DATA's depth (a ~1000-deep schema previously leaked
+        # a raw RecursionError out of construction — round-5 probe)
+        with _schema_depth_guard():
+            if isinstance(schema, dict):
+                self._find_anchors(schema, _top=True)
+            self.foreign: Dict[str, "Schema"] = {}
+            self._dereffed = False
+            if not _skip_deref:
+                self.deref()
 
     # -- compile phase 1: anchors (schema.js:75-80) ----------------------
     def _find_anchors(self, schema: Any, _top: bool = False) -> None:

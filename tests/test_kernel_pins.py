@@ -167,3 +167,55 @@ def test_pending_iter_errors_survives_interleaved_validate():
     assert v.validate(99) is True         # flips boolean mode internally
     msgs = [e.message for e in pending]
     assert msgs == ['"3" does not match minimum:10'], msgs
+
+
+def test_depth_limits_are_clean_on_both_axes():
+    """Deep nesting exhausts recursion CLEANLY (DepthLimitExceeded, a
+    RecursionError subclass) on both axes: deep DATA against a
+    recursive schema (the kernel guard) and deep SCHEMAS at
+    construction (round-5 fix — the compile-phase walks previously
+    leaked a raw RecursionError at ~1000 levels)."""
+    import sys
+
+    import pytest
+
+    from jema_js_spark.kernel.kernel import DepthLimitExceeded
+    from jema_js_spark.schema.frontend import Schema
+
+    def deep_schema(n):
+        s = {"type": "object"}
+        for _ in range(n):
+            s = {"properties": {"a": s}}
+        return s
+
+    def deep_value(n):
+        v = {}
+        for _ in range(n):
+            v = {"a": v}
+        return v
+
+    # a 4000-level schema × document pair compiles and validates
+    assert Schema(deep_schema(4000)).validate(deep_value(4000)) is True
+
+    # construction beyond the shared limit: clean, typed, catchable
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(100000)
+    try:
+        hostile = deep_schema(30000)
+    finally:
+        sys.setrecursionlimit(old)
+    with pytest.raises(DepthLimitExceeded):
+        Schema(hostile)
+
+    # deep DATA against a recursive $ref schema: kernel guard
+    rec = Schema({"$defs": {"n": {"properties": {"a": {"$ref": "#/$defs/n"}},
+                                    "type": "object"}},
+                  "$ref": "#/$defs/n"})
+    assert rec.validate(deep_value(3000)) is True
+    sys.setrecursionlimit(100000)
+    try:
+        deep_v = deep_value(40000)
+    finally:
+        sys.setrecursionlimit(old)
+    with pytest.raises(DepthLimitExceeded):
+        rec.validate(deep_v)
