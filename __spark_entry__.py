@@ -353,7 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from jema_js_spark.operators.multimodal import (
             attach_media_metadata, decode_image_features, gif_bytes,
-            jpeg_bytes, png_bytes, synthesize_bmp)
+            jpeg_bytes, jpeg_progressive_bytes, png_bytes, synthesize_bmp)
 
         docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
         bmp = synthesize_bmp(
@@ -393,9 +393,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jpeg_rows.append((3000 + i, bytearray(jpeg_bytes(arr, ycbcr=True))))
         jpeg_df = spark.createDataFrame(jpeg_rows,
                                         "media_id long, payload binary")
+        # progressive JPEG (round 6): REAL SOF2 scans — DC
+        # first/refine, per-component AC spectral selection with EOB
+        # runs, successive approximation on odd plants — through the
+        # same decoder; solid even-valued YCbCr keeps DC-only
+        # exactness, so the SAME closed-form oracle applies
+        prog_rows = []
+        for i in range(24):
+            w, h = i % 4 + 2, 2
+            y, cb, cr = (i * 12 + 4) % 256, (i * 8) % 256, (i * 18 + 6) % 256
+            arr = np.full((h, w, 3), [y, cb, cr], dtype=np.uint8)
+            prog_rows.append((4000 + i, bytearray(jpeg_progressive_bytes(
+                arr, ycbcr=True, successive=bool(i % 2)))))
+        prog_df = spark.createDataFrame(prog_rows,
+                                        "media_id long, payload binary")
         media = attach_media_metadata(
-            bmp_rows.unionAll(png_df).unionAll(gif_df).unionAll(jpeg_df))
-        fmt = F.when(F.col("media_id") >= 3000, F.lit("jpeg")) \
+            bmp_rows.unionAll(png_df).unionAll(gif_df).unionAll(jpeg_df)
+            .unionAll(prog_df))
+        fmt = F.when(F.col("media_id") >= 4000, F.lit("jpeg_prog")) \
+            .when(F.col("media_id") >= 3000, F.lit("jpeg")) \
             .when(F.col("media_id") >= 2000, F.lit("gif")) \
             .when(F.col("media_id") >= 1000, F.lit("png")) \
             .otherwise(F.lit("bmp"))
@@ -1158,7 +1174,26 @@ def oracle_sql() -> dict[str, str]:
                    least(255, greatest(0, floor(
                        (doc_id * 14 % 256)
                        + 1.772 * (((doc_id * 6 + 2) % 256) - 128) + 0.5)))::DOUBLE
-            FROM documents WHERE doc_id < 30""",
+            FROM documents WHERE doc_id < 30
+            UNION ALL
+            -- real PROGRESSIVE JPEG (SOF2, round 6): same DC-only
+            -- exactness argument — the scans reassemble the identical
+            -- quantized coefficients, so the same color formula holds
+            SELECT doc_id + 4000, 'jpeg_prog',
+                   (doc_id % 4 + 2)::INT, 2::INT,
+                   least(255, greatest(0, floor(
+                       ((doc_id * 12 + 4) % 256)
+                       + 1.402 * (((doc_id * 18 + 6) % 256) - 128)
+                       + 0.5)))::DOUBLE,
+                   least(255, greatest(0, floor(
+                       ((doc_id * 12 + 4) % 256)
+                       - 0.344136 * ((doc_id * 8 % 256) - 128)
+                       - 0.714136 * (((doc_id * 18 + 6) % 256) - 128)
+                       + 0.5)))::DOUBLE,
+                   least(255, greatest(0, floor(
+                       ((doc_id * 12 + 4) % 256)
+                       + 1.772 * ((doc_id * 8 % 256) - 128) + 0.5)))::DOUBLE
+            FROM documents WHERE doc_id < 24""",
         "audio_features": """
             -- planted square wave (n pairs of samples v1, v2): the
             -- decoded features are closed-form over exact integers —

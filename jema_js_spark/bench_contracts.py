@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["REPRESENTATIVE_KERNEL_CONTRACT", "representative_json_docs",
-           "representative_doc"]
+           "representative_doc", "mixed_json_docs", "MIXED_COLUMNAR_RATE"]
 
 REPRESENTATIVE_KERNEL_CONTRACT = {
     "type": "object", "required": ["k", "name", "xs"],
@@ -53,6 +53,47 @@ def representative_json_docs(spark: SparkSession, n: int,
             F.array(F.col("id") % 7, F.col("id") % 11,
                     F.col("id") % 13).alias("xs"),
         )).alias("doc"))
+
+
+# deterministic columnar share of mixed_json_docs: slots 0-6 are
+# canonical (round-trip shortcut), slot 7 is whitespace-variant (full
+# variant gates), slots 8-9 are kernel-only shapes
+MIXED_COLUMNAR_RATE = 0.8
+
+
+def mixed_json_docs(spark: SparkSession, n: int,
+                    num_partitions: int = 32) -> DataFrame:
+    """A deterministic mixed conforming/hostile document stream for the
+    route-rate observability metric (VERDICT r5 task #3): a routing-gate
+    regression (a gate accidentally tightened to always-kernel) leaves
+    verdicts correct but collapses throughput — ``json_route_rate`` in
+    the bench JSON makes that visible, and the pinned lower bound in
+    tests/test_bench_contract.py fails loudly.
+
+    Slot layout by ``id % 10`` (exactly 10% each):
+      0-6  canonical docs → columnar via the round-trip shortcut
+      7    same doc with whitespace → columnar via the variant gates
+           (round-trip inequality, shape still exactly representable)
+      8    wrong-typed field (string k) → kernel
+      9    malformed JSON → kernel
+    """
+    slot = F.col("id") % 10
+    canonical = F.to_json(F.struct(
+        (F.col("id") % 100).alias("k"),
+        F.concat(F.lit("user"), F.col("id")).alias("name"),
+        F.array(F.col("id") % 7, F.col("id") % 11,
+                F.col("id") % 13).alias("xs")))
+    spaced = F.concat(F.lit("{ \"k\": "), (F.col("id") % 100).cast("string"),
+                      F.lit(", \"name\": \"user"), F.col("id").cast("string"),
+                      F.lit("\", \"xs\": [1, 2, 3] }"))
+    wrong_type = F.concat(F.lit('{"k":"'), F.col("id").cast("string"),
+                          F.lit('","name":"user","xs":[1,2,3]}'))
+    malformed = F.concat(F.lit('{"k": '), F.col("id").cast("string"))
+    return spark.range(n, numPartitions=num_partitions).select(
+        F.when(slot == 9, malformed)
+        .when(slot == 8, wrong_type)
+        .when(slot == 7, spaced)
+        .otherwise(canonical).alias("doc"))
 
 
 def representative_doc(i: int) -> dict:

@@ -466,8 +466,10 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 def _split_entropy_segments(payload: bytes, start: int):
     """Entropy data from ``start``: unstuff FF00, split at restart
-    markers (FFD0-D7), stop at EOI/next marker.  Returns list of
-    segments (bytes)."""
+    markers (FFD0-D7), stop at EOI/next marker.  Returns
+    ``(segments, end)`` — the list of segments (bytes) and the offset
+    of the terminating marker's FF (so a multi-scan walk can resume
+    there)."""
     segments, cur = [], bytearray()
     i = start
     n = len(payload)
@@ -490,17 +492,202 @@ def _split_entropy_segments(payload: bytes, start: int):
         else:                          # EOI or any real marker: scan ends
             break
     segments.append(bytes(cur))
-    return segments
+    return segments, i
+
+
+def _decode_jpeg_scan(scan: dict, coeffs: dict, by_id: dict,
+                      hmax: int, vmax: int, w: int, h: int,
+                      mcux: int, mcuy: int, progressive: bool) -> None:
+    """Decode ONE scan's entropy data into the per-component zigzag
+    coefficient stores.  Handles the interleaved MCU walk (multi-
+    component scans) and the per-component block-grid walk (single-
+    component scans, T.81 A.2.2: block dims from the CEILED component
+    size, not the MCU-padded size), with restart markers resetting DC
+    predictors and the EOB run."""
+    comps_in_scan = scan["comps"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    huff = scan["huff"]
+    segments = scan["segments"]
+    restart = scan["restart"]
+    for cs, _, _ in comps_in_scan:
+        if cs not in by_id:
+            raise ValueError(f"SOS component {cs} not in SOF")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan mixes DC and AC")
+        if ss > 0 and len(comps_in_scan) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component")
+        if ss > 63 or se > 63 or se < ss:
+            raise ValueError("bad JPEG spectral selection range")
+        if ah not in (0, al + 1):
+            raise ValueError("bad JPEG successive approximation step")
+    elif (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("baseline scan with progressive parameters")
+    tables = {}
+    for cs, td, ta in comps_in_scan:
+        need_dc = ss == 0 and (not progressive or ah == 0)
+        need_ac = se > 0
+        dc_t = huff.get((0, td)) if need_dc else None
+        ac_t = huff.get((1, ta)) if need_ac else None
+        if (need_dc and dc_t is None) or (need_ac and ac_t is None):
+            raise ValueError("JPEG scan references missing DHT/DQT table")
+        tables[cs] = (dc_t, ac_t)
+
+    state = {"reader": _JpegBits(segments[0]), "seg_idx": 0,
+             "preds": {cs: 0 for cs, _, _ in comps_in_scan}, "eobrun": 0}
+
+    def check_restart(unit_no: int) -> None:
+        if not restart or unit_no == 0 or unit_no % restart:
+            return
+        state["seg_idx"] += 1
+        if state["seg_idx"] >= len(segments):
+            raise ValueError("missing JPEG restart segment")
+        state["reader"] = _JpegBits(segments[state["seg_idx"]])
+        state["preds"] = {cs: 0 for cs in state["preds"]}
+        state["eobrun"] = 0
+
+    if len(comps_in_scan) > 1:                   # interleaved MCU walk
+        for my in range(mcuy):
+            for mx in range(mcux):
+                check_restart(my * mcux + mx)
+                for cs, _, _ in comps_in_scan:
+                    ch, cv, _ = by_id[cs]
+                    dc_t, ac_t = tables[cs]
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            _decode_jpeg_block(
+                                coeffs[cs][my * cv + byy, mx * ch + bxx],
+                                state, cs, dc_t, ac_t, ss, se, ah, al,
+                                progressive)
+    else:                                        # single-component walk
+        cs, _, _ = comps_in_scan[0]
+        ch, cv, _ = by_id[cs]
+        cw = -(-(w * ch) // hmax)                # ceiled component dims
+        chh = -(-(h * cv) // vmax)
+        bw = -(-cw // 8)
+        bh = -(-chh // 8)
+        dc_t, ac_t = tables[cs]
+        for by in range(bh):
+            for bx in range(bw):
+                check_restart(by * bw + bx)
+                _decode_jpeg_block(coeffs[cs][by, bx], state, cs,
+                                   dc_t, ac_t, ss, se, ah, al,
+                                   progressive)
+
+
+def _decode_jpeg_block(block, state: dict, cs: int, dc_t, ac_t,
+                       ss: int, se: int, ah: int, al: int,
+                       progressive: bool) -> None:
+    """One block's worth of one scan: baseline full-spectrum, or the
+    four progressive passes (T.81 G.2 / F.2.2): DC first (diff << Al),
+    DC refine (one raw bit), AC first (spectral band with EOB runs),
+    AC refine (correction bits + newly-significant coefficients)."""
+    reader = state["reader"]
+    if ss == 0:
+        if not progressive or ah == 0:           # DC first (or baseline)
+            t = dc_t.decode(reader)
+            diff = _jpeg_extend(reader.receive(t), t)
+            state["preds"][cs] += diff
+            block[0] = state["preds"][cs] << al
+        elif reader.bit():                       # DC refinement bit
+            block[0] |= 1 << al
+        if progressive:
+            return
+        k = 1                                    # baseline AC: se == 63
+        while k <= 63:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break                            # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block")
+            block[k] = _jpeg_extend(reader.receive(s), s)
+            k += 1
+        return
+    if ah == 0:                                  # AC first (T.81 G.2.2)
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    return
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past spectral band")
+            block[k] = _jpeg_extend(reader.receive(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3): each symbol either starts an EOB
+    # run, inserts a newly-significant ±1<<Al after skipping r
+    # zero-history coefficients, or (ZRL) skips 16; already-nonzero
+    # coefficients along the way consume one correction bit each
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break                        # rest handled below
+                val = 0                          # ZRL: 16 zero-history
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement code")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError(
+                        "JPEG AC refinement run past spectral band")
+                block[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            c = int(block[k])
+            if c != 0 and reader.bit() and (c & p1) == 0:
+                block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
-    """Pure stdlib+numpy BASELINE JPEG decoder (SOF0/SOF1, 8-bit,
-    Huffman): marker walk → per-component Huffman + dequant + exact
-    float IDCT → nearest-neighbor chroma upsample → JFIF YCbCr→RGB
-    with floor(x+0.5) rounding.  Grayscale returns ``(h, w, 1)``;
-    3-component returns ``(h, w, 3)`` RGB.  Progressive / arithmetic /
-    12-bit / hierarchical raise NotImplementedError (install a codec
-    via ``set_decoder('image', fn)``); structural corruption raises
+    """Pure stdlib+numpy JPEG decoder — BASELINE (SOF0/SOF1, incl.
+    multi-scan non-interleaved) and PROGRESSIVE (SOF2: DC
+    first/refine, AC spectral selection + successive approximation,
+    EOB runs), 8-bit Huffman: marker walk over every scan →
+    per-component coefficient accumulation → dequant + exact float
+    IDCT → nearest-neighbor chroma upsample → JFIF YCbCr→RGB with
+    floor(x+0.5) rounding.  Grayscale returns ``(h, w, 1)``;
+    3-component returns ``(h, w, 3)`` RGB.  Arithmetic / 12-bit /
+    hierarchical raise NotImplementedError (install a codec via
+    ``set_decoder('image', fn)``); structural corruption raises
     ValueError → a per-row decode error."""
     import struct
 
@@ -509,10 +696,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     qt: dict = {}
     huff: dict = {}
     sof = None
+    progressive = False
     restart_interval = 0
     i = 2
     n = len(payload)
-    scan = None
+    scans: list = []
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -526,16 +714,21 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 p += 1
+                width = 128 if pq else 64
+                if p + width > len(seg):
+                    # unchecked slices would surface as numpy shape
+                    # errors deep in the decode loop instead of the
+                    # documented structural-corruption error
+                    raise ValueError("truncated JPEG DQT segment")
                 if pq == 0:
                     vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8) \
                         .astype(np.int64)
-                    p += 64
                 else:
                     vals = np.frombuffer(seg[p:p + 128],
                                          dtype=">u2").astype(np.int64)
-                    p += 128
+                p += width
                 qt[tq] = vals
-        elif marker in (0xC0, 0xC1):             # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(
@@ -545,18 +738,23 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq_ = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline JPEG (SOF0/SOF1) decodes natively; "
-                "progressive/arithmetic/hierarchical need a codec via "
-                "set_decoder('image', fn)")
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                "decode natively; arithmetic/hierarchical/lossless need "
+                "a codec via set_decoder('image', fn)")
         elif marker == 0xC4:                     # DHT
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 counts = list(seg[p + 1:p + 17])
                 nv = sum(counts)
+                if p + 17 + nv > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 values = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _JpegHuffTable(counts, values)
                 p += 17 + nv
@@ -568,91 +766,82 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(ns):
                 cs, tda = seg[1 + 2 * ci:3 + 2 * ci]
                 scan_comps.append((cs, tda >> 4, tda & 15))
-            scan = (scan_comps, i + 2 + seg_len)
-            break
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segments, end = _split_entropy_segments(payload,
+                                                    i + 2 + seg_len)
+            # tables are snapshotted per scan: DHT/DQT may be redefined
+            # between scans (T.81 B.2.4), so a later redefinition must
+            # not retroactively change an earlier scan's decode
+            scans.append({
+                "comps": scan_comps, "ss": ss, "se": se,
+                "ah": ah, "al": al, "segments": segments,
+                "restart": restart_interval,
+                "huff": dict(huff),
+            })
+            i = end
+            continue
         i += 2 + seg_len
-    if sof is None or scan is None:
+    if sof is None or not scans:
         if b"\xff\xda" in payload:
             raise ValueError("JPEG structure corrupted before SOS")
         raise _NoPixelData("JPEG without SOF/SOS")
     h, w, comps = sof
     if h <= 0 or w <= 0 or not comps:
         raise ValueError(f"bad JPEG dimensions {w}x{h}")
-    scan_comps, entropy_start = scan
-    if len(scan_comps) != len(comps):
-        # T.81 allows baseline images split into sequential
-        # single-component scans; decoding only the first would
-        # SILENTLY return a grayscale plane for a color image
-        # (round-5 review find) — stay loud like the other
-        # unsupported modes
-        raise NotImplementedError(
-            "multi-scan baseline JPEG (non-interleaved components) "
-            "needs a codec via set_decoder('image', fn)")
     hmax = max(ch for _, ch, _, _ in comps)
     vmax = max(cv for _, _, cv, _ in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     by_id = {cid: (ch, cv, tq_) for cid, ch, cv, tq_ in comps}
-    planes = {}
-    tables = {}
-    for cs, td, ta in scan_comps:
-        if cs not in by_id:
-            raise ValueError(f"SOS component {cs} not in SOF")
-        ch, cv, tq_ = by_id[cs]
-        planes[cs] = np.zeros((mcuy * cv * 8, mcux * ch * 8))
-        if (0, td) not in huff or (1, ta) not in huff or tq_ not in qt:
-            raise ValueError("JPEG scan references missing DHT/DQT table")
-        tables[cs] = (huff[(0, td)], huff[(1, ta)], qt[tq_])
+    # coefficient accumulation (round 6): every scan — baseline
+    # interleaved, baseline sequential per-component, progressive DC/AC
+    # first/refine — deposits into the same per-component zigzag
+    # coefficient store; dequant + IDCT happen once at the end, so the
+    # baseline path computes bit-identical pixels to the round-5
+    # single-pass decoder (int coefficient × int quant, then the same
+    # float IDCT)
+    coeffs = {cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+              for cid, ch, cv, _ in comps}
+    for scan in scans:
+        _decode_jpeg_scan(scan, coeffs, by_id, hmax, vmax, w, h,
+                          mcux, mcuy, progressive)
+    # a component no scan ever touched would SILENTLY render as a flat
+    # mid-gray plane (the round-5 silent-grayscale hazard, generalized)
+    dc_covered = {cs for scan in scans if scan["ss"] == 0
+                  for cs, _, _ in scan["comps"]}
+    missing = [cid for cid, _, _, _ in comps if cid not in dc_covered]
+    if missing:
+        raise ValueError(
+            f"JPEG scans never cover DC of component(s) {missing}")
 
-    segments = _split_entropy_segments(payload, entropy_start)
-    seg_idx = 0
-    reader = _JpegBits(segments[0])
-    preds = {cs: 0 for cs, _, _ in scan_comps}
-    zz = np.zeros(64)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            mcu_no = my * mcux + mx
-            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("missing JPEG restart segment")
-                reader = _JpegBits(segments[seg_idx])
-                preds = {cs: 0 for cs in preds}
-            for cs, _, _ in scan_comps:
-                ch, cv, _ = by_id[cs]
-                dc_t, ac_t, q = tables[cs]
-                for byy in range(cv):
-                    for bxx in range(ch):
-                        zz[:] = 0.0
-                        t = dc_t.decode(reader)
-                        diff = _jpeg_extend(reader.receive(t), t)
-                        preds[cs] += diff
-                        zz[0] = preds[cs] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(reader)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break                      # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block")
-                            zz[k] = _jpeg_extend(reader.receive(s), s) * q[k]
-                            k += 1
-                        block = np.zeros((8, 8))
-                        block[_JPEG_ZZ_ROWS, _JPEG_ZZ_COLS] = zz
-                        spatial = _JPEG_C.T @ block @ _JPEG_C + 128.0
-                        y0 = (my * cv + byy) * 8
-                        x0 = (mx * ch + bxx) * 8
-                        planes[cs][y0:y0 + 8, x0:x0 + 8] = spatial
     out_planes = []
-    for cs, _, _ in scan_comps:
-        ch, cv, _ = by_id[cs]
-        p = planes[cs]
+    for cid, ch, cv, tq_ in comps:
+        if tq_ not in qt:
+            raise ValueError("JPEG scan references missing DHT/DQT table")
+        q = qt[tq_]
+        cf = coeffs[cid]
+        bh, bw, _ = cf.shape
+        deq = cf * q
+        p = np.zeros((bh * 8, bw * 8))
+        block = np.zeros((8, 8))
+        for by in range(bh):
+            for bx in range(bw):
+                block[_JPEG_ZZ_ROWS, _JPEG_ZZ_COLS] = deq[by, bx]
+                p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _JPEG_C.T @ block @ _JPEG_C + 128.0
         if ch != hmax or cv != vmax:
+            if vmax % cv != 0 or hmax % ch != 0:
+                # a legal-but-rare non-integer sampling ratio (e.g.
+                # vmax=3, cv=2) would otherwise silently upsample wrong
+                # — stay loud like every other unsupported mode
+                raise NotImplementedError(
+                    f"non-divisible JPEG chroma sampling {ch}x{cv} vs "
+                    f"max {hmax}x{vmax} needs a codec via "
+                    "set_decoder('image', fn)")
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch,
                           axis=1)
         out_planes.append(p[:h, :w])
@@ -759,22 +948,9 @@ def jpeg_bytes(arr: "np.ndarray", ycbcr: bool = False,
 
     hmax, vmax = (sub if nc == 3 else (1, 1))
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    planes = []
-    for ci, p in enumerate(planes3):
-        fh, fv = (hmax, vmax) if ci == 0 else (1, 1)
-        if ci:                           # chroma: decimate by sampling
-            p = p[::vmax, ::hmax]
-        ph, pw = mcuy * fv * 8, mcux * fh * 8
-        sh, sw = p.shape
-        full = np.empty((ph, pw))
-        full[:sh, :sw] = p
-        if sh < ph:                      # edge-pad partial MCUs
-            full[sh:, :sw] = full[sh - 1:sh, :sw]
-        if sw < pw:
-            full[:, sw:] = full[:, sw - 1:sw]
-        planes.append(full)
+    coeffs = _jpeg_coeff_blocks(planes3, q, hmax, vmax, mcux, mcuy)
 
-    preds = [0] * len(planes)
+    preds = [0] * len(planes3)
     rst = [0]                             # next restart marker index
 
     def maybe_restart(mcu_no: int) -> None:
@@ -795,16 +971,11 @@ def jpeg_bytes(arr: "np.ndarray", ycbcr: bool = False,
     for my in range(mcuy):
         for mx in range(mcux):
             maybe_restart(my * mcux + mx)
-            for ci, p in enumerate(planes):
+            for ci in range(len(planes3)):
                 fh, fv = (hmax, vmax) if ci == 0 else (1, 1)
                 for byy in range(fv):
                     for bxx in range(fh):
-                        y0 = (my * fv + byy) * 8
-                        x0 = (mx * fh + bxx) * 8
-                        block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
-                        S = _JPEG_C @ block @ _JPEG_C.T
-                        zz = np.floor(S[_JPEG_ZZ_ROWS, _JPEG_ZZ_COLS]
-                                      / q + 0.5).astype(np.int64)
+                        zz = coeffs[ci][my * fv + byy, mx * fh + bxx]
                         diff = int(zz[0]) - preds[ci]
                         preds[ci] = int(zz[0])
                         s = size_of(diff)
@@ -838,6 +1009,318 @@ def jpeg_bytes(arr: "np.ndarray", ycbcr: bool = False,
         if pad == 0xFF:
             bits.append(0x00)
     out += bits + b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_coeff_blocks(planes3, q, hmax: int, vmax: int,
+                       mcux: int, mcuy: int):
+    """Quantized zigzag coefficient blocks per component — the shared
+    compute between the baseline and progressive writers (identical
+    float order: forward DCT then floor(S/q + 0.5)).  Chroma planes
+    are decimated by the sampling factors and edge-padded to the
+    MCU-aligned grid, exactly as the round-5 inline encoder did."""
+    coeffs = []
+    for ci, p in enumerate(planes3):
+        fh, fv = (hmax, vmax) if ci == 0 else (1, 1)
+        if ci:                           # chroma: decimate by sampling
+            p = p[::vmax, ::hmax]
+        ph, pw = mcuy * fv * 8, mcux * fh * 8
+        sh, sw = p.shape
+        full = np.empty((ph, pw))
+        full[:sh, :sw] = p
+        if sh < ph:                      # edge-pad partial MCUs
+            full[sh:, :sw] = full[sh - 1:sh, :sw]
+        if sw < pw:
+            full[:, sw:] = full[:, sw - 1:sw]
+        bh, bw = mcuy * fv, mcux * fh
+        cf = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = full[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                S = _JPEG_C @ block @ _JPEG_C.T
+                cf[by, bx] = np.floor(
+                    S[_JPEG_ZZ_ROWS, _JPEG_ZZ_COLS] / q + 0.5).astype(
+                    np.int64)
+        coeffs.append(cf)
+    return coeffs
+
+
+class _JpegBitWriter:
+    """Byte-stuffing bit writer for one entropy-coded scan."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nb: int) -> None:
+        for i in range(nb - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.n = 0
+
+    def align(self) -> None:
+        if self.n:
+            pad = self.acc << (8 - self.n) | ((1 << (8 - self.n)) - 1)
+            self.out.append(pad)
+            if pad == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+
+
+def jpeg_progressive_bytes(arr: "np.ndarray", ycbcr: bool = False,
+                           subsampling: str = "444",
+                           successive: bool = True) -> bytes:
+    """Encode uint8 pixels as a REAL progressive (SOF2) JFIF JPEG —
+    the fixture builder for the round-6 progressive decode path.  Same
+    coefficient pipeline as :func:`jpeg_bytes` (flat q=16 tables, so a
+    solid even-valued plant stays DC-only-exact), re-ordered into
+    progressive scans:
+
+    - ``successive=False``: spectral selection only — one interleaved
+      DC-first scan, then one full-band AC-first scan per component
+      (exercises the EOB-run path).
+    - ``successive=True``: adds successive approximation — DC first at
+      Al=1 then a DC refinement scan, and per component an AC-first
+      scan at Al=1 then an AC refinement scan (exercises all four
+      progressive block decoders, including newly-significant
+      insertion and correction bits).
+
+    The coefficients delivered by a conformant decoder are IDENTICAL
+    to the baseline encoding of the same pixels — pinned by the
+    progressive-vs-baseline differential test."""
+    import struct
+
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("jpeg_progressive_bytes wants (h, w, 1|3) uint8")
+    h, w, nc = arr.shape
+    if nc == 3 and not ycbcr:
+        rf = arr[..., 0].astype(np.float64)
+        gf = arr[..., 1].astype(np.float64)
+        bf = arr[..., 2].astype(np.float64)
+        planes3 = [0.299 * rf + 0.587 * gf + 0.114 * bf,
+                   128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+                   128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf]
+        planes3 = [np.clip(np.floor(p + 0.5), 0, 255) for p in planes3]
+    elif nc == 3:
+        planes3 = [arr[..., c].astype(np.float64) for c in range(3)]
+    else:
+        planes3 = [arr[..., 0].astype(np.float64)]
+    sub = (2, 2) if (subsampling == "420" and nc == 3) else (1, 1)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    # fixed canonical tables: 12 DC symbols at 4 bits; ALL 176 AC
+    # run/size symbols at 8 bits — progressive needs the (r<<4)|0
+    # EOB-run symbols for r=1..14 that the baseline table omits
+    dc_values = list(range(12))
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_values = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_values)
+    dc_code = {v: (i, 4) for i, v in enumerate(dc_values)}
+    ac_code = {v: (i, 8) for i, v in enumerate(ac_values)}
+
+    hmax, vmax = (sub if nc == 3 else (1, 1))
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    q = np.full(64, 16, dtype=np.int64)
+    coeffs = _jpeg_coeff_blocks(planes3, q, hmax, vmax, mcux, mcuy)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) \
+        + bytes(int(x) for x in q)
+    comps = ([(1, 1, 1, 0)] if nc == 1
+             else [(1, sub[0], sub[1], 0), (2, 1, 1, 0), (3, 1, 1, 0)])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                     len(comps))
+    for cid, chs, cvs, tq_ in comps:
+        out += bytes([cid, (chs << 4) | cvs, tq_])
+    for tc, counts, values in ((0, dc_counts, dc_values),
+                               (1, ac_counts, ac_values)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tc << 4]) + bytes(counts) + bytes(values)
+
+    def sos_header(scan_comps, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps),
+                                        len(scan_comps))
+        for cid in scan_comps:
+            hdr += bytes([cid, 0x00])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _JpegBitWriter()
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, fh, fv, _) in enumerate(comps):
+                    for byy in range(fv):
+                        for bxx in range(fh):
+                            dc = int(coeffs[ci][my * fv + byy,
+                                                mx * fh + bxx][0]) >> al
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            s = int(abs(diff)).bit_length()
+                            c, ln = dc_code[s]
+                            wtr.put(c, ln)
+                            if s:
+                                wtr.put(diff if diff >= 0
+                                        else diff + (1 << s) - 1, s)
+        wtr.align()
+        return bytes(wtr.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _JpegBitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, fh, fv, _) in enumerate(comps):
+                    for byy in range(fv):
+                        for bxx in range(fh):
+                            dc = int(coeffs[ci][my * fv + byy,
+                                                mx * fh + bxx][0])
+                            wtr.put((dc >> al) & 1, 1)
+        wtr.align()
+        return bytes(wtr.out)
+
+    def _comp_blocks(ci):
+        fh, fv = comps[ci][1], comps[ci][2]
+        cw = -(-(w * fh) // hmax)
+        chh = -(-(h * fv) // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                yield coeffs[ci][by, bx]
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _JpegBitWriter()
+        eobrun = [0]
+
+        def flush_eob():
+            if eobrun[0]:
+                nbits = eobrun[0].bit_length() - 1
+                c, ln = ac_code[nbits << 4]
+                wtr.put(c, ln)
+                if nbits:
+                    wtr.put(eobrun[0] & ((1 << nbits) - 1), nbits)
+                eobrun[0] = 0
+
+        for zz in _comp_blocks(ci):
+            ts = [(1 if zz[k] > 0 else -1) * (int(abs(zz[k])) >> al)
+                  for k in range(ss, se + 1)]
+            if not any(ts):
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for t in ts:
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    c, ln = ac_code[0xF0]
+                    wtr.put(c, ln)
+                    r -= 16
+                s = int(abs(t)).bit_length()
+                c, ln = ac_code[(r << 4) | s]
+                wtr.put(c, ln)
+                wtr.put(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+            if r:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wtr.align()
+        return bytes(wtr.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 encoder: newly-significant coefficients (|c|>>al
+        # == 1) emit run/1 symbols with a sign bit; already-significant
+        # ones buffer correction bits.  Two buffered pools, matching
+        # the decoder's read order: ``be`` (bits owed by blocks folded
+        # into the pending EOB run — read right after the EOB-run
+        # symbol) and ``br`` (bits from THIS block since its last
+        # symbol — read while the decoder advances past the current
+        # symbol's run, so they are emitted after that symbol)
+        wtr = _JpegBitWriter()
+        eobrun = [0]
+        be: list = []
+        br: list = []
+
+        def flush_eob():
+            if eobrun[0]:
+                nbits = eobrun[0].bit_length() - 1
+                c, ln = ac_code[nbits << 4]
+                wtr.put(c, ln)
+                if nbits:
+                    wtr.put(eobrun[0] & ((1 << nbits) - 1), nbits)
+                eobrun[0] = 0
+                for b in be:
+                    wtr.put(b, 1)
+                be.clear()
+
+        def emit_br():
+            for b in br:
+                wtr.put(b, 1)
+            br.clear()
+
+        for zz in _comp_blocks(ci):
+            absv = [int(abs(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = 0                      # index AFTER last newly-signif
+            for idx, t in enumerate(absv):
+                if t == 1:
+                    eob = idx + 1
+            r = 0
+            for idx, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx < eob:
+                    flush_eob()
+                    c, ln = ac_code[0xF0]
+                    wtr.put(c, ln)
+                    r -= 16
+                    emit_br()
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                c, ln = ac_code[(r << 4) | 1]
+                wtr.put(c, ln)
+                wtr.put(1 if zz[ss + idx] > 0 else 0, 1)
+                emit_br()
+                r = 0
+            if r or br:
+                eobrun[0] += 1
+                be.extend(br)            # leftover bits join the run
+                br.clear()
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wtr.align()
+        return bytes(wtr.out)
+
+    cids = [c[0] for c in comps]
+    if successive:
+        out += sos_header(cids, 0, 0, 0, 1) + dc_first_scan(1)
+        out += sos_header(cids, 0, 0, 1, 0) + dc_refine_scan(0)
+        for ci, cid in enumerate(cids):
+            out += sos_header([cid], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
+            out += sos_header([cid], 1, 63, 1, 0) \
+                + ac_refine_scan(ci, 1, 63, 0)
+    else:
+        out += sos_header(cids, 0, 0, 0, 0) + dc_first_scan(0)
+        for ci, cid in enumerate(cids):
+            out += sos_header([cid], 1, 63, 0, 0) + ac_first_scan(ci, 1, 63, 0)
+    out += b"\xff\xd9"
     return bytes(out)
 
 

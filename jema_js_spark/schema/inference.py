@@ -52,17 +52,20 @@ __all__ = ["propose_contract", "propose_json_contract"]
 _RSD = 0.02
 
 
-def _bound_down(v) -> float:
-    """Largest double ≤ ``v`` (a Decimal/int/float observed minimum).
+def _bound_down(v):
+    """Largest double ≤ ``v`` (a Decimal/int/float observed minimum),
+    or ``None`` when no finite double satisfies the ≤ contract.
 
     ``float()`` rounds to NEAREST, so a value not representable in a
     double (decimal128, or an int beyond 2^53) can round UP — emitting
     a ``minimum`` above the actual observed value and breaking the
     module's closed-over-observed-data guarantee (ADVICE r4; the int
     case hardened after a round-5 review).  Nudge one ULP down
-    whenever rounding went up.  (Today's propose_contract emits
-    integer-column bounds as exact ints and never routes them here —
-    this guards the function's own contract for any future caller.)"""
+    whenever rounding went up.  An int below −(double max) has NO
+    finite double ≤ it — and −Infinity is not serializable JSON
+    (json.dumps would emit a non-standard token the kernel contract
+    path can't round-trip; ADVICE r5) — so the bound is omitted
+    (``None``), meaning "unconstrained on this side"."""
     import math
     from decimal import Decimal
 
@@ -72,10 +75,11 @@ def _bound_down(v) -> float:
         f = float(v)
     except OverflowError:                    # |int| beyond double range
         # largest double still ≤ v: the finite max for positive
-        # overflow, −inf for negative (no finite double is small enough)
-        return sys.float_info.max if v > 0 else -math.inf
+        # overflow; for negative, no finite double is small enough —
+        # omit the bound entirely
+        return sys.float_info.max if v > 0 else None
     if not math.isfinite(f):
-        return f
+        return None                          # ±inf/NaN column extrema
     if isinstance(v, Decimal):
         rounded_up = Decimal(f) > v
     elif isinstance(v, int) and not isinstance(v, bool):
@@ -85,9 +89,10 @@ def _bound_down(v) -> float:
     return math.nextafter(f, -math.inf) if rounded_up else f
 
 
-def _bound_up(v) -> float:
+def _bound_up(v):
     """Smallest double ≥ ``v`` — mirror of :func:`_bound_down` for the
-    observed maximum (nearest-rounding can round DOWN)."""
+    observed maximum (nearest-rounding can round DOWN); ``None`` when
+    no finite double is ≥ ``v``."""
     import math
     from decimal import Decimal
 
@@ -96,10 +101,10 @@ def _bound_up(v) -> float:
     try:
         f = float(v)
     except OverflowError:
-        # smallest double still ≥ v: mirror of the _bound_down cases
-        return -sys.float_info.max if v < 0 else math.inf
+        # mirror of the _bound_down cases
+        return -sys.float_info.max if v < 0 else None
     if not math.isfinite(f):
-        return f
+        return None                          # ±inf/NaN column extrema
     if isinstance(v, Decimal):
         rounded_down = Decimal(f) < v
     elif isinstance(v, int) and not isinstance(v, bool):
@@ -134,8 +139,12 @@ def _mine_container(df: DataFrame, c: str, dtype,
     from jema_js_spark.compiler.compile import _TExpr
     from jema_js_spark.validation.kernel_udf import _restore_nonfinite
 
-    rows = (df.select(F.to_json(F.col(c)).alias("doc"))
-            .filter(F.col(c).isNotNull())
+    # filter BEFORE the projection: filtering on F.col(c) after
+    # selecting only the to_json alias worked solely via Catalyst's
+    # missing-attribute resolution through Project — a fragile analyzer
+    # behavior for no benefit (ADVICE r5)
+    rows = (df.filter(F.col(c).isNotNull())
+            .select(F.to_json(F.col(c)).alias("doc"))
             .orderBy(F.xxhash64(F.col("doc")))
             .limit(sample_rows).collect())
     fpaths = [tuple(p) for p in _TExpr(F.col(c), dtype).float_paths()]
@@ -240,8 +249,12 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
         elif isinstance(dtype, T.NumericType):
             sub = {"type": "number"}
             if stats.get(f"{c}_min") is not None:
-                sub["minimum"] = _bound_down(stats[f"{c}_min"])
-                sub["maximum"] = _bound_up(stats[f"{c}_max"])
+                lo = _bound_down(stats[f"{c}_min"])
+                hi = _bound_up(stats[f"{c}_max"])
+                if lo is not None:
+                    sub["minimum"] = lo
+                if hi is not None:
+                    sub["maximum"] = hi
             props[c] = sub
         elif isinstance(dtype, T.TimestampType):
             props[c] = {"type": "string", "format": "date-time"}

@@ -8,25 +8,53 @@ for the overwhelmingly common well-shaped rows.
 
 This module routes each row at runtime, entirely JVM-side:
 
-1. ``try_parse_json`` + per-field ``schema_of_variant`` tags decide
-   whether the document's observed shape is exactly representable in
-   the typed relational bridge (SQL NULL ⇔ absent key — see
-   compiler/compile.py).  The tags are authoritative: typed
-   ``variant_get`` extraction COERCES (a JSON string "5" extracts as
-   long 5), so the gate must read the tag, never rely on extraction
-   failure.
-2. Routable rows are parsed into a typed struct and validated by the
-   columnar compiler (``SchemaCompiler.compile_plan_for_column``) —
-   whole-stage-codegen, zero Python.
-3. Every other row (malformed JSON, duplicate keys — ``try_parse_json``
+1. A **round-trip shortcut** (round 6): the document is parsed once by
+   ``from_json`` into the contract's typed struct, and
+   ``to_json(struct) == doc`` proves the document IS the canonical
+   rendering of that struct — exact key set, exact types, no JSON
+   nulls at property level, no formatting the typed plane would lose.
+   Anything the struct cannot hold drops out of the re-rendering
+   (wrong-typed fields parse to NULL and are omitted; non-objects
+   render as ``{}``; duplicate keys collapse; extra keys vanish), so
+   any such document fails the equality and falls through — the
+   shortcut is fail-closed by construction.  Only residual hazard:
+   integer slots hold exact int64 beyond ±2^53 where the kernel's JS
+   float semantics diverge — a magnitude guard on the struct covers it.
+2. Shortcut misses are re-judged by the **variant gates**:
+   ``try_parse_json`` + per-field ``schema_of_variant`` tags decide
+   whether the observed shape is exactly representable in the typed
+   relational bridge (SQL NULL ⇔ absent key — see compiler/compile.py).
+   The tags are authoritative: typed ``variant_get`` extraction COERCES
+   (a JSON string "5" extracts as long 5), so the gate must read the
+   tag, never rely on extraction failure.  The variant parse is masked
+   behind the shortcut (``F.when`` — CaseWhen branches evaluate lazily
+   per row), so canonical documents never pay it.
+3. Routable rows are validated by the columnar compiler
+   (``SchemaCompiler.compile_plan_for_column``) over the ``from_json``
+   struct — whole-stage-codegen, zero Python compute.
+4. Every other row (malformed JSON, duplicate keys — ``try_parse_json``
    nulls both — non-objects, extra keys, JSON-null-valued fields,
    wrong-typed fields, numeric-exactness hazards) takes the kernel UDF,
-   which is always right.  The two subsets are computed as two filters
-   over the source and unioned, so the Python stage runs ONLY on the
-   (at crawl scale, tiny) non-conforming subset — a ``F.when`` over a
-   pandas UDF would still evaluate the UDF for every row, because
-   Spark projects pandas UDFs in a separate ArrowEvalPython node
-   before the branch.
+   which is always right.  Two plan shapes deliver this split:
+
+   - ``union`` (default): two filters over the source, fast ∪ slow,
+     with the slow subset **rebalanced** (AQE shuffle) before its
+     Python stage — the residue shuffle moves only non-conforming rows
+     (tiny on a healthy corpus) and collapses near-empty partitions so
+     the per-task Python worker handshake isn't paid by partitions
+     that routed everything columnar.  Python touches ONLY residue
+     rows.  Measured round 6: 1.16 s vs the kernel's 2.8-3.9 s on the
+     representative 1M-doc workload (2.4-2.9×).
+   - ``masked`` (opt-in): ONE pass over the source; the kernel UDF is
+     projected for every row (an ArrowEvalPython node cannot be
+     skipped per-row) but its input is masked to SQL NULL for routed
+     rows, and the UDF's null fast path (kernel_udf.py) vector-fills
+     those in one validate call per batch.  Slower here (1.97 s: the
+     all-rows Arrow projection floor is ~0.9 s at 1M×96 tasks even
+     for null input) but reads the source ONCE — the right shape when
+     the scan itself is the bottleneck (uncached 100-TB source where
+     the union's second scan doubles IO) and for single-pass
+     streaming.
 
 Routing gates that protect exact kernel parity (each has a
 differential test in tests/test_json_plane.py):
@@ -305,31 +333,33 @@ def _field_gate(v: Column, doc: Column, name: str,
     return tag.isNull() | F.coalesce(ok, F.lit(False))
 
 
-def _extraction(v: Column, name: str, decl: str,
-                elem: Optional[str]) -> Column:
-    path = f"$.{name}"
-    if decl == "array":
-        return F.try_variant_get(v, path, f"array<{_SCALAR_SQL[elem]}>")
-    return F.try_variant_get(v, path, _SCALAR_SQL[decl])
-
-
 def with_valid_json(df: DataFrame, json_col: str, schema: Any,
                     col_name: str = "valid",
                     format_assertion: bool = False,
                     remotes: Optional[dict] = None,
-                    route_col: Optional[str] = None) -> DataFrame:
+                    route_col: Optional[str] = None,
+                    plan_shape: str = "auto") -> DataFrame:
     """``validate()`` over a JSON string column: adds a boolean column,
     computed JVM-side for every row whose document fits the contract's
     typed shape, by the row kernel for the rest.  ``route_col`` (when
     set) additionally records which plane judged each row — the
     observability knob for route-rate monitoring at scale.
 
+    ``plan_shape``: ``"union"`` (the ``"auto"`` default) = fast ∪ slow
+    filters with the residue rebalanced before its Python stage —
+    fastest measured, Python touches only residue rows; ``"masked"`` =
+    one pass, kernel UDF input masked to NULL on routed rows — reads
+    the source once (half the scan IO on an uncached source) at the
+    cost of an all-rows Arrow projection, and never used automatically
+    when the compiled plan carries Plane-B checks (they would run per
+    row).
+
     Verdict-equivalent to ``kernel_validate_udf(schema)(json_col)`` on
-    every row (differentially pinned); the union does re-scan the
-    source once per plane, which at crawl scale is the right trade —
-    scans are columnar and cheap, Python rows are not."""
+    every row (differentially pinned in tests/test_json_plane.py)."""
     from jema_js_spark.validation.kernel_udf import kernel_validate_udf
 
+    if plan_shape not in ("auto", "masked", "union"):
+        raise ValueError(f"unknown plan_shape {plan_shape!r}")
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     plan = analyze_json_contract(schema)
@@ -344,29 +374,65 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
             out = out.withColumn(route_col, F.lit("kernel"))
         return out
 
-    reserved = {"__jv", "__jv_parsed"} & set(df.columns)
+    reserved = {"__jp", "__jsc", "__jv"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"with_valid_json reserves working columns {sorted(reserved)}; "
             "rename or drop them on the input")
 
     doc = F.col(json_col)
-    # Generate-node barrier (explode of a 1-element array): Catalyst
+    struct_type = plan.struct_type()
+
+    # Generate-node barriers (explode of a 1-element array): Catalyst
     # re-inlines a derived column's defining expression into EVERY
     # downstream reference (the documented ~100× minhash hazard,
-    # CLAUDE.md), and the variant parse + key list are referenced by
-    # every gate.  A generated attribute is a real attribute — parsed
-    # once per row, referenced for free.  Measured: the naive
-    # withColumn form re-parsed per reference and ran SLOWER than the
-    # kernel it was meant to beat.
-    staged = df.select(
-        "*",
-        F.explode(F.array(F.struct(
-            F.try_parse_json(doc).alias("v"),
-            F.json_object_keys(doc).alias("keys"),
-        ))).alias("__jv"))
-    v = F.col("__jv.v")
-    keys = F.col("__jv.keys")
+    # CLAUDE.md).  Each multiply-referenced stage becomes a generated
+    # attribute: parsed once per row, referenced for free.  (Round-6
+    # measurement: inlining the parse into a single barrier's struct is
+    # NOT saved by subexpression elimination — 2.27 s vs 1.24 s at 1M
+    # docs — so the stages stay separate.)
+    #
+    # Stage 1: the typed struct, parsed directly from the string.  This
+    # is the ONLY JSON parse canonical documents pay.
+    b1 = df.select("*", F.explode(F.array(
+        F.from_json(doc, struct_type))).alias("__jp"))
+    p = F.col("__jp")
+
+    # Stage 2: the round-trip shortcut.  ``to_json(p) == doc`` proves
+    # the document is exactly the canonical rendering of the struct:
+    # wrong types parse to NULL and are OMITTED from the re-rendering,
+    # non-objects render as "{}", duplicate keys collapse, extra keys
+    # vanish, JSON-null properties are omitted (absent ⇔ SQL NULL under
+    # the bridge — a present null must NOT match, and doesn't), and any
+    # number the double slot can't render back verbatim (int tokens,
+    # 17+ significant digits, exponent-form mismatches) fails the
+    # equality.  All hazards fall through to the variant gates =
+    # fail-closed.  One residue the equality cannot see: an integer
+    # slot holding an exact int64 in (2^53, 2^63) round-trips, but the
+    # kernel applies JS float semantics there — the magnitude guard
+    # routes those to the kernel.  (Null array ELEMENTS round-trip and
+    # stay columnar: the bridge reads them as JSON null, parity pinned
+    # in tests.)
+    guards = [F.to_json(p) == doc]
+    for n, (decl, elem) in plan.fields.items():
+        if decl == "integer":
+            guards.append(p[n].isNull() | _exact_long_range(p[n]))
+        elif decl == "array" and elem == "integer":
+            guards.append(p[n].isNull() | F.forall(
+                p[n], lambda x: x.isNull() | _exact_long_range(x)))
+    b2 = b1.select("*", F.explode(F.array(F.coalesce(
+        functools.reduce(lambda a, b: a & b, guards),
+        F.lit(False)))).alias("__jsc"))
+    sc = F.col("__jsc")
+
+    # Stage 3: the variant, parsed ONLY for shortcut misses (CaseWhen
+    # branches evaluate lazily per row) — canonical documents never pay
+    # a second parse.
+    b3 = b2.select("*", F.explode(F.array(
+        F.when(~sc, F.try_parse_json(doc)))).alias("__jv"))
+    v = F.col("__jv")
+
+    keys = F.map_keys(F.try_variant_get(v, "$", "map<string, variant>"))
     known = F.array(*[F.lit(n) for n in plan.fields])
     gates = [
         v.isNotNull(),                       # parses; no duplicate keys
@@ -376,61 +442,42 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
     gates += [_field_gate(v, doc, n, decl, elem)
               for n, (decl, elem) in plan.fields.items()]
     full_gates = functools.reduce(lambda a, b: a & b, gates)
-
-    # common-shape shortcut: ONE root schema_of_variant equality
-    # replaces the whole per-field gate chain for the dominant
-    # "every field present, canonically typed" document (variant object
-    # keys render in sorted byte order, so the string is unique per
-    # shape).  Numeric magnitude guards still apply — the tag alone
-    # can't see a >2^53 long.  `number` fields have no single canonical
-    # tag (BIGINT/DOUBLE/DECIMAL all conform), so contracts with one
-    # skip the shortcut and keep the full gates.
-    shortcut = None
-    if all(decl != "number" and elem != "number"
-           for decl, elem in plan.fields.values()):
-        expected = "OBJECT<" + ", ".join(
-            f"{n}: " + ("ARRAY<" + {"integer": "BIGINT",
-                                     "string": "STRING",
-                                     "boolean": "BOOLEAN"}[e] + ">"
-                        if d == "array" else
-                        {"integer": "BIGINT", "string": "STRING",
-                         "boolean": "BOOLEAN"}[d])
-            for n, (d, e) in sorted(plan.fields.items())) + ">"
-        guards = [F.schema_of_variant(v) == F.lit(expected)]
-        for n, (d, e) in plan.fields.items():
-            if d == "integer":
-                guards.append(_exact_long_range(
-                    F.try_variant_get(v, f"$.{n}", "bigint")))
-            elif d == "array" and e == "integer":
-                guards.append(F.forall(
-                    F.try_variant_get(v, f"$.{n}", "array<bigint>"),
-                    lambda x: x.isNull() | _exact_long_range(x)))
-        shortcut = functools.reduce(lambda a, b: a & b, guards)
-
-    if shortcut is not None:
-        route = F.when(F.coalesce(shortcut, F.lit(False)), F.lit(True)) \
-            .otherwise(F.coalesce(full_gates, F.lit(False)))
-    else:
-        route = F.coalesce(full_gates, F.lit(False))
-
-    struct_type = plan.struct_type()
-    parsed = F.struct(*[
-        _extraction(v, n, decl, elem).alias(n)
-        for n, (decl, elem) in plan.fields.items()]).cast(struct_type)
+    # shortcut hits skip the gate chain entirely; on misses every input
+    # (sc, v) is a generated attribute, so re-evaluating `route` per
+    # consumer costs only the gate expressions themselves
+    route = F.when(sc, F.lit(True)) \
+        .otherwise(F.coalesce(full_gates, F.lit(False)))
 
     compiled: CompiledPlan = SchemaCompiler(
         schema, format_assertion=format_assertion) \
-        .compile_plan_for_column(F.col("__jv_parsed"), struct_type)
+        .compile_plan_for_column(p, struct_type)
 
-    # the parsed struct gets its own barrier: the compiled plan
-    # references it once per check
-    fast = (staged.filter(route)
-            .select("*", F.explode(F.array(parsed)).alias("__jv_parsed"))
+    shape = "union" if plan_shape == "auto" else plan_shape
+
+    work = ["__jp", "__jsc", "__jv"]
+    if shape == "masked":
+        out = b3.withColumn(col_name, F.when(
+            route, compiled.valid_column()).otherwise(
+            F.coalesce(kernel_pred(F.when(~route, doc)), F.lit(False))))
+        if route_col:
+            out = out.withColumn(route_col, F.when(
+                route, F.lit("columnar")).otherwise(F.lit("kernel")))
+        return out.drop(*work)
+
+    fast = (b3.filter(route)
             .withColumn(col_name, compiled.valid_column())
-            .drop("__jv", "__jv_parsed"))
-    slow = (staged.filter(~route)
-            .withColumn(col_name, F.coalesce(kernel_pred(doc), F.lit(False)))
-            .drop("__jv"))
+            .drop(*work))
+    # residue rebalance (round 6): shuffles ONLY non-conforming rows
+    # (working columns dropped first — the struct/variant never ship),
+    # so near-empty residue partitions coalesce under AQE and the
+    # Python worker handshake isn't paid 96× for nothing.  Measured:
+    # 2.05 s → 1.16 s at 1M all-conforming docs.  Streaming plans skip
+    # the hint (AQE does not apply to microbatches).
+    slow = b3.filter(~route).drop(*work)
+    if not slow.isStreaming:
+        slow = slow.hint("rebalance")
+    slow = slow.withColumn(
+        col_name, F.coalesce(kernel_pred(doc), F.lit(False)))
     if route_col:
         fast = fast.withColumn(route_col, F.lit("columnar"))
         slow = slow.withColumn(route_col, F.lit("kernel"))

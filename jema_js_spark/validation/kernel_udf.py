@@ -109,7 +109,21 @@ def kernel_validate_udf(schema: Any, remotes: Optional[dict] = None,
             except Exception:
                 return False
 
-        return s.map(one).astype("boolean")
+        # Null fast path (round 6): the JSON columnar route masks
+        # already-judged rows to SQL NULL before this UDF (a pandas UDF
+        # in a CaseWhen branch is still projected for EVERY row by
+        # ArrowEvalPython), so a mostly-routed batch is mostly nulls.
+        # All nulls share one deterministic verdict — validate(JSON
+        # null) — so compute it once and vector-fill instead of walking
+        # the kernel per row.  Semantics unchanged: SQL NULL still
+        # validates as JSON null (schema.js:678).
+        notna = s.notna()
+        if notna.all():
+            return s.map(one).astype("boolean")
+        out = pd.Series(one(None), index=s.index, dtype="boolean")
+        if notna.any():
+            out[notna] = s[notna].map(one).astype("boolean")
+        return out
 
     return _validate
 

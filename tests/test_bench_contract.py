@@ -44,6 +44,33 @@ def test_representative_stream_matches_control_docs(spark):
         assert json.loads(r["doc"]) == representative_doc(i), i
 
 
+def test_mixed_stream_route_rate_pinned(spark):
+    """The bench's json_route_rate metric must stay at the stream's
+    designed columnar share — a routing-gate regression (always-kernel)
+    keeps verdicts right but collapses throughput invisibly (VERDICT r5
+    task #3).  Slot 7 (whitespace variant) specifically pins the
+    variant-gate tier: it must route columnar WITHOUT the round-trip
+    shortcut."""
+    from jema_js_spark.bench_contracts import (MIXED_COLUMNAR_RATE,
+                                               mixed_json_docs)
+    from jema_js_spark.validation.json_plane import with_valid_json
+
+    n = 500
+    docs = mixed_json_docs(spark, n, num_partitions=4)
+    out = with_valid_json(docs, "doc", REPRESENTATIVE_KERNEL_CONTRACT,
+                          route_col="route")
+    counts = {r["route"]: r["count"]
+              for r in out.groupBy("route").count().collect()}
+    rate = counts.get("columnar", 0) / n
+    assert rate == MIXED_COLUMNAR_RATE, counts
+    # and the verdicts stay kernel-exact on the mixed stream
+    from jema_js_spark.validation.kernel_udf import kernel_validate_udf
+    udf = kernel_validate_udf(REPRESENTATIVE_KERNEL_CONTRACT)
+    merged = {r["doc"]: r["valid"] for r in out.collect()}
+    for r in docs.select("doc", udf(F.col("doc")).alias("kv")).collect():
+        assert merged[r["doc"]] == (r["kv"] is True), r["doc"]
+
+
 def test_kernel_udf_agrees_with_driver_validator(spark):
     from jema_js_spark.kernel.kernel import Validator
     from jema_js_spark.schema.frontend import Schema

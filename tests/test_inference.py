@@ -254,9 +254,16 @@ def test_bound_nudging_overflow_ints(spark):
     from jema_js_spark.schema.inference import _bound_down, _bound_up
 
     assert _bound_down(10 ** 400) == sys.float_info.max      # ≤ v, finite
-    assert _bound_down(-(10 ** 400)) == -math.inf
-    assert _bound_up(10 ** 400) == math.inf
+    # no finite double is ≤ -(10**400) / ≥ 10**400, and ±Infinity is
+    # not serializable JSON (ADVICE r5) — the bound is omitted
+    assert _bound_down(-(10 ** 400)) is None
+    assert _bound_up(10 ** 400) is None
     assert _bound_up(-(10 ** 400)) == -sys.float_info.max    # ≥ v, finite
+    # non-finite column extrema also omit rather than emit Infinity/NaN
+    assert _bound_down(-math.inf) is None
+    assert _bound_up(math.inf) is None
+    assert _bound_down(float("nan")) is None
+    assert _bound_up(float("nan")) is None
     # big-but-representable ints still nudge outward correctly
     v = (1 << 53) + 3
     assert _bound_down(v) <= v and _bound_up(v) >= v

@@ -137,19 +137,69 @@ def _kernel_verdicts(contract, docs):
     return out
 
 
+@pytest.mark.parametrize("shape", ["union", "masked"])
 @pytest.mark.parametrize("contract,docs", [
     (CONTRACT, HOSTILE_DOCS),
     (NUM_CONTRACT, NUM_DOCS),
 ])
-def test_route_matches_kernel_on_hostile_docs(spark, contract, docs):
+def test_route_matches_kernel_on_hostile_docs(spark, contract, docs, shape):
     df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
                                "i long, doc string")
-    out = with_valid_json(df, "doc", contract, route_col="route").collect()
+    out = with_valid_json(df, "doc", contract, route_col="route",
+                          plan_shape=shape).collect()
     expected = _kernel_verdicts(contract, docs)
     bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
            for r in out if r["valid"] != expected[r["doc"]]]
     assert not bad, bad
-    assert len(out) == len(docs)          # union loses no rows
+    assert len(out) == len(docs)          # neither shape loses rows
+
+
+ROUNDTRIP_HAZARDS = [
+    # docs aimed specifically at the round-6 to_json(from_json) == doc
+    # shortcut: every way the canonical re-rendering could collide
+    '{"k": 9007199254740993, "name": "user5", "xs": [1,2,3]}',  # 2^53+1
+    '{"k":9007199254740992,"name":"user5","xs":[]}',    # exactly 2^53
+    '{"k":-9007199254740993,"name":"user5","xs":[]}',   # -(2^53+1)
+    '{"k":9223372036854775807,"name":"user5","xs":[]}',  # int64 max
+    '{"k":5,"name":"user5","xs":[9007199254740993]}',   # big elem
+    '{"k":5,"name":"user5","xs":[1,null,3]}',           # null elem
+    '{"k":5,"name":"user5","xs":[null]}',
+    '{"xs":[1,null]}',                                  # partial + null
+    '{}',                                               # all absent
+    '{"name":"user5"}',
+    '{"k":1,"name":"user5","xs":[1,2,3]}',              # canonical hit
+    '{"name":"user5","k":1,"xs":[1,2,3]}',              # key order swap
+    '{ "k": 1, "name": "user5", "xs": [1,2,3] }',       # whitespace
+    '{"k":1,"k":2,"name":"user5","xs":[]}',             # dup keys
+    '{"k":null,"name":"user5","xs":[]}',                # present null
+    '{"K":1,"name":"user5","xs":[]}',                   # case collision
+    '{"k":1.0,"name":"user5","xs":[]}',                 # float-for-int
+    '{"k":1e2,"name":"user5","xs":[]}',
+    '{"k":1,"name":"us\\u00e9r5","xs":[]}',             # escape form
+    '{"k":1,"name":"usér5","xs":[]}',                   # raw form
+    '{"k":1,"name":"user5","xs":[],"z":1}',             # extra key
+    '"{}"', '[]', '5', 'null', 'true', '',
+]
+
+
+@pytest.mark.parametrize("shape", ["union", "masked"])
+def test_roundtrip_shortcut_hazards(spark, shape):
+    df = spark.createDataFrame([(d,) for d in ROUNDTRIP_HAZARDS],
+                               "doc string")
+    out = with_valid_json(df, "doc", CONTRACT, route_col="route",
+                          plan_shape=shape).collect()
+    expected = _kernel_verdicts(CONTRACT, ROUNDTRIP_HAZARDS)
+    bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, bad
+    routes = {r["doc"]: r["route"] for r in out}
+    # the JS-float hazards MUST have taken the kernel plane
+    for d in ('{"k": 9007199254740993, "name": "user5", "xs": [1,2,3]}',
+              '{"k":9223372036854775807,"name":"user5","xs":[]}',
+              '{"k":5,"name":"user5","xs":[9007199254740993]}'):
+        assert routes[d] == "kernel", d
+    # the canonical doc took the columnar plane via the shortcut
+    assert routes['{"k":1,"name":"user5","xs":[1,2,3]}'] == "columnar"
 
 
 def test_clean_docs_route_columnar(spark):

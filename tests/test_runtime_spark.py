@@ -309,11 +309,17 @@ def test_jpeg_lossy_roundtrip_and_guards():
         _decode_jpeg(payload[:40])                # truncated pre-SOS
     with _pytest.raises(ValueError):
         _decode_jpeg(payload[:len(payload) // 2])  # truncated entropy
-    with _pytest.raises(NotImplementedError):     # progressive SOF2
-        _decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b"
+    with _pytest.raises(NotImplementedError):     # arithmetic SOF9
+        _decode_jpeg(b"\xff\xd8\xff\xc9\x00\x0b"
                      b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
     with _pytest.raises(ValueError):
         _decode_jpeg(b"\xff\xd8\x00\x00")         # marker desync
+    # truncated table segments (ADVICE r5): the documented structural
+    # ValueError, not a numpy shape error deep in the decode loop
+    with _pytest.raises(ValueError, match="truncated JPEG DQT"):
+        _decode_jpeg(b"\xff\xd8\xff\xdb\x00\x04\x00\x11")
+    with _pytest.raises(ValueError, match="truncated JPEG DHT"):
+        _decode_jpeg(b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02")
 
 
 def test_gif_decode_edge_paths(spark):
@@ -746,10 +752,12 @@ def test_custom_audio_decoder_accepts_1d_mono(spark):
         _DECODERS.pop("audio", None)
 
 
-def test_multiscan_jpeg_is_loud():
-    # round-5 review find: a 3-component SOF with a 1-component SOS
-    # (sequential non-interleaved scans) must not silently decode as
-    # grayscale
+def test_jpeg_uncovered_components_are_loud():
+    # round-5 review find, generalized in round 6: a 3-component SOF
+    # whose scans only ever cover component 1 must not silently decode
+    # the other two as flat mid-gray planes (multi-scan sequential
+    # baseline itself is now SUPPORTED — see
+    # test_progressive_jpeg_matches_baseline)
     import struct
 
     import pytest as _pytest
@@ -766,5 +774,60 @@ def test_multiscan_jpeg_is_loud():
     new_sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" \
         + b"\x00\x3f\x00"
     payload[i:i + 2 + old_len] = new_sos
-    with _pytest.raises(NotImplementedError, match="multi-scan"):
+    with _pytest.raises(ValueError, match="never cover"):
         _decode_jpeg(bytes(payload))
+
+
+def test_progressive_jpeg_matches_baseline():
+    """The progressive (SOF2) decode path must deliver EXACTLY the
+    coefficients the baseline encoding of the same pixels carries —
+    pixel-for-pixel equality between decoding jpeg_progressive_bytes
+    and jpeg_bytes output, across grayscale/RGB/YCbCr, 4:4:4 and
+    4:2:0, spectral-selection-only and full successive approximation
+    (all four progressive block decoders + EOB runs + correction
+    bits)."""
+    import numpy as np
+
+    from jema_js_spark.operators.multimodal import (
+        _decode_jpeg, jpeg_bytes, jpeg_progressive_bytes)
+
+    rng = np.random.default_rng(606)
+    xs = np.linspace(0, 255, 37)
+    grad = np.tile(xs, (19, 1)).astype(np.uint8)[..., None]
+    noisy = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    solid = np.full((16, 16, 3), [88, 120, 160], dtype=np.uint8)
+    cases = [
+        (grad, {}),                          # grayscale gradient
+        (noisy, {}),                         # RGB noise (dense AC)
+        (noisy, {"subsampling": "420"}),     # chroma subsampling
+        (solid, {"ycbcr": True}),            # solid: EOB-run-only ACs
+        (np.full((40, 40, 1), 50, np.uint8), {}),   # many all-zero
+    ]
+    for arr, kw in cases:
+        want = _decode_jpeg(jpeg_bytes(arr, **kw))
+        for successive in (False, True):
+            got = _decode_jpeg(jpeg_progressive_bytes(
+                arr, successive=successive, **kw))
+            assert got.shape == want.shape, (kw, successive)
+            assert (got == want).all(), (
+                kw, successive,
+                int(np.abs(got.astype(int) - want.astype(int)).max()))
+
+
+def test_progressive_jpeg_solid_plants_exact():
+    """Solid even-valued YCbCr plants stay DC-only-exact through the
+    progressive path — the property the media_pixels oracle rows rely
+    on."""
+    import numpy as np
+
+    from jema_js_spark.operators.multimodal import (
+        _decode_jpeg, jpeg_progressive_bytes)
+
+    for y, cb, cr in [(90, 120, 140), (16, 128, 128), (250, 100, 200)]:
+        arr = np.full((12, 20, 3), [y, cb, cr], dtype=np.uint8)
+        got = _decode_jpeg(jpeg_progressive_bytes(arr, ycbcr=True))
+        r = min(max(int(np.floor(y + 1.402 * (cr - 128.0) + 0.5)), 0), 255)
+        g = min(max(int(np.floor(y - 0.344136 * (cb - 128.0)
+                                 - 0.714136 * (cr - 128.0) + 0.5)), 0), 255)
+        b = min(max(int(np.floor(y + 1.772 * (cb - 128.0) + 0.5)), 0), 255)
+        assert (got == np.array([r, g, b])).all(), (y, cb, cr)
