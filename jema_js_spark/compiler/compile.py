@@ -152,6 +152,20 @@ class _TExpr:
             return F.date_format(self.col, "yyyy-MM-dd")
         return self.col
 
+    def is_map(self) -> bool:
+        """Dynamic-keyed object: ``map<string, V>`` (round 6 — object
+        keywords compile to map lambdas instead of falling to the
+        kernel; SURVEY §2.6 names this mapping)."""
+        return (not self.is_row) and isinstance(self.dtype, T.MapType) \
+            and isinstance(self.dtype.keyType, T.StringType)
+
+    def map_value(self, name: str) -> "_TExpr":
+        """One named entry of a map-typed object — NULL when the key is
+        absent OR its value is JSON null, exactly the relational
+        bridge's struct-field semantics."""
+        return _TExpr(F.try_element_at(self.col, F.lit(name)),
+                      self.dtype.valueType)
+
     def field_names(self) -> List[str]:
         if self.is_row:
             return [f.name for f in self.row_fields]
@@ -178,7 +192,15 @@ class _TExpr:
         if self.is_row:
             return F.to_json(F.struct(*[F.col(f.name) for f in self.row_fields]))
         d = self.dtype
-        if isinstance(d, (T.StructType, T.ArrayType, T.MapType)):
+        if isinstance(d, T.MapType):
+            # struct to_json OMITS null fields, but map to_json RENDERS
+            # null values — the kernel would read a present JSON null
+            # where the bridge (and the Plane-A map handlers) read
+            # "absent key".  Drop null-valued entries so both planes
+            # hand the kernel the same document.
+            return F.to_json(F.map_filter(self.col,
+                                          lambda k, v: v.isNotNull()))
+        if isinstance(d, (T.StructType, T.ArrayType)):
             return F.to_json(self.col)
         # scalars: wrap in a 1-element array — lossless JSON literals
         # (get_json_object would strip string quoting and break parsing);
@@ -1039,6 +1061,11 @@ def _h_required(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
     if jt != "object":
         add(kw, sval, F.lit(True))
         return
+    if texpr.is_map():
+        for i, prop in enumerate(sval):
+            pred = texpr.map_value(prop).col.isNotNull()
+            add(kw, prop, is_null | pred, extra_path=(i,))
+        return
     names = set(texpr.field_names())
     for i, prop in enumerate(sval):
         if prop in names:
@@ -1069,9 +1096,30 @@ def _child_gate(texpr: _TExpr, is_null, child: _TExpr) -> Column:
     return gate
 
 
+def _map_key_regex(pattern: str) -> str:
+    """Java-safe regex for a dynamic map key, or ColumnarUnsupported —
+    dynamic keys can't be expanded at compile time, so the match must
+    run JVM-side in the JS dialect's Java-safe subset (search
+    semantics, same as rlike)."""
+    jre = java_regex_or_none(pattern)
+    if jre is None:
+        raise ColumnarUnsupported(
+            f"dynamic-key regex {pattern!r} outside the Java-safe subset")
+    return jre
+
+
 def _h_properties(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
                   spath, dpath, refs):
     if jt != "object":
+        return
+    if texpr.is_map():
+        for prop, sub in sval.items():
+            child = texpr.map_value(prop)
+            sub_checks = c._compile_node(sub, child,
+                                         spath + ("properties", prop),
+                                         dpath + (prop,), refs)
+            checks.extend(_wrap_vacuous(sub_checks,
+                                        _child_gate(texpr, is_null, child)))
         return
     names = set(texpr.field_names())
     for prop, sub in sval.items():
@@ -1087,6 +1135,25 @@ def _h_properties(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
 def _h_pattern_properties(c, kw, sval, node, texpr, jt, is_null, add, descend,
                           checks, spath, dpath, refs):
     if jt != "object":
+        return
+    if texpr.is_map():
+        vt = texpr.dtype.valueType
+        preds = []
+
+        def entry_violates(jre, fn):
+            # real closure: pyspark introspects lambda arity, so extra
+            # default-arg parameters are rejected (CLAUDE.md lambda note)
+            return lambda k, v: (k.rlike(jre) & v.isNotNull()
+                                 & ~F.coalesce(fn(v), F.lit(False)))
+
+        for pattern, sub in sval.items():
+            jre = _map_key_regex(pattern)
+            fn = _elem_pred_fn(c, sub, vt,
+                               spath + ("patternProperties", pattern),
+                               dpath, refs)
+            bad = F.map_filter(texpr.col, entry_violates(jre, fn))
+            preds.append(F.size(bad) == 0)
+        add(kw, sval, is_null | _and_all(preds))
         return
     # static key set: expand regex matches at compile time with the JS
     # dialect (schema.js:255-269)
@@ -1126,6 +1193,33 @@ def _h_additional_properties(c, kw, sval, node, texpr, jt, is_null, add,
                              descend, checks, spath, dpath, refs):
     if jt != "object":
         return
+    if texpr.is_map():
+        prop_names = list((node.get("properties") or {})
+                          if isinstance(node.get("properties"), dict) else [])
+        pats = [_map_key_regex(p)
+                for p in (node.get("patternProperties") or {})
+                if isinstance(node.get("patternProperties"), dict)]
+
+        def unclaimed(k):
+            p = F.lit(True)
+            if prop_names:
+                p = p & ~k.isin(*prop_names)
+            for jre in pats:
+                p = p & ~k.rlike(jre)
+            return p
+
+        if sval is False:
+            bad = F.map_filter(texpr.col,
+                               lambda k, v: unclaimed(k) & v.isNotNull())
+        else:
+            fn = _elem_pred_fn(c, sval, texpr.dtype.valueType,
+                               spath + ("additionalProperties",), dpath, refs)
+            bad = F.map_filter(
+                texpr.col,
+                lambda k, v: unclaimed(k) & v.isNotNull()
+                & ~F.coalesce(fn(v), F.lit(False)))
+        add(kw, sval, is_null | (F.size(bad) == 0))
+        return
     claimed = _matched_keys(node, texpr)
     for prop in texpr.field_names():
         if prop in claimed:
@@ -1150,6 +1244,14 @@ def _h_property_names(c, kw, sval, node, texpr, jt, is_null, add, descend,
                       checks, spath, dpath, refs):
     if jt != "object":
         add(kw, sval, F.lit(True))
+        return
+    if texpr.is_map():
+        fn = _elem_pred_fn(c, sval, T.StringType(),
+                           spath + ("propertyNames",), dpath, refs)
+        bad = F.map_filter(
+            texpr.col,
+            lambda k, v: v.isNotNull() & ~F.coalesce(fn(k), F.lit(False)))
+        add(kw, sval, is_null | (F.size(bad) == 0))
         return
     # static keys: evaluate the subschema against each literal name on
     # the driver with the kernel — free at runtime
@@ -1178,6 +1280,11 @@ def _h_prop_count(op):
         if jt != "object":
             add(kw, sval, F.lit(True))
             return
+        if texpr.is_map():
+            cnt = F.size(F.map_filter(texpr.col,
+                                      lambda k, v: v.isNotNull()))
+            add(kw, sval, is_null | op(cnt, F.lit(sval)))
+            return
         cnt = None
         for p in texpr.field_names():
             term = texpr.field(p).col.isNotNull().cast("int")
@@ -1196,10 +1303,15 @@ def _h_dependent_required(c, kw, sval, node, texpr, jt, is_null, add, descend,
     if jt != "object":
         add(kw, sval, F.lit(True))
         return
-    names = set(texpr.field_names())
+    if texpr.is_map():
+        def present(p):
+            return texpr.map_value(p).col.isNotNull()
+    else:
+        names = set(texpr.field_names())
 
-    def present(p):
-        return texpr.field(p).col.isNotNull() if p in names else F.lit(False)
+        def present(p):
+            return texpr.field(p).col.isNotNull() if p in names \
+                else F.lit(False)
 
     preds = []
     for prop, reqs in sval.items():
@@ -1217,10 +1329,16 @@ def _h_dependent_schemas(c, kw, sval, node, texpr, jt, is_null, add, descend,
     if jt != "object":
         add(kw, sval, F.lit(True))
         return
-    names = set(texpr.field_names())
+    if texpr.is_map():
+        names = None
+    else:
+        names = set(texpr.field_names())
     for prop, sub in sval.items():
-        trigger = (texpr.field(prop).col.isNotNull()
-                   if prop in names else F.lit(False))
+        if names is None:
+            trigger = texpr.map_value(prop).col.isNotNull()
+        else:
+            trigger = (texpr.field(prop).col.isNotNull()
+                       if prop in names else F.lit(False))
         sub_pred = descend(sub, texpr)
         pred = ~trigger | sub_pred
         if not texpr.is_row:

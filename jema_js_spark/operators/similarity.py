@@ -74,9 +74,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def _partition_smallest(df: DataFrame, n: int, key: str) -> DataFrame:
+    """Smallest ``n`` rows by ``key`` within EACH partition, no shuffle:
+    sortWithinPartitions, then the within-partition row index carried by
+    ``monotonically_increasing_id`` (id = pid·2^33 + row_index; the
+    nondeterministic id is a Catalyst barrier, so the projection cannot
+    be pushed below the sort)."""
+    rn = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return (df.sortWithinPartitions(key)
+            .withColumn("__rn", rn)
+            .filter(F.col("__rn") < n).drop("__rn"))
+
+
 def fit_centroids(corpus: DataFrame, nlist: int = 16, vec_col: str = "embedding",
                   sample_rows: int = 10000, iters: int = 5,
-                  seed: int = 42) -> List[List[float]]:
+                  seed: int = 42, merge_fanin: int = 64) -> List[List[float]]:
     """Driver-side Lloyd iterations on a bounded sample — the coarse
     quantizer.  Sampling + numpy on ≤``sample_rows`` vectors keeps the
     driver cost constant regardless of corpus size.
@@ -84,13 +96,24 @@ def fit_centroids(corpus: DataFrame, nlist: int = 16, vec_col: str = "embedding"
     The sample is the ``sample_rows`` smallest content hashes — a
     deterministic uniform-ish draw that is independent of partition
     count/order (a bare ``limit`` would take the first partitions: a
-    biased single-shard sample at scale) and executes as per-partition
-    top-n + driver merge, no full shuffle."""
+    biased single-shard sample at scale).  Round 6 (VERDICT r5 #8): a
+    bare TakeOrdered merge would hold num_partitions·sample_rows rows
+    on the driver, so candidates are pre-reduced executor-side — each
+    input partition keeps its smallest ``sample_rows`` hashes
+    (shuffle-free), wide tables fold those through ``merge_fanin``
+    reducer tasks, and the driver merge then sees at most
+    merge_fanin·sample_rows rows whatever the partition count.  The
+    selected set is identical: every tier keeps a superset of the
+    global smallest-n."""
+    hashed = corpus.select(F.col(vec_col).alias("__v")) \
+        .withColumn("__h", F.xxhash64(F.col("__v")))
+    cand = _partition_smallest(hashed, sample_rows, "__h")
+    if corpus.rdd.getNumPartitions() > merge_fanin:
+        cand = _partition_smallest(
+            cand.repartition(merge_fanin), sample_rows, "__h")
     sample = np.array(
-        [row[0] for row in
-         corpus.select(vec_col)
-         .orderBy(F.xxhash64(F.col(vec_col)))
-         .limit(sample_rows).collect()],
+        [row["__v"] for row in
+         cand.orderBy("__h").limit(sample_rows).collect()],
         dtype=np.float64)
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)

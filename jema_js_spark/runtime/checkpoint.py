@@ -24,7 +24,8 @@ from typing import Callable, Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["CheckpointLedger", "run_partitioned"]
+__all__ = ["CheckpointLedger", "run_partitioned",
+           "hive_partition_keys", "iceberg_partition_keys"]
 
 _LEDGER_SCHEMA = ("run_id string, partition_key string, status string, "
                   "metrics_json string, updated_at double")
@@ -57,19 +58,66 @@ class CheckpointLedger:
                 .filter(F.col("run_id") == self.run_id))
 
 
+def hive_partition_keys(spark: SparkSession, path: str,
+                        col: str) -> Callable[[], List[str]]:
+    """Key provider reading a hive-layout table's partition values from
+    the FILESYSTEM LISTING (``<path>/<col>=<value>/`` directories) —
+    metadata-only, no data scan, any Hadoop-compatible filesystem
+    (local, HDFS, s3a).  The cluster-scale analog of reading a
+    catalog's partition metadata for plain partitioned parquet."""
+    def provider() -> List[str]:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        prefix = f"{col}="
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                out.append(name[len(prefix):])
+        return sorted(out)
+    return provider
+
+
+def iceberg_partition_keys(spark: SparkSession, table: str,
+                           field: str) -> Callable[[], List[str]]:
+    """Key provider reading an Iceberg table's ``.partitions`` metadata
+    table — the catalog knows every partition value without touching a
+    data file (SCALE.md: the distinct scan is correct but wasteful at
+    10^6 partitions).  Requires a real Iceberg catalog; in this
+    sandbox it exists for the deploy surface and is exercised against
+    a catalog-less session only for its loud failure."""
+    def provider() -> List[str]:
+        rows = spark.sql(
+            f"SELECT DISTINCT partition.`{field}` AS k "
+            f"FROM {table}.partitions").collect()
+        return sorted(str(r["k"]) for r in rows)
+    return provider
+
+
 def run_partitioned(spark: SparkSession, df: DataFrame, partition_col,
                     ledger: CheckpointLedger,
-                    work: Callable[[DataFrame, str], dict]) -> Dict[str, dict]:
+                    work: Callable[[DataFrame, str], dict],
+                    key_provider: Optional[Callable[[], List[str]]] = None,
+                    ) -> Dict[str, dict]:
     """Run ``work(slice_df, key)`` once per distinct value of
     ``partition_col``, skipping keys the ledger already marks done.
 
     ``work`` returns a metrics dict; it is recorded in the ledger row.
-    Partition keys are enumerated with one small distinct query (at
-    real scale: read Iceberg partition metadata instead of scanning).
-    """
+    ``key_provider`` (round 6, VERDICT r5 #7) supplies the todo list
+    from metadata — :func:`hive_partition_keys` (directory listing) or
+    :func:`iceberg_partition_keys` (catalog partitions table) — so a
+    10^6-partition table doesn't pay a distinct scan just to plan;
+    without one, keys fall back to one small distinct query over the
+    input."""
     pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
-    keys = [str(r["__pk"]) for r in
-            df.select(pcol.cast("string").alias("__pk")).distinct().collect()]
+    if key_provider is not None:
+        keys = [str(k) for k in key_provider()]
+    else:
+        keys = [str(r["__pk"]) for r in
+                df.select(pcol.cast("string").alias("__pk"))
+                .distinct().collect()]
     done = set(ledger.completed_keys())
     results: Dict[str, dict] = {}
     for key in sorted(keys):

@@ -114,6 +114,24 @@ def _bound_up(v):
     return math.nextafter(f, math.inf) if rounded_down else f
 
 
+def _map_value_json_type(vt) -> Optional[dict]:
+    """JSON type node for a map's value slot (scalar or array-of-scalar
+    only — deeper shapes keep the bare object contract)."""
+    if isinstance(vt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return {"type": "integer"}
+    if isinstance(vt, T.NumericType):
+        return {"type": "number"}
+    if isinstance(vt, T.StringType):
+        return {"type": "string"}
+    if isinstance(vt, T.BooleanType):
+        return {"type": "boolean"}
+    if isinstance(vt, T.ArrayType):
+        elem = _map_value_json_type(vt.elementType)
+        if elem is not None and elem["type"] != "array":
+            return {"type": "array", "items": elem}
+    return None
+
+
 def _string_length_bounds(c: str):
     # code points, matching min/maxLength semantics (SURVEY §7.4)
     return (F.min(F.length(F.col(c))).alias(f"{c}_minlen"),
@@ -271,7 +289,15 @@ def propose_contract(df: DataFrame, cols: Optional[Sequence[str]] = None,
                                        nested_sample_rows, max_depth))
             props[c] = sub
         elif isinstance(dtype, T.MapType):
-            props[c] = {"type": "object"}
+            # dynamic keys are data, not schema — no sampled-key
+            # properties — but the VALUE type is schema, and emitting
+            # it as additionalProperties makes the mined contract
+            # map-routable on the JSON columnar plane (round 6)
+            sub = {"type": "object"}
+            vt = _map_value_json_type(dtype.valueType)
+            if vt is not None:
+                sub["additionalProperties"] = vt
+            props[c] = sub
         else:
             props[c] = {}
     return {"type": "object", "required": required, "properties": props}

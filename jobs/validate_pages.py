@@ -14,6 +14,17 @@ with ``--resume`` skips completed days (north-rule resumability).
 Dataset-level checks (url uniqueness, warc_ts→manifest referential)
 run once over the full input and land in ``<output>/dataset_checks``.
 
+``--json-col doc`` switches the validation surface to a dynamic JSON
+string column: verdicts via the routed columnar/kernel planes
+(with_valid_json) and violations in the reference's message shape via
+json_violation_rows — the same ledger/resume machinery.
+
+``--keys-from hive --partition-col day`` plans the todo list from the
+input's hive directory layout (``<input>/day=<key>/``) instead of a
+distinct scan — metadata-only planning, and the per-day filter becomes
+a partition-pruned scan.  ``--keys-from iceberg:<table>`` reads the
+catalog's ``.partitions`` metadata table.
+
 Build the --py-files archive with::
 
     python -c "import shutil; shutil.make_archive('jema_js_spark', 'zip', '.', 'jema_js_spark')"
@@ -39,6 +50,16 @@ def main() -> None:
                     help="skip partition-days the ledger marks done")
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--ts-col", default="warc_ts")
+    ap.add_argument("--json-col",
+                    help="validate this JSON string column (routed "
+                         "columnar/kernel planes) instead of the typed row")
+    ap.add_argument("--keys-from", default="scan",
+                    help="'scan' (distinct query), 'hive' (directory "
+                         "listing of <input>/<partition-col>=*), or "
+                         "'iceberg:<table>' (catalog partitions metadata)")
+    ap.add_argument("--partition-col",
+                    help="physical partition column for hive/iceberg key "
+                         "sources (default: day derived from --ts-col)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"jema-validate-{args.run_id}") \
@@ -47,8 +68,12 @@ def main() -> None:
     from jema_js_spark.operators.referential import ts_window_violations
     from jema_js_spark.operators.stats import column_stats_long
     from jema_js_spark.operators.uniqueness import uniqueness_report
-    from jema_js_spark.runtime.checkpoint import CheckpointLedger, run_partitioned
+    from jema_js_spark.runtime.checkpoint import (
+        CheckpointLedger, hive_partition_keys, iceberg_partition_keys,
+        run_partitioned)
     from jema_js_spark.validation.engine import violation_rows, with_valid
+    from jema_js_spark.validation.json_plane import (json_violation_rows,
+                                                     with_valid_json)
 
     with open(args.schema) as f:
         schema = json.load(f)
@@ -59,22 +84,40 @@ def main() -> None:
         # fresh run id implies a fresh ledger namespace; nothing to wipe
         pass
 
-    day = F.to_date(F.col(args.ts_col)).cast("string")
+    if args.keys_from == "scan":
+        day = F.to_date(F.col(args.ts_col)).cast("string")
+        provider = None
+    else:
+        pcol_name = args.partition_col or "day"
+        day = F.col(pcol_name).cast("string")
+        if args.keys_from == "hive":
+            provider = hive_partition_keys(spark, args.input, pcol_name)
+        elif args.keys_from.startswith("iceberg:"):
+            provider = iceberg_partition_keys(
+                spark, args.keys_from.split(":", 1)[1], pcol_name)
+        else:
+            raise SystemExit(f"unknown --keys-from {args.keys_from!r}")
 
     def work(part_df, key: str) -> dict:
         out = f"{args.output}/days/{key}"
-        valid = with_valid(part_df, schema)
+        if args.json_col:
+            valid = with_valid_json(part_df, args.json_col, schema)
+            viol = json_violation_rows(part_df, args.json_col, schema,
+                                       id_cols=[args.id_col])
+        else:
+            valid = with_valid(part_df, schema)
+            viol = violation_rows(part_df, schema, id_cols=[args.id_col])
         verdict = valid.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("valid").cast("long")).alias("n_valid")).collect()[0]
-        violation_rows(part_df, schema, id_cols=[args.id_col]) \
-            .write.mode("overwrite").parquet(f"{out}/violations")
+        viol.write.mode("overwrite").parquet(f"{out}/violations")
         column_stats_long(part_df).write.mode("overwrite") \
             .parquet(f"{out}/metrics")
         return {"n_rows": verdict["n_rows"], "n_valid": verdict["n_valid"],
                 "n_invalid": verdict["n_rows"] - verdict["n_valid"]}
 
-    results = run_partitioned(spark, pages, day, ledger, work)
+    results = run_partitioned(spark, pages, day, ledger, work,
+                              key_provider=provider)
 
     checks = {"uniqueness": uniqueness_report(pages, args.id_col)}
     if args.manifest:

@@ -835,3 +835,78 @@ def test_multiple_of_boundary_matches_kernel(spark):
                 "n": {"multipleOf": m}, "d": {"multipleOf": m}}},
                 {"n": v, "d": float(v)})
             assert got[i] == expected, (m, v, got[i], expected)
+
+
+MAP_CONTRACTS = [
+    {"type": "object", "propertyNames": {"pattern": "^[a-z]+$"},
+     "additionalProperties": {"type": "integer", "minimum": 0}},
+    {"type": "object",
+     "patternProperties": {"^x": {"minimum": 5}},
+     "additionalProperties": {"maximum": 100}},
+    {"type": "object", "required": ["a"], "minProperties": 1,
+     "maxProperties": 3,
+     "properties": {"a": {"type": "integer", "maximum": 10}}},
+    {"type": "object",
+     "dependentRequired": {"a": ["b"]},
+     "additionalProperties": {"type": "integer"}},
+    {"type": "object", "propertyNames": {"minLength": 2, "maxLength": 4},
+     "additionalProperties": True},
+    {"type": "object", "additionalProperties": False},
+    {"type": "object", "properties": {"a": {"minimum": 0}},
+     "additionalProperties": False},
+    {"type": "object", "dependentSchemas": {"a": {"required": ["b"]}}},
+    {"type": "object",
+     "patternProperties": {"^a": {"minimum": 0}, "b$": {"maximum": 5}}},
+    {"type": "object",
+     "dependencies": {"a": ["b"], "c": {"minProperties": 2}}},
+]
+
+MAP_DATA = [
+    {"a": 1, "b": 2}, {"a": -1}, {"x1": 7, "y": 3}, {"x1": 2},
+    {"abcde": 5}, {}, {"a": 1, "b": 2, "c": 3, "d": 4},
+    {"A": 1}, {"ab": 1}, {"a": None}, {"a": 11}, {"b": 9},
+    {"ab": 2, "b": 9}, {"c": 1}, {"c": 1, "d": 2, "e": 3}, None,
+]
+
+
+@pytest.mark.parametrize("contract", MAP_CONTRACTS,
+                         ids=[str(i) for i in range(len(MAP_CONTRACTS))])
+def test_map_column_object_keywords_match_kernel(spark, contract):
+    """Round 6 (VERDICT r5 #6): object keywords compile against
+    ``map<string, T>`` columns as map lambdas — dynamic keys, pure
+    Plane A — and every verdict equals the kernel's under the bridge
+    (null map value ⇔ absent key)."""
+    mt = T.MapType(T.StringType(), T.LongType())
+    df = spark.createDataFrame([(d,) for d in MAP_DATA],
+                               T.StructType([T.StructField("m", mt, True)]))
+    plan = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+        F.col("m"), mt)
+    cov = plan.coverage()
+    assert cov["plane_b_checks"] == 0, cov["plane_b_names"]
+    got = [r[0] for r in df.select(plan.valid_column()).collect()]
+    v = Validator(Schema(contract))
+    for d, g in zip(MAP_DATA, got):
+        kd = None if d is None else {k: x for k, x in d.items()
+                                     if x is not None}
+        assert bool(g) == v.validate(kd), (contract, d, g)
+
+
+def test_map_column_unevaluated_falls_back(spark):
+    """unevaluatedProperties over dynamic keys needs the kernel's
+    evaluated-set — the whole node lands on Plane B, published via
+    coverage, with kernel-exact verdicts."""
+    mt = T.MapType(T.StringType(), T.LongType())
+    contract = {"type": "object",
+                "patternProperties": {"^x": {"minimum": 0}},
+                "unevaluatedProperties": False}
+    df = spark.createDataFrame([(d,) for d in MAP_DATA],
+                               T.StructType([T.StructField("m", mt, True)]))
+    plan = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+        F.col("m"), mt)
+    assert plan.coverage()["plane_b_checks"] > 0
+    got = [r[0] for r in df.select(plan.valid_column()).collect()]
+    v = Validator(Schema(contract))
+    for d, g in zip(MAP_DATA, got):
+        kd = None if d is None else {k: x for k, x in d.items()
+                                     if x is not None}
+        assert bool(g) == v.validate(kd), (d, g)

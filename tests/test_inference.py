@@ -238,11 +238,31 @@ def test_nested_mining_catches_drifted_nested_rows(spark, nested_df):
     assert out2.filter(~F.col("valid")).count() == 7
 
 
-def test_map_columns_stay_bare_object(spark):
+def test_map_columns_mine_value_type(spark):
+    """Dynamic keys are data, not schema — no sampled-key properties —
+    but the VALUE type is schema (round 6): the mined
+    additionalProperties makes the contract map-routable on the JSON
+    columnar plane, and the values still validate."""
     df = spark.createDataFrame(
         [({"a": 1},), ({"b": 2},)], "m map<string,int>")
     contract = propose_contract(df, emit_required=False)
-    assert contract["properties"]["m"] == {"type": "object"}
+    assert contract["properties"]["m"] == {
+        "type": "object", "additionalProperties": {"type": "integer"}}
+
+    from jema_js_spark.validation.json_plane import analyze_json_contract
+    plan = analyze_json_contract(contract["properties"]["m"])
+    assert plan.map_value == ("integer", None), plan.reasons
+
+    arr_df = spark.createDataFrame(
+        [({"a": [0.5]},), ({"b": [1.5, 2.0]},)], "m map<string,array<double>>")
+    c2 = propose_contract(arr_df, emit_required=False)
+    assert c2["properties"]["m"]["additionalProperties"] == {
+        "type": "array", "items": {"type": "number"}}
+    # deeper value shapes keep the bare object contract
+    deep = spark.createDataFrame(
+        [({"a": {"x": 1}},)], "m map<string,map<string,int>>")
+    c3 = propose_contract(deep, emit_required=False)
+    assert c3["properties"]["m"] == {"type": "object"}
 
 
 def test_bound_nudging_overflow_ints(spark):

@@ -169,3 +169,59 @@ def test_validate_pages_job_kill_and_resume(spark, tmp_path):
     rep2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert rep2["partitions_done"] == 0
     assert rep2["partitions_skipped"] == rep["partitions_done"]
+
+
+def test_validate_pages_json_col_and_hive_keys(spark, tmp_path):
+    """Round-6 deploy surfaces in one subprocess pass: ``--json-col``
+    validates a dynamic JSON column through the routed planes (kernel
+    message shape in the violations output, __parse__ rows for
+    malformed docs), and ``--keys-from hive`` plans the day list from
+    the directory layout instead of a distinct scan.  A --resume
+    re-submission skips every day through the ledger."""
+    docs = [
+        ('https://a.example/0', '2024-01-01', '{"k":1,"name":"ok"}'),
+        ('https://a.example/1', '2024-01-01', '{"k":-5,"name":"ok"}'),
+        ('https://a.example/2', '2024-01-02', '{"name":"ok"}'),
+        ('https://a.example/3', '2024-01-02', 'not json'),
+        ('https://a.example/4', '2024-01-03', '{"k":2,"name":"ok"}'),
+    ]
+    src = str(tmp_path / "jdocs")
+    out = str(tmp_path / "jrun")
+    spark.createDataFrame(docs, "url string, day string, doc string") \
+        .write.partitionBy("day").parquet(src)
+    contract = {"type": "object", "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 0},
+                               "name": {"type": "string"}}}
+    schema_path = str(tmp_path / "jcontract.json")
+    with open(schema_path, "w") as f:
+        json.dump(contract, f)
+
+    env = {**os.environ, "PYTHONPATH": REPO}
+    args = [sys.executable, os.path.join(REPO, "jobs", "validate_pages.py"),
+            "--input", src, "--schema", schema_path, "--output", out,
+            "--run-id", "j1", "--json-col", "doc",
+            "--keys-from", "hive", "--partition-col", "day"]
+    res = subprocess.run(args, capture_output=True, text=True, env=env,
+                         timeout=420)
+    assert res.returncode == 0, res.stderr[-2000:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["partitions_done"] == 3 and rep["partitions_skipped"] == 0
+
+    viol = spark.read.parquet(f"{out}/days/*/violations")
+    got = {(r["url"], r["keyword"], r["message"]) for r in viol.collect()}
+    # reference message shape straight from the kernel
+    assert ('https://a.example/1', 'minimum',
+            '"-5" does not match minimum:0') in got
+    assert ('https://a.example/2', 'required',
+            'object missing required property 0:k') in got
+    assert ('https://a.example/3', '__parse__',
+            'document is not parseable JSON') in got
+    # valid docs emit nothing
+    assert not any(u in ('https://a.example/0', 'https://a.example/4')
+                   for u, _, _ in got)
+
+    res2 = subprocess.run(args + ["--resume"], capture_output=True,
+                          text=True, env=env, timeout=420)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    rep2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert rep2["partitions_done"] == 0 and rep2["partitions_skipped"] == 3

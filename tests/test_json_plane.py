@@ -458,3 +458,102 @@ def test_allof_composed_contracts_route(spark):
     assert routes['{"k": 1, "name": "ab", "xs": [1, 2], "flag": true}'] \
         == "columnar"
     assert routes['{"k": -1}'] == "columnar"
+
+
+MAP_CONTRACTS = [
+    {"type": "object", "propertyNames": {"pattern": "^[a-z_]+$"},
+     "additionalProperties": {"type": "integer", "minimum": 0}},
+    {"type": "object",
+     "patternProperties": {"^x": {"type": "number", "minimum": 5}},
+     "additionalProperties": {"type": "number", "maximum": 100}},
+    {"type": "object", "minProperties": 1,
+     "additionalProperties": {"type": "array",
+                              "items": {"type": "integer", "maximum": 9}}},
+    {"type": "object", "required": ["id"],
+     "properties": {"id": {"type": "string", "minLength": 2}},
+     "additionalProperties": {"type": "string"}},
+]
+
+MAP_DOCS = [
+    '{"a":1,"b":2}', '{"a":-1}', '{"A":1}', '{"a":1,"a":2}',
+    '{"a":null}', '{"x1":7.5}', '{"x1":2}', '{"x1":7,"y":200}',
+    '{"a":"s"}', '{}', '[]', '5', 'null', None, 'junk',
+    '{"a":9007199254740993}', '{"a":10000000000000000001}',
+    '{"k":[1,2]}', '{"k":[10]}', '{"k":[1,null]}', '{"k":["s"]}',
+    '{"id":"ab","z":"y"}', '{"id":"a"}', '{"z":"y"}',
+    '{"id":"ab","z":7}', '{"weird ~key":3}', '{"a":0.5}',
+    '{ "a": 1 }', '{"b":2,"a":1}', '{"a":1e2}', '{"a":100.0}',
+    '{"a":0.09999999999999999}', '{"s":"0.5 in a string 1234567890123456"}',
+]
+
+
+@pytest.mark.parametrize("shape", ["union", "masked"])
+@pytest.mark.parametrize("contract", MAP_CONTRACTS,
+                         ids=[str(i) for i in range(len(MAP_CONTRACTS))])
+def test_map_route_matches_kernel(spark, contract, shape):
+    """Round 6 (VERDICT r5 #6): dynamic-key contracts
+    (patternProperties / propertyNames / additionalProperties with one
+    value type) route via map<string,T> extraction — every verdict
+    equals the kernel's, on both plan shapes, against duplicate keys,
+    JSON-null values (map to_json RENDERS those — gated), huge
+    integers, off-type values, and non-objects."""
+    plan = analyze_json_contract(contract)
+    assert plan.map_value is not None, plan.reasons
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(MAP_DOCS)],
+                               "i long, doc string")
+    out = with_valid_json(df, "doc", contract, route_col="route",
+                          plan_shape=shape).collect()
+    expected = _kernel_verdicts(contract, MAP_DOCS)
+    bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, bad
+    assert len(out) == len(MAP_DOCS)
+
+
+def test_map_route_hazards_stay_kernel(spark):
+    """The map-specific shortcut gates: duplicate keys and JSON-null
+    values round-trip through from_json/to_json (probed round 6) but
+    MUST NOT route columnar — dup-key maps look up first-match while
+    the kernel is last-wins, and null values read as absent under the
+    bridge."""
+    contract = MAP_CONTRACTS[0]
+    df = spark.createDataFrame(
+        [('{"a":1,"a":2}',), ('{"a":null}',), ('{"a":1}',),
+         ('{"a":9007199254740993}',)], "doc string")
+    routes = {r["doc"]: r["route"] for r in with_valid_json(
+        df, "doc", contract, route_col="route").collect()}
+    assert routes['{"a":1,"a":2}'] == "kernel"
+    assert routes['{"a":null}'] == "kernel"
+    assert routes['{"a":9007199254740993}'] == "kernel"
+    assert routes['{"a":1}'] == "columnar"
+
+
+def test_map_route_fuzz_matches_kernel(spark):
+    """Random dynamic-key documents: keys from a hostile pool (unicode,
+    empty, dup-prone), values across every tag the gates must classify."""
+    import random
+
+    rng = random.Random(909)
+    contract = {"type": "object",
+                "propertyNames": {"maxLength": 6},
+                "patternProperties": {"^n": {"minimum": 0}},
+                "additionalProperties": {"type": "number",
+                                         "exclusiveMaximum": 1e6}}
+    keys = ["a", "n1", "nn", "k", "zz", "é", "ab cd", "toolongkey", ""]
+    vals = ["1", "-2", "0.5", "1e2", "100.0", '"s"', "null", "true",
+            "[1]", "{}", "9007199254740993", "10000000000000000001",
+            "0.30000000000000004", "123456789012345678901234567890123456789012"]
+
+    def gen():
+        n = rng.randint(0, 4)
+        parts = [f'"{rng.choice(keys)}": {rng.choice(vals)}'
+                 for _ in range(n)]
+        return "{" + ", ".join(parts) + "}"
+
+    docs = list({gen() for _ in range(300)})
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", contract, route_col="route").collect()
+    expected = _kernel_verdicts(contract, docs)
+    bad = [(r["doc"][:90], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"

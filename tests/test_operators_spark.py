@@ -431,6 +431,14 @@ def test_fit_centroids_partition_order_stable(spark, emb):
     b = fit_centroids(emb.repartition(13), nlist=4)
     c = fit_centroids(emb.coalesce(1), nlist=4)
     assert a == b == c
+    # round 6: the bounded-driver merge tier (input partitions >
+    # merge_fanin → executor-side fold) must select the SAME sample
+    d = fit_centroids(emb.repartition(11), nlist=4, merge_fanin=3)
+    e = fit_centroids(emb.repartition(11), nlist=4, merge_fanin=3,
+                      sample_rows=40)
+    f = fit_centroids(emb.coalesce(1), nlist=4, sample_rows=40)
+    assert a == d
+    assert e == f
 
 
 def test_embedding_near_dups(spark, emb):

@@ -732,6 +732,45 @@ def test_checkpoint_resume(spark):
         assert sorted(calls) == ["2", "3", "4"]
 
 
+def test_checkpoint_key_provider_paths(spark):
+    """Round 6 (VERDICT r5 #7): the planner accepts a metadata key
+    provider — hive directory listing yields the same todo list as the
+    distinct scan, resume skips through it identically, and the
+    Iceberg provider fails loudly on a catalog-less session instead of
+    silently planning nothing."""
+    from jema_js_spark.runtime.checkpoint import (hive_partition_keys,
+                                                  iceberg_partition_keys)
+
+    df = spark.range(60).withColumn(
+        "day", F.concat(F.lit("d"), F.pmod(F.col("id"), F.lit(4))))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/tbl"
+        df.write.partitionBy("day").parquet(path)
+        provider = hive_partition_keys(spark, path, "day")
+        assert provider() == ["d0", "d1", "d2", "d3"]
+
+        src = spark.read.parquet(path)
+        ledger = CheckpointLedger(spark, f"{tmp}/ledger", run_id="h1")
+        calls = []
+
+        def work(part, key):
+            calls.append(key)
+            return {"n": part.count()}
+
+        r1 = run_partitioned(spark, src, "day", ledger, work,
+                             key_provider=provider)
+        assert sorted(calls) == ["d0", "d1", "d2", "d3"]
+        assert all(m["n"] == 15 for m in r1.values())
+        calls.clear()
+        r2 = run_partitioned(spark, src, "day", ledger, work,
+                             key_provider=provider)
+        assert calls == [] and all(m.get("skipped") for m in r2.values())
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        iceberg_partition_keys(spark, "nosuch.catalog.tbl", "day")()
+
+
 def test_custom_audio_decoder_accepts_1d_mono(spark):
     # round-5 review find: the per-channel refactor broke 1-D mono
     # arrays from set_decoder plugins (accepted pre-round-5)
