@@ -306,6 +306,28 @@ are the measured engine baselines for future rounds.
   time), which is the least-contaminated estimate of the engine's own
   cost.  Treat sub-0.8 prints under visible load as measurement
   interference, not engine regression.
+- r6 protocol (VERDICT r5 #4): bench.py itself now also reports the
+  MIN of its three timed fresh-plan passes (r5's medians still read
+  +25%/+93% on two unchanged code paths under sustained neighbor
+  load), and BENCH_r*.json records `loadavg_before`/`loadavg_after`
+  plus `timing: min_of_3` so a judge can see the ambient pressure a
+  run endured without re-running it.  Min-of-3 r6 numbers are ≤
+  median-of-3 r5 numbers by construction — compare trends, not ±10%.
+- r6 rebuilds the JSON route (VERDICT r5 #1): the hot path proves
+  routability with ONE parse (`to_json(from_json(doc)) == doc`
+  round-trip + int64 magnitude guards; fail-closed on any mismatch),
+  the variant parse runs only on shortcut misses (CaseWhen-masked),
+  and the union's kernel residue is AQE-rebalanced so near-empty
+  residue partitions stop paying the per-task Python worker handshake
+  (~0.3 s/wave measured even for a trivial UDF on null input — the
+  ArrowEvalPython floor, not kernel compute).  Measured quiet-ish box:
+  `json_columnar` 1.16 s vs `kernel_json` 2.8–3.9 s at 1M docs
+  (2.4–2.9×, vs r5's ~1.0–1.2×); the r5 bullet above describes the
+  superseded implementation.  Dynamic-key contracts now route via
+  `map<string,T>` extraction.  `json_mixed` + `json_route_rate`
+  (VERDICT r5 #3) pin the routed fraction of a deterministic
+  80%-conforming stream so a routing-gate regression shows in BENCH
+  diffs even though verdicts stay correct.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

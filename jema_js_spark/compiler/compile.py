@@ -190,18 +190,12 @@ class _TExpr:
         """JSON serialization for Plane-B handoff (Arrow batch of JSON
         strings)."""
         if self.is_row:
-            return F.to_json(F.struct(*[F.col(f.name) for f in self.row_fields]))
+            return F.to_json(F.struct(*[
+                _bridge_json_value(F.col(f.name), f.dataType).alias(f.name)
+                for f in self.row_fields]))
         d = self.dtype
-        if isinstance(d, T.MapType):
-            # struct to_json OMITS null fields, but map to_json RENDERS
-            # null values — the kernel would read a present JSON null
-            # where the bridge (and the Plane-A map handlers) read
-            # "absent key".  Drop null-valued entries so both planes
-            # hand the kernel the same document.
-            return F.to_json(F.map_filter(self.col,
-                                          lambda k, v: v.isNotNull()))
-        if isinstance(d, (T.StructType, T.ArrayType)):
-            return F.to_json(self.col)
+        if isinstance(d, (T.StructType, T.ArrayType, T.MapType)):
+            return F.to_json(_bridge_json_value(self.col, d))
         # scalars: wrap in a 1-element array — lossless JSON literals
         # (get_json_object would strip string quoting and break parsing);
         # the kernel UDF unwraps (needs_unwrap)
@@ -238,6 +232,43 @@ class _TExpr:
         if isinstance(self.dtype, (T.StructType, T.ArrayType, T.MapType)):
             return walk(self.dtype, ())
         return walk(self.dtype, ())
+
+
+def _contains_map(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    return False
+
+
+def _bridge_json_value(col: Column, dtype: T.DataType) -> Column:
+    """The value with null-valued MAP entries dropped at EVERY nesting
+    level — struct ``to_json`` omits null fields, but map ``to_json``
+    RENDERS them, and the kernel would then read a present JSON null
+    where the bridge (and the Plane-A map handlers) read "absent key".
+    Applied only where a map actually occurs (round-6 review find: the
+    top-level-only filter left NESTED maps divergent between planes).
+    Identity for map-free types, so existing handoffs are untouched."""
+    if not _contains_map(dtype):
+        return col
+    if isinstance(dtype, T.MapType):
+        cleaned = F.map_filter(col, lambda k, v: v.isNotNull())
+        if _contains_map(dtype.valueType):
+            vt = dtype.valueType
+            cleaned = F.transform_values(
+                cleaned, lambda k, v: _bridge_json_value(v, vt))
+        return cleaned
+    if isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        return F.transform(col, lambda x: _bridge_json_value(x, et))
+    # struct: rebuild with cleaned fields, preserving struct-level null
+    rebuilt = F.struct(*[
+        _bridge_json_value(col.getField(f.name), f.dataType).alias(f.name)
+        for f in dtype.fields])
+    return F.when(col.isNotNull(), rebuilt)
 
 
 def _finite(col: Column) -> Column:

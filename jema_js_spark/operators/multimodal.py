@@ -780,7 +780,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 "comps": scan_comps, "ss": ss, "se": se,
                 "ah": ah, "al": al, "segments": segments,
                 "restart": restart_interval,
-                "huff": dict(huff),
+                "huff": dict(huff), "qt": dict(qt),
             })
             i = end
             continue
@@ -823,6 +823,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if tq_ not in qt:
             raise ValueError("JPEG scan references missing DHT/DQT table")
         q = qt[tq_]
+        # dequant runs ONCE with the final table, so a DQT redefined
+        # between scans of this component would silently re-quantize
+        # the earlier scans' coefficients — stay loud (round-6 review
+        # find; T.81 B.2.4 allows redefinition, this decoder doesn't)
+        for scan in scans:
+            if any(cs == cid for cs, _, _ in scan["comps"]):
+                seen = scan["qt"].get(tq_)
+                if seen is not None and not np.array_equal(seen, q):
+                    raise NotImplementedError(
+                        "JPEG quantization table redefined between "
+                        "scans needs a codec via set_decoder('image', fn)")
         cf = coeffs[cid]
         bh, bw, _ = cf.shape
         deq = cf * q
@@ -877,25 +888,7 @@ def jpeg_bytes(arr: "np.ndarray", ycbcr: bool = False,
     4:2:0 (``subsampling="420"``, 3-component only)."""
     import struct
 
-    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
-        raise ValueError("jpeg_bytes wants (h, w, 1|3) uint8")
-    h, w, nc = arr.shape
-    if nc == 3 and not ycbcr:
-        rf = arr[..., 0].astype(np.float64)
-        gf = arr[..., 1].astype(np.float64)
-        bf = arr[..., 2].astype(np.float64)
-        planes3 = [0.299 * rf + 0.587 * gf + 0.114 * bf,
-                   128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
-                   128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf]
-        planes3 = [np.clip(np.floor(p + 0.5), 0, 255) for p in planes3]
-    elif nc == 3:
-        planes3 = [arr[..., c].astype(np.float64) for c in range(3)]
-    else:
-        planes3 = [arr[..., 0].astype(np.float64)]
-
-    sub = (2, 2) if (subsampling == "420" and nc == 3) else (1, 1)
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w, nc, planes3, sub = _jpeg_planes(arr, ycbcr, subsampling)
 
     dc_values = list(range(12))
     dc_counts = [0] * 16
@@ -1012,6 +1005,33 @@ def jpeg_bytes(arr: "np.ndarray", ycbcr: bool = False,
     return bytes(out)
 
 
+def _jpeg_planes(arr: "np.ndarray", ycbcr: bool, subsampling: str):
+    """Shared encoder front: validate shape, RGB→YCbCr (JFIF floor(x+
+    0.5) rounding), resolve sampling factors.  ONE definition so the
+    baseline and progressive writers stay coefficient-identical (the
+    progressive-vs-baseline pixel-exact differential pin depends on
+    it)."""
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("jpeg encoder wants (h, w, 1|3) uint8")
+    h, w, nc = arr.shape
+    if nc == 3 and not ycbcr:
+        rf = arr[..., 0].astype(np.float64)
+        gf = arr[..., 1].astype(np.float64)
+        bf = arr[..., 2].astype(np.float64)
+        planes3 = [0.299 * rf + 0.587 * gf + 0.114 * bf,
+                   128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+                   128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf]
+        planes3 = [np.clip(np.floor(p + 0.5), 0, 255) for p in planes3]
+    elif nc == 3:
+        planes3 = [arr[..., c].astype(np.float64) for c in range(3)]
+    else:
+        planes3 = [arr[..., 0].astype(np.float64)]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = (2, 2) if (subsampling == "420" and nc == 3) else (1, 1)
+    return h, w, nc, planes3, sub
+
+
 def _jpeg_coeff_blocks(planes3, q, hmax: int, vmax: int,
                        mcux: int, mcuy: int):
     """Quantized zigzag coefficient blocks per component — the shared
@@ -1095,24 +1115,7 @@ def jpeg_progressive_bytes(arr: "np.ndarray", ycbcr: bool = False,
     progressive-vs-baseline differential test."""
     import struct
 
-    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
-        raise ValueError("jpeg_progressive_bytes wants (h, w, 1|3) uint8")
-    h, w, nc = arr.shape
-    if nc == 3 and not ycbcr:
-        rf = arr[..., 0].astype(np.float64)
-        gf = arr[..., 1].astype(np.float64)
-        bf = arr[..., 2].astype(np.float64)
-        planes3 = [0.299 * rf + 0.587 * gf + 0.114 * bf,
-                   128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
-                   128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf]
-        planes3 = [np.clip(np.floor(p + 0.5), 0, 255) for p in planes3]
-    elif nc == 3:
-        planes3 = [arr[..., c].astype(np.float64) for c in range(3)]
-    else:
-        planes3 = [arr[..., 0].astype(np.float64)]
-    sub = (2, 2) if (subsampling == "420" and nc == 3) else (1, 1)
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w, nc, planes3, sub = _jpeg_planes(arr, ycbcr, subsampling)
 
     # fixed canonical tables: 12 DC symbols at 4 bits; ALL 176 AC
     # run/size symbols at 8 bits — progressive needs the (r<<4)|0

@@ -30,6 +30,11 @@ __all__ = ["CheckpointLedger", "run_partitioned",
 _LEDGER_SCHEMA = ("run_id string, partition_key string, status string, "
                   "metrics_json string, updated_at double")
 
+# ledger key for the null partition (rows whose partition column is
+# NULL — Hive's __HIVE_DEFAULT_PARTITION__).  A plain str(None) key
+# would filter `col == "None"` and silently process zero rows.
+NULL_KEY = "__null__"
+
 
 class CheckpointLedger:
     def __init__(self, spark: SparkSession, path: str, run_id: str) -> None:
@@ -65,6 +70,8 @@ def hive_partition_keys(spark: SparkSession, path: str,
     metadata-only, no data scan, any Hadoop-compatible filesystem
     (local, HDFS, s3a).  The cluster-scale analog of reading a
     catalog's partition metadata for plain partitioned parquet."""
+    from urllib.parse import unquote
+
     def provider() -> List[str]:
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -75,7 +82,13 @@ def hive_partition_keys(spark: SparkSession, path: str,
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith(prefix):
-                out.append(name[len(prefix):])
+                raw = name[len(prefix):]
+                # directory names carry Hive %xx escaping (round-6
+                # review find: filtering on the ESCAPED value matches
+                # zero rows and the ledger marks the day done anyway);
+                # the null partition gets the planner's null sentinel
+                out.append(NULL_KEY if raw == "__HIVE_DEFAULT_PARTITION__"
+                           else unquote(raw))
         return sorted(out)
     return provider
 
@@ -113,9 +126,9 @@ def run_partitioned(spark: SparkSession, df: DataFrame, partition_col,
     input."""
     pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
     if key_provider is not None:
-        keys = [str(k) for k in key_provider()]
+        keys = [NULL_KEY if k is None else str(k) for k in key_provider()]
     else:
-        keys = [str(r["__pk"]) for r in
+        keys = [NULL_KEY if r["__pk"] is None else r["__pk"] for r in
                 df.select(pcol.cast("string").alias("__pk"))
                 .distinct().collect()]
     done = set(ledger.completed_keys())
@@ -124,7 +137,8 @@ def run_partitioned(spark: SparkSession, df: DataFrame, partition_col,
         if key in done:
             results[key] = {"skipped": True}
             continue
-        part = df.filter(pcol.cast("string") == key)
+        part = df.filter(pcol.isNull() if key == NULL_KEY
+                         else pcol.cast("string") == key)
         metrics = work(part, key)
         ledger.mark_done(key, metrics)
         results[key] = metrics

@@ -408,16 +408,18 @@ def _field_gate(v: Column, doc: Column, name: str,
     return tag.isNull() | F.coalesce(ok, F.lit(False))
 
 
-def _map_value_ok(vv: Column, doc: Column, decl: str,
+def _map_value_ok(vv: Column, clean: Optional[Column], decl: str,
                   elem: Optional[str]) -> Column:
     """True when one dynamic map entry's variant VALUE is exactly
     representable in the map's typed value slot — the map-mode twin of
     :func:`_field_gate`.  Dynamic keys have no per-key raw JSON path,
     so the ≥16-digit integer-token screen for ``number`` slots runs
     doc-wide (a hit anywhere — even inside a string — routes to the
-    kernel: slower, never wrong).  A VOID tag (present JSON null) is
-    never representable: map ``to_json`` RENDERS null values, but the
-    bridge reads them as absent."""
+    kernel: slower, never wrong); ``clean`` is that screen, computed
+    ONCE per row in the barrier — inlining ``doc.rlike`` here would
+    re-scan the document per map entry (round-6 review find).  A VOID
+    tag (present JSON null) is never representable: map ``to_json``
+    RENDERS null values, but the bridge reads them as absent."""
     tag = F.schema_of_variant(vv)
     if decl == "integer":
         ok = (tag == "BIGINT") & _exact_long_range(
@@ -426,7 +428,7 @@ def _map_value_ok(vv: Column, doc: Column, decl: str,
         ok = (
             ((tag == "BIGINT") & _exact_long_range(
                 F.try_variant_get(vv, "$", "bigint")))
-            | ((tag == "DOUBLE") & ~doc.rlike(_BIG_INT_ANYWHERE))
+            | ((tag == "DOUBLE") & clean)
             | _decimal_gate(tag)
         )
     elif decl == "string":
@@ -447,7 +449,7 @@ def _map_value_ok(vv: Column, doc: Column, decl: str,
                 | ((tag == "ARRAY<BIGINT>")
                    & F.forall(arr, lambda e: e.isNull()
                               | _exact_long_range(e)))
-                | ((tag == "ARRAY<DOUBLE>") & ~doc.rlike(_BIG_INT_ANYWHERE))
+                | ((tag == "ARRAY<DOUBLE>") & clean)
                 | ((dec_elem != "")
                    & _decimal_gate(F.replace(F.replace(
                        tag, F.lit("ARRAY<"), F.lit("")),
@@ -572,17 +574,28 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
 
     # Stage 3: the variant, parsed ONLY for shortcut misses (CaseWhen
     # branches evaluate lazily per row) — canonical documents never pay
-    # a second parse.
-    b3 = b2.select("*", F.explode(F.array(
-        F.when(~sc, F.try_parse_json(doc)))).alias("__jv"))
-    v = F.col("__jv")
+    # a second parse.  number-valued map contracts also materialize the
+    # doc-wide big-int screen here, once per row (see _map_value_ok).
+    needs_clean = plan.map_value is not None and "number" in plan.map_value
+    if needs_clean:
+        b3 = b2.select("*", F.explode(F.array(F.when(~sc, F.struct(
+            F.try_parse_json(doc).alias("v"),
+            (~doc.rlike(_BIG_INT_ANYWHERE)).alias("clean"),
+        )))).alias("__jv"))
+        v = F.col("__jv.v")
+        clean = F.col("__jv.clean")
+    else:
+        b3 = b2.select("*", F.explode(F.array(
+            F.when(~sc, F.try_parse_json(doc)))).alias("__jv"))
+        v = F.col("__jv")
+        clean = None
 
     vm = F.try_variant_get(v, "$", "map<string, variant>")
     if plan.map_value is not None:
         decl, elem = plan.map_value
 
         def entry_bad(k: Column, vv: Column) -> Column:
-            return ~_map_value_ok(vv, doc, decl, elem)
+            return ~_map_value_ok(vv, clean, decl, elem)
 
         gates = [
             v.isNotNull(),                   # parses; no duplicate keys

@@ -313,3 +313,100 @@ def test_random_schemas_columnar_vs_kernel(spark):
             if actual != expected:
                 mismatches.append((i, sch, row["id"], actual, expected))
     assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
+def _map_schema(rng: random.Random) -> dict:
+    """Random dynamic-key object contract (round 6): object keywords
+    over a map<string,long> column — every admissible keyword, with
+    boolean/dict additionalProperties, multi-pattern patternProperties,
+    propertyNames constraints, presence dependencies, and counts."""
+    out: dict = {"type": "object"}
+    if rng.random() < 0.5:
+        out["propertyNames"] = rng.choice([
+            {"pattern": rng.choice(["^[a-z]+$", "^x", "[0-9]$"])},
+            {"minLength": rng.randint(1, 2)},
+            {"maxLength": rng.randint(1, 4)},
+        ])
+    if rng.random() < 0.6:
+        out["patternProperties"] = {
+            p: rng.choice([{"minimum": rng.randint(-2, 5)},
+                           {"maximum": rng.randint(0, 8)},
+                           {"type": "integer"}, True])
+            for p in rng.sample(["^a", "b$", "^x[0-9]", "c"],
+                                rng.randint(1, 2))}
+    if rng.random() < 0.7:
+        out["additionalProperties"] = rng.choice([
+            True, False, {"minimum": 0}, {"maximum": 6},
+            {"type": "integer", "multipleOf": 2}])
+    if rng.random() < 0.4:
+        out["required"] = rng.sample(["a", "b", "x1", "zz"],
+                                     rng.randint(1, 2))
+    if rng.random() < 0.4:
+        out["minProperties"] = rng.randint(0, 3)
+    if rng.random() < 0.3:
+        out["maxProperties"] = rng.randint(0, 4)
+    if rng.random() < 0.3:
+        out["dependentRequired"] = {rng.choice(["a", "b"]):
+                                    [rng.choice(["c", "x1"])]}
+    if rng.random() < 0.2:
+        out["dependentSchemas"] = {
+            rng.choice(["a", "c"]): rng.choice([
+                {"minProperties": 2}, {"required": ["b"]}])}
+    if rng.random() < 0.2:
+        out["properties"] = {rng.choice(["a", "b"]):
+                             {"minimum": rng.randint(-1, 3)}}
+    return out
+
+
+def _map_rows(rng: random.Random, n: int):
+    keys = ["a", "b", "c", "x1", "x9", "ab", "zz", "A", "é", ""]
+    rows = []
+    for _ in range(n):
+        if rng.random() < 0.05:
+            rows.append((None,))
+            continue
+        m = {}
+        for _ in range(rng.randint(0, 4)):
+            m[rng.choice(keys)] = rng.choice(
+                [0, 1, -3, 5, 8, 100, None, 2**53 + 1])
+        rows.append((m,))
+    return rows
+
+
+def test_random_map_schemas_columnar_vs_kernel(spark):
+    """Round-6 sweep: random dynamic-key contracts × random
+    map<string,long> rows — compiled map-lambda predicates must equal
+    the kernel under the bridge (null map value ⇔ absent key), Plane B
+    allowed only where the keyword genuinely needs the kernel."""
+    from pyspark.sql import types as T
+
+    rng = random.Random(606)
+    schemas = [_map_schema(rng) for _ in range(80)]
+    data = _map_rows(rng, 40)
+    mt = T.MapType(T.StringType(), T.LongType())
+    df = spark.createDataFrame(
+        data, T.StructType([T.StructField("m", mt, True)])) \
+        .withColumn("__row_id", F.monotonically_increasing_id())
+    df = df.cache()
+    rows = df.collect()
+
+    cols = [F.col("__row_id")]
+    for i, sch in enumerate(schemas):
+        plan = SchemaCompiler(Schema(dict(sch))).compile_plan_for_column(
+            F.col("m"), mt)
+        cols.append(plan.valid_column().alias(f"v{i}"))
+    got = {r["__row_id"]: r for r in df.select(*cols).collect()}
+
+    mismatches = []
+    for i, sch in enumerate(schemas):
+        v = Validator(Schema(dict(sch)))
+        for row in rows:
+            d = row["m"]
+            kd = None if d is None else {k: x for k, x in d.items()
+                                         if x is not None}
+            expected = v.validate(kd)
+            actual = bool(got[row["__row_id"]][f"v{i}"])
+            if actual != expected:
+                mismatches.append((i, sch, d, actual, expected))
+    assert not mismatches, \
+        f"{len(mismatches)} mismatches; first: {mismatches[0]}"

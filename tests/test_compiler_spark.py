@@ -910,3 +910,35 @@ def test_map_column_unevaluated_falls_back(spark):
         kd = None if d is None else {k: x for k, x in d.items()
                                      if x is not None}
         assert bool(g) == v.validate(kd), (d, g)
+
+
+def test_nested_map_null_entries_bridge_on_plane_b(spark):
+    """Round-6 review find (confirmed repro): the Plane-B to_json
+    handoff must drop null-valued map entries at EVERY nesting level —
+    a nested {"a": null} must read as absent on BOTH planes, or one
+    plan returns different verdicts for the same data depending on
+    which plane judged it."""
+    mt = T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType()))
+    contract = {"type": "object",
+                "patternProperties": {"^x": {"required": ["a"]}},
+                "unevaluatedProperties": {"required": ["a"]}}
+    data = [{"y": {"a": None}}, {"x1": {"a": None}}, {"y": {"a": 1}},
+            {"x1": {"a": 1}}, {"y": {}}, {"x1": {"b": 2, "a": None}},
+            None, {}]
+    df = spark.createDataFrame([(d,) for d in data],
+                               T.StructType([T.StructField("m", mt, True)]))
+    plan = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+        F.col("m"), mt)
+    assert plan.coverage()["plane_b_checks"] > 0   # unevaluated* → kernel
+    got = [r[0] for r in df.select(plan.valid_column()).collect()]
+    v = Validator(Schema(contract))
+
+    def bridge(d):
+        if d is None:
+            return None
+        return {k: (None if x is None
+                    else {kk: xx for kk, xx in x.items() if xx is not None})
+                for k, x in d.items() if x is not None}
+
+    for d, g in zip(data, got):
+        assert bool(g) == v.validate(bridge(d)), (d, g)

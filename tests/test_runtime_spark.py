@@ -771,6 +771,40 @@ def test_checkpoint_key_provider_paths(spark):
         iceberg_partition_keys(spark, "nosuch.catalog.tbl", "day")()
 
 
+def test_checkpoint_hive_keys_unescape_and_null_partition(spark):
+    """Round-6 review find: hive directory names carry %xx escaping
+    and nulls land in __HIVE_DEFAULT_PARTITION__ — filtering on the
+    raw directory name would process ZERO rows and still mark the key
+    done.  The provider must unescape, and both planner paths must
+    route the null partition through an isNull filter."""
+    from jema_js_spark.runtime.checkpoint import (NULL_KEY,
+                                                  hive_partition_keys)
+
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain"), (4, None), (5, None)],
+        "id long, day string")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/tbl"
+        df.write.partitionBy("day").parquet(path)
+        provider = hive_partition_keys(spark, path, "day")
+        assert provider() == [NULL_KEY, "a:b", "plain"]
+
+        src = spark.read.parquet(path)
+        counts = {}
+
+        def work(part, key):
+            counts[key] = part.count()
+            return {"n": counts[key]}
+
+        for kp in (provider, None):        # both planner paths
+            counts.clear()
+            ledger = CheckpointLedger(spark, f"{tmp}/ledger_{kp is None}",
+                                      run_id="e1")
+            run_partitioned(spark, src, "day", ledger, work,
+                            key_provider=kp)
+            assert counts == {"a:b": 2, "plain": 1, NULL_KEY: 2}, counts
+
+
 def test_custom_audio_decoder_accepts_1d_mono(spark):
     # round-5 review find: the per-channel refactor broke 1-D mono
     # arrays from set_decoder plugins (accepted pre-round-5)
