@@ -164,16 +164,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB twin; the route's kernel-parity on hostile shapes is
     # separately pinned in tests/test_json_plane.py.
     def q_json_props_kernel(spark, sf_dir):
-        from jema_js_spark.validation.json_plane import with_valid_json
+        from jema_js_spark.validation.json_plane import (
+            analyze_json_contract, with_valid_json)
 
         schema = {"type": "object", "required": ["k"],
                   "properties": {"k": {"type": "integer", "minimum": 0,
                                         "maximum": 80}}}
+        # the same verdict expressed through DYNAMIC-key keywords
+        # (round 6): routes via map<string,long> extraction — every key
+        # is one lowercase letter and every value is bounded, so the
+        # DuckDB twin is the same range check
+        map_schema = {"type": "object", "required": ["k"],
+                      "propertyNames": {"pattern": "^[a-z]$"},
+                      "additionalProperties": {"type": "integer",
+                                               "minimum": 0, "maximum": 80}}
+        assert analyze_json_contract(map_schema).map_value == \
+            ("integer", None)
         udf = kernel_validate_udf(schema)
         routed = with_valid_json(_events(spark, sf_dir), "props", schema,
                                  col_name="valid_columnar")
+        routed = with_valid_json(routed, "props", map_schema,
+                                 col_name="valid_map")
         return routed.select("event_id", udf(F.col("props")).alias("valid"),
-                             "valid_columnar")
+                             "valid_columnar", "valid_map")
 
     def q_windowed_verdicts(spark, sf_dir):
         # the batch analog of the streaming windowed-verdict surface:
@@ -824,7 +837,9 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
                             BETWEEN 0 AND 80, FALSE) AS valid,
                    coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
-                            BETWEEN 0 AND 80, FALSE) AS valid_columnar
+                            BETWEEN 0 AND 80, FALSE) AS valid_columnar,
+                   coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                            BETWEEN 0 AND 80, FALSE) AS valid_map
             FROM events""",
         "text_features": f"""
             WITH t AS (

