@@ -320,10 +320,13 @@ are the measured engine baselines for future rounds.
   and the union's kernel residue is AQE-rebalanced so near-empty
   residue partitions stop paying the per-task Python worker handshake
   (~0.3 s/wave measured even for a trivial UDF on null input — the
-  ArrowEvalPython floor, not kernel compute).  Measured quiet-ish box:
-  `json_columnar` 1.16 s vs `kernel_json` 2.8–3.9 s at 1M docs
-  (2.4–2.9×, vs r5's ~1.0–1.2×); the r5 bullet above describes the
-  superseded implementation.  Dynamic-key contracts now route via
+  ArrowEvalPython floor, not kernel compute).  Honest measurement:
+  same-session INTERLEAVED kernel/route pairs at 1M docs give
+  1.6–2.1× (kernel 3.8–4.2 s, route 1.8–2.5 s, ambient loadavg
+  4–10); isolated route passes reached 1.16 s on a quiet moment.
+  r5's like-for-like was ~1.0–1.2×, so the rebuild roughly doubles
+  the route's margin; the r5 bullet above describes the superseded
+  implementation.  Dynamic-key contracts now route via
   `map<string,T>` extraction.  `json_mixed` + `json_route_rate`
   (VERDICT r5 #3) pin the routed fraction of a deterministic
   80%-conforming stream so a routing-gate regression shows in BENCH

@@ -43,8 +43,9 @@ This module routes each row at runtime, entirely JVM-side:
      (tiny on a healthy corpus) and collapses near-empty partitions so
      the per-task Python worker handshake isn't paid by partitions
      that routed everything columnar.  Python touches ONLY residue
-     rows.  Measured round 6: 1.16 s vs the kernel's 2.8-3.9 s on the
-     representative 1M-doc workload (2.4-2.9×).
+     rows.  Measured round 6 (same-session interleaved pairs, 1M-doc
+     representative workload): 1.6-2.1× over the kernel (route
+     1.8-2.5 s vs kernel 3.8-4.2 s; best isolated route pass 1.16 s).
    - ``masked`` (opt-in): ONE pass over the source; the kernel UDF is
      projected for every row (an ArrowEvalPython node cannot be
      skipped per-row) but its input is masked to SQL NULL for routed

@@ -603,3 +603,55 @@ def test_union_shape_python_only_on_residue(spark):
     python_part = plan[plan.index("ArrowEvalPython"):]
     assert "Exchange" in python_part.split("Union")[0] \
         or "Exchange" in python_part, plan
+
+
+def test_formatting_perturbation_fuzz(spark):
+    """The round-trip shortcut matches only canonical renderings; any
+    formatting perturbation (whitespace, key order, unicode escapes,
+    exponent forms, float respellings) must fall through the gates
+    WITHOUT changing a verdict — fail-closed means slower, never
+    different."""
+    import random
+
+    rng = random.Random(1212)
+    base_docs = []
+    for i in range(60):
+        d = {}
+        if rng.random() < 0.9:
+            d["k"] = rng.choice([0, 5, 99, -1, 2**53 + 1])
+        if rng.random() < 0.9:
+            d["name"] = rng.choice(["user1", "usér5", "nope", ""])
+        if rng.random() < 0.7:
+            d["xs"] = rng.sample([0, 1, 2, 3, 11, 13], rng.randint(0, 4))
+        base_docs.append(d)
+
+    def perturb(d):
+        mode = rng.randrange(5)
+        if mode == 0:                     # canonical compact
+            return json.dumps(d, separators=(",", ":"))
+        if mode == 1:                     # spaced
+            return json.dumps(d, separators=(", ", ": "))
+        if mode == 2:                     # indented
+            return json.dumps(d, indent=2)
+        if mode == 3:                     # escaped unicode
+            return json.dumps(d, ensure_ascii=True,
+                              separators=(",", ":"))
+        # reversed key order
+        return "{" + ",".join(
+            f"{json.dumps(k)}:{json.dumps(v)}"
+            for k, v in reversed(list(d.items()))) + "}"
+
+    docs = sorted({perturb(d) for d in base_docs for _ in range(3)})
+    df = spark.createDataFrame([(x,) for x in docs], "doc string")
+    out = with_valid_json(df, "doc", CONTRACT, route_col="route").collect()
+    expected = _kernel_verdicts(CONTRACT, docs)
+    bad = [(r["doc"][:80], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+    # the canonical-compact subset must actually hit the columnar plane
+    routes = {r["doc"]: r["route"] for r in out}
+    canon = [x for x in docs
+             if x == json.dumps(json.loads(x), separators=(",", ":"))
+             and "9007199254740993" not in x]
+    assert canon and all(routes[x] == "columnar" for x in canon), \
+        [x for x in canon if routes[x] != "columnar"][:3]

@@ -194,3 +194,46 @@ def test_with_valid_json_streaming(spark):
     bad = [(r["value"], r["doc"]) for r in rows
            if r["valid"] != expected[r["value"]]]
     assert not bad, bad[:3]
+
+
+def test_with_valid_json_streaming_map_contract(spark):
+    """The round-6 map route under micro-batch streaming: dynamic-key
+    verdicts identical to the batch run, both planes exercised (the
+    rebalance hint is skipped for streaming plans)."""
+    from jema_js_spark.validation.json_plane import (analyze_json_contract,
+                                                     with_valid_json)
+
+    contract = {"type": "object",
+                "propertyNames": {"pattern": "^[a-z]+$"},
+                "additionalProperties": {"type": "integer",
+                                         "minimum": 0, "maximum": 80}}
+    assert analyze_json_contract(contract).map_value == ("integer", None)
+    doc = (F.when(F.col("value") % 11 == 0, F.lit('{"K": 1}'))
+           .when(F.col("value") % 7 == 0, F.lit('{"a": null}'))
+           .otherwise(F.concat(F.lit('{"a":'),
+                               F.pmod(F.col("value"), F.lit(100)),
+                               F.lit("}"))))
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "500").load()
+              .withColumn("doc", doc).select("value", "doc"))
+    out = with_valid_json(stream, "doc", contract, route_col="route")
+    q = (out.writeStream.format("memory").queryName("jv_map_stream")
+         .trigger(processingTime="200 milliseconds").start())
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM jv_map_stream") \
+                .collect()[0][0] >= 100:
+            break
+        time.sleep(0.5)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM jv_map_stream").collect()
+    assert len(rows) >= 100
+    batch = spark.createDataFrame([(r["value"], r["doc"]) for r in rows],
+                                  "value long, doc string")
+    expected = {r["value"]: r["valid"] for r in with_valid_json(
+        batch, "doc", contract).collect()}
+    assert {r["route"] for r in rows} == {"columnar", "kernel"}
+    bad = [(r["value"], r["doc"]) for r in rows
+           if r["valid"] != expected[r["value"]]]
+    assert not bad, bad[:3]
