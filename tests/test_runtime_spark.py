@@ -904,3 +904,92 @@ def test_progressive_jpeg_solid_plants_exact():
                                  - 0.714136 * (cr - 128.0) + 0.5)), 0), 255)
         b = min(max(int(np.floor(y + 1.772 * (cb - 128.0) + 0.5)), 0), 255)
         assert (got == np.array([r, g, b])).all(), (y, cb, cr)
+
+
+def test_sequential_baseline_multiscan_jpeg():
+    """Round 6 claims multi-scan SEQUENTIAL baseline decode (one scan
+    per component, SOF0, full spectrum).  Build such a file from the
+    encoder's shared pieces and pin pixel-equality with the interleaved
+    baseline encoding of the same data."""
+    import struct
+
+    import numpy as np
+
+    from jema_js_spark.operators.multimodal import (
+        _decode_jpeg, _jpeg_coeff_blocks, _jpeg_planes, _JpegBitWriter,
+        jpeg_bytes)
+
+    rng = np.random.default_rng(77)
+    arr = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    h, w, nc, planes3, sub = _jpeg_planes(arr, False, "444")
+    q = np.full(64, 16, dtype=np.int64)
+    coeffs = _jpeg_coeff_blocks(planes3, q, 1, 1, -(-w // 8), -(-h // 8))
+
+    dc_values = list(range(12))
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_values = [0x00, 0xF0] + [(r << 4) | s
+                                for r in range(16) for s in range(1, 11)]
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_values)
+    dc_code = {v: (i, 4) for i, v in enumerate(dc_values)}
+    ac_code = {v: (i, 8) for i, v in enumerate(ac_values)}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
+        + bytes(int(x) for x in q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x11, 0])
+    for tc, counts, values in ((0, dc_counts, dc_values),
+                               (1, ac_counts, ac_values)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tc << 4]) + bytes(counts) + bytes(values)
+
+    def emit_block(wtr, zz, pred):
+        diff = int(zz[0]) - pred
+        s = int(abs(diff)).bit_length()
+        c, ln = dc_code[s]
+        wtr.put(c, ln)
+        if s:
+            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                c, ln = ac_code[0x00]
+                wtr.put(c, ln)
+                break
+            while run > 15:
+                c, ln = ac_code[0xF0]
+                wtr.put(c, ln)
+                run -= 16
+            v = int(zz[k])
+            s = int(abs(v)).bit_length()
+            c, ln = ac_code[(run << 4) | s]
+            wtr.put(c, ln)
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            k += 1
+        return int(zz[0])
+
+    for ci, cid in enumerate((1, 2, 3)):     # one full-band scan each
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([cid, 0]) \
+            + b"\x00\x3f\x00"
+        wtr = _JpegBitWriter()
+        pred = 0
+        bh, bw, _ = coeffs[ci].shape
+        for by in range(bh):
+            for bx in range(bw):
+                pred = emit_block(wtr, coeffs[ci][by, bx], pred)
+        wtr.align()
+        out += wtr.out
+    out += b"\xff\xd9"
+
+    got = _decode_jpeg(bytes(out))
+    want = _decode_jpeg(jpeg_bytes(arr))
+    assert got.shape == want.shape
+    assert (got == want).all(), \
+        int(np.abs(got.astype(int) - want.astype(int)).max())
