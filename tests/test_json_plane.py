@@ -655,3 +655,39 @@ def test_formatting_perturbation_fuzz(spark):
              and "9007199254740993" not in x]
     assert canon and all(routes[x] == "columnar" for x in canon), \
         [x for x in canon if routes[x] != "columnar"][:3]
+
+
+def test_mixed_value_types_fall_through_to_struct_mode(spark):
+    """When dynamic-key value schemas disagree with the fixed
+    properties' types, map mode is impossible — the contract falls
+    back to struct mode (fixed keys route, extra keys go kernel) with
+    kernel-exact verdicts; with no fixed properties at all it stays
+    whole on the kernel with a published reason."""
+    mixed = {"type": "object",
+             "properties": {"id": {"type": "string", "minLength": 2}},
+             "additionalProperties": {"type": "integer", "minimum": 0}}
+    plan = analyze_json_contract(mixed)
+    assert plan.map_value is None and plan.routable
+    assert set(plan.fields) == {"id"}
+
+    no_fixed = {"type": "object",
+                "patternProperties": {"^a": {"type": "integer"},
+                                       "^b": {"type": "string"}}}
+    plan2 = analyze_json_contract(no_fixed)
+    assert not plan2.routable and plan2.reasons, plan2
+
+    docs = ['{"id":"ab"}', '{"id":"a"}', '{"id":"ab","z":3}',
+            '{"id":"ab","z":-1}', '{"z":5}', '{"id":7}', 'junk',
+            '{"a":1,"b":"x"}', '{"a":"x"}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    for contract in (mixed, no_fixed):
+        out = with_valid_json(df, "doc", contract,
+                              route_col="route").collect()
+        expected = _kernel_verdicts(contract, docs)
+        bad = [(r["doc"], r["valid"], expected[r["doc"]])
+               for r in out if r["valid"] != expected[r["doc"]]]
+        assert not bad, (contract, bad)
+    routes = {r["doc"]: r["route"] for r in with_valid_json(
+        df, "doc", mixed, route_col="route").collect()}
+    assert routes['{"id":"ab"}'] == "columnar"
+    assert routes['{"id":"ab","z":3}'] == "kernel"    # extra key

@@ -993,3 +993,138 @@ def test_sequential_baseline_multiscan_jpeg():
     assert got.shape == want.shape
     assert (got == want).all(), \
         int(np.abs(got.astype(int) - want.astype(int)).max())
+
+
+def test_progressive_jpeg_with_restart_markers():
+    """Restart markers inside progressive scans must reset the DC
+    predictor AND the EOB run at each interval (T.81 G.1.1) — pinned
+    by a hand-built SOF2 stream with DRI in both scan types, decoding
+    pixel-equal to the baseline encoding."""
+    import struct
+
+    import numpy as np
+
+    from jema_js_spark.operators.multimodal import (
+        _decode_jpeg, _jpeg_coeff_blocks, _jpeg_planes, _JpegBitWriter,
+        jpeg_bytes)
+
+    xs = np.linspace(0, 250, 29)
+    arr = np.tile(xs, (17, 1)).astype(np.uint8)[..., None]
+    h, w, nc, planes3, sub = _jpeg_planes(arr, False, "444")
+    q = np.full(64, 16, dtype=np.int64)
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    coeffs = _jpeg_coeff_blocks(planes3, q, 1, 1, bw_, bh_)[0]
+
+    dc_values = list(range(12))
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_values = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_values)
+    dc_code = {v: (i, 4) for i, v in enumerate(dc_values)}
+    ac_code = {v: (i, 8) for i, v in enumerate(ac_values)}
+
+    interval = 3
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
+        + bytes(int(x) for x in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes([1, 0x11, 0])
+    for tc, counts, values in ((0, dc_counts, dc_values),
+                               (1, ac_counts, ac_values)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tc << 4]) + bytes(counts) + bytes(values)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, interval)
+
+    # DC-first scan with restarts: predictor resets per interval
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" \
+        + b"\x00\x00\x00"
+    wtr = _JpegBitWriter()
+    pred, unit, rst = 0, 0, 0
+    blocks = [coeffs[by, bx] for by in range(bh_) for bx in range(bw_)]
+    body = bytearray()
+    for zz in blocks:
+        if unit and unit % interval == 0:
+            wtr.align()
+            body += wtr.out + bytes([0xFF, 0xD0 + rst % 8])
+            wtr = _JpegBitWriter()
+            rst += 1
+            pred = 0
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = int(abs(diff)).bit_length()
+        c, ln = dc_code[s]
+        wtr.put(c, ln)
+        if s:
+            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        unit += 1
+    wtr.align()
+    body += wtr.out
+    out += body
+
+    # AC-first scan (1..63) with restarts: EOB run must flush at each
+    def emit_ac(wtr, zz, eobrun):
+        ts = [int(zz[k]) for k in range(1, 64)]
+        if not any(ts):
+            eobrun += 1
+            return eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            c, ln = ac_code[nb << 4]
+            wtr.put(c, ln)
+            if nb:
+                wtr.put(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+        r = 0
+        for t in ts:
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_code[0xF0]
+                wtr.put(c, ln)
+                r -= 16
+            s = int(abs(t)).bit_length()
+            c, ln = ac_code[(r << 4) | s]
+            wtr.put(c, ln)
+            wtr.put(t if t >= 0 else t + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+        return eobrun
+
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00" \
+        + b"\x01\x3f\x00"
+    wtr = _JpegBitWriter()
+    eobrun, unit = 0, 0
+    body = bytearray()
+    for zz in blocks:
+        if unit and unit % interval == 0:
+            if eobrun:                    # flush before the marker
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_code[nb << 4]
+                wtr.put(c, ln)
+                if nb:
+                    wtr.put(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+            wtr.align()
+            body += wtr.out + bytes([0xFF, 0xD0 + rst % 8])
+            wtr = _JpegBitWriter()
+            rst += 1
+        eobrun = emit_ac(wtr, zz, eobrun)
+        unit += 1
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        c, ln = ac_code[nb << 4]
+        wtr.put(c, ln)
+        if nb:
+            wtr.put(eobrun & ((1 << nb) - 1), nb)
+    wtr.align()
+    body += wtr.out
+    out += body + b"\xff\xd9"
+
+    got = _decode_jpeg(bytes(out))
+    want = _decode_jpeg(jpeg_bytes(arr))
+    assert got.shape == want.shape
+    assert (got == want).all(), \
+        int(np.abs(got.astype(int) - want.astype(int)).max())
