@@ -691,3 +691,39 @@ def test_mixed_value_types_fall_through_to_struct_mode(spark):
         df, "doc", mixed, route_col="route").collect()}
     assert routes['{"id":"ab"}'] == "columnar"
     assert routes['{"id":"ab","z":3}'] == "kernel"    # extra key
+
+
+@pytest.mark.parametrize("shape", ["union", "masked"])
+def test_plane_b_compiled_contract_both_shapes(spark, shape):
+    """A routable contract whose COMPILED plan still carries Plane-B
+    checks (uncovered unevaluatedProperties claims → whole-node kernel
+    fallback): verdicts stay kernel-exact on both plan shapes — the
+    masked shape runs the embedded kernel check per row (documented
+    cost), never a different answer."""
+    from jema_js_spark.compiler.compile import SchemaCompiler
+
+    contract = {
+        "type": "object",
+        "properties": {"k": {"type": "integer"},
+                        "name": {"type": "string"}},
+        "anyOf": [{"required": ["k"]},
+                   {"properties": {"alias": {"type": "string"}},
+                    "required": ["alias"]}],
+        "unevaluatedProperties": False,
+    }
+    plan = analyze_json_contract(contract)
+    assert plan.routable, plan.reasons
+    compiled = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+        F.lit(None).cast(plan.struct_type()), plan.struct_type())
+    assert compiled.coverage()["plane_b_checks"] > 0   # the premise
+
+    docs = ['{"k":1}', '{"k":1,"name":"a"}', '{"name":"a"}', '{}',
+            '{"k":"s"}', '{"k":1,"z":2}', 'junk', '{"alias":"b"}',
+            '{"k":null}', '{"alias":"b","name":"c"}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", contract, route_col="route",
+                          plan_shape=shape).collect()
+    expected = _kernel_verdicts(contract, docs)
+    bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, bad
