@@ -504,6 +504,50 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
             out = out.withColumn(route_col, F.lit("kernel"))
         return out
 
+    b3, route, compiled, work = _routing_pieces(
+        df, json_col, schema, plan, format_assertion)
+    doc = F.col(json_col)
+
+    shape = "union" if plan_shape == "auto" else plan_shape
+
+    if shape == "masked":
+        out = b3.withColumn(col_name, F.when(
+            route, compiled.valid_column()).otherwise(
+            F.coalesce(kernel_pred(F.when(~route, doc)), F.lit(False))))
+        if route_col:
+            out = out.withColumn(route_col, F.when(
+                route, F.lit("columnar")).otherwise(F.lit("kernel")))
+        return out.drop(*work)
+
+    fast = (b3.filter(route)
+            .withColumn(col_name, compiled.valid_column())
+            .drop(*work))
+    # residue rebalance (round 6): shuffles ONLY non-conforming rows
+    # (working columns dropped first — the struct/variant never ship),
+    # so near-empty residue partitions coalesce under AQE and the
+    # Python worker handshake isn't paid 96× for nothing.  Measured:
+    # 2.05 s → 1.16 s at 1M all-conforming docs.  Streaming plans skip
+    # the hint (AQE does not apply to microbatches).
+    slow = b3.filter(~route).drop(*work)
+    if not slow.isStreaming:
+        slow = slow.hint("rebalance")
+    slow = slow.withColumn(
+        col_name, F.coalesce(kernel_pred(doc), F.lit(False)))
+    if route_col:
+        fast = fast.withColumn(route_col, F.lit("columnar"))
+        slow = slow.withColumn(route_col, F.lit("kernel"))
+    return fast.unionByName(slow)
+
+
+def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
+                    plan: JsonColumnPlan, format_assertion: bool):
+    """The shared routing construction for a ROUTABLE contract: the
+    staged DataFrame (parse → round-trip shortcut → lazy variant), the
+    per-row ``route`` predicate, the compiled Plane-A plan over the
+    typed extraction, and the working-column names to drop.  Used by
+    :func:`with_valid_json` (verdicts) and :func:`json_violation_rows`
+    (screening — which needs the route and the columnar verdict but NOT
+    a kernel verdict pass)."""
     reserved = {"__jp", "__jsc", "__jv"} & set(df.columns)
     if reserved:
         raise ValueError(
@@ -624,36 +668,7 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
         schema, format_assertion=format_assertion) \
         .compile_plan_for_column(p, struct_type)
 
-    shape = "union" if plan_shape == "auto" else plan_shape
-
-    work = ["__jp", "__jsc", "__jv"]
-    if shape == "masked":
-        out = b3.withColumn(col_name, F.when(
-            route, compiled.valid_column()).otherwise(
-            F.coalesce(kernel_pred(F.when(~route, doc)), F.lit(False))))
-        if route_col:
-            out = out.withColumn(route_col, F.when(
-                route, F.lit("columnar")).otherwise(F.lit("kernel")))
-        return out.drop(*work)
-
-    fast = (b3.filter(route)
-            .withColumn(col_name, compiled.valid_column())
-            .drop(*work))
-    # residue rebalance (round 6): shuffles ONLY non-conforming rows
-    # (working columns dropped first — the struct/variant never ship),
-    # so near-empty residue partitions coalesce under AQE and the
-    # Python worker handshake isn't paid 96× for nothing.  Measured:
-    # 2.05 s → 1.16 s at 1M all-conforming docs.  Streaming plans skip
-    # the hint (AQE does not apply to microbatches).
-    slow = b3.filter(~route).drop(*work)
-    if not slow.isStreaming:
-        slow = slow.hint("rebalance")
-    slow = slow.withColumn(
-        col_name, F.coalesce(kernel_pred(doc), F.lit(False)))
-    if route_col:
-        fast = fast.withColumn(route_col, F.lit("columnar"))
-        slow = slow.withColumn(route_col, F.lit("kernel"))
-    return fast.unionByName(slow)
+    return b3, route, compiled, ["__jp", "__jsc", "__jv"]
 
 
 def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
@@ -669,11 +684,15 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     messages come straight from the kernel, so they are byte-identical
     to the reference's).
 
-    Scale shape: the columnar route screens first — VALID rows (on
-    either plane) emit nothing by construction, so the Python
-    error-materializing stage runs ONLY over the invalid residue.  On
-    healthy data the errors pass stays scan-dominated, the same
-    property the row-plane violations path has (SCALE.md).
+    Scale shape (round-6 rework): the columnar route SCREENS, it does
+    not verdict — residue = every row except the columnar-routed-and-
+    columnar-valid ones, computed with zero Python (the kernel verdict
+    pass the round-5 implementation ran over the residue was redundant:
+    ``iter_errors`` itself emits nothing for valid documents).  The
+    residue is rebalanced before the single Python stage, so on healthy
+    data the errors pass stays scan-dominated with one small Python
+    tail — the same property the row-plane violations path has
+    (SCALE.md).
 
     Unparseable documents (malformed JSON — a state the reference's
     in-memory API cannot even receive) emit a single synthetic row
@@ -687,14 +706,19 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     from jema_js_spark.kernel.jstypes import js_to_string
 
     id_cols = list(id_cols or [])
-    routed = with_valid_json(df.select(*id_cols, json_col), json_col,
-                             schema, col_name="__jv_valid",
-                             format_assertion=format_assertion,
-                             remotes=remotes)
-    residue = routed.filter(~F.col("__jv_valid"))
-
+    base = df.select(*id_cols, json_col)
     if not isinstance(schema, Schema):
         schema = Schema(schema)
+    plan = analyze_json_contract(schema)
+    if plan.routable:
+        b3, route, compiled, work = _routing_pieces(
+            base, json_col, schema, plan, format_assertion)
+        residue = b3.filter(~(route & F.coalesce(
+            compiled.valid_column(), F.lit(False)))).drop(*work)
+    else:
+        residue = base                     # iter_errors screens itself
+    if not residue.isStreaming:
+        residue = residue.hint("rebalance")
     schema_json = _json.dumps(schema.schema)
     remotes_json = _json.dumps(remotes) if remotes else None
 
@@ -745,4 +769,4 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
                                        "", str(exc)[:200]])
             yield pd.DataFrame(rows, columns=cols)
 
-    return residue.drop("__jv_valid").mapInPandas(run, out_schema)
+    return residue.mapInPandas(run, out_schema)
