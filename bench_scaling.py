@@ -324,9 +324,13 @@ are the measured engine baselines for future rounds.
   same-session INTERLEAVED kernel/route pairs at 1M docs give
   1.6–2.1× (kernel 3.8–4.2 s, route 1.8–2.5 s, ambient loadavg
   4–10); isolated route passes reached 1.16 s on a quiet moment.
-  r5's like-for-like was ~1.0–1.2×, so the rebuild roughly doubles
-  the route's margin; the r5 bullet above describes the superseded
-  implementation.  Dynamic-key contracts now route via
+  At 4.8M docs — where the fixed job-dispatch and Python-handshake
+  floors amortize — the same interleaved protocol gives 2.9–3.0×
+  (kernel 17.3–17.7 s vs route 5.8–6.0 s over three pairs): the
+  route's margin GROWS with data size, which is the property that
+  matters at 10^12 rows.  r5's like-for-like was ~1.0–1.2×; the r5
+  bullet above describes the superseded implementation.
+  Dynamic-key contracts now route via
   `map<string,T>` extraction.  `json_mixed` + `json_route_rate`
   (VERDICT r5 #3) pin the routed fraction of a deterministic
   80%-conforming stream so a routing-gate regression shows in BENCH
