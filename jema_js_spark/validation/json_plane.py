@@ -43,9 +43,12 @@ This module routes each row at runtime, entirely JVM-side:
      (tiny on a healthy corpus) and collapses near-empty partitions so
      the per-task Python worker handshake isn't paid by partitions
      that routed everything columnar.  Python touches ONLY residue
-     rows.  Measured round 6 (same-session interleaved pairs, 1M-doc
-     representative workload): 1.6-2.1× over the kernel (route
-     1.8-2.5 s vs kernel 3.8-4.2 s; best isolated route pass 1.16 s).
+     rows.  Measured round 6 (same-harness MIN-of-3 per level,
+     bench_scaling.py, quiet box): 3.0-4.3× over the kernel on the
+     representative stream (4.32× at 2 threads/1.2M docs, 3.40× at
+     8/4.8M, 3.05× at 32/4.8M; ~1.07M docs/s at 32 threads);
+     floor-dominated 1M-doc interleaved pairs under ambient load
+     read 1.6-2.1×.
    - ``masked`` (opt-in): ONE pass over the source; the kernel UDF is
      projected for every row (an ArrowEvalPython node cannot be
      skipped per-row) but its input is masked to SQL NULL for routed

@@ -942,3 +942,26 @@ def test_nested_map_null_entries_bridge_on_plane_b(spark):
 
     for d, g in zip(data, got):
         assert bool(g) == v.validate(bridge(d)), (d, g)
+
+
+def test_map_column_enum_const_deep_equality(spark):
+    """enum/const against map columns go through the Plane-B deep-
+    equality fallback — the cleaned handoff must make {"a":1,"b":null}
+    equal the schema value {"a":1} (bridge: null value ⇔ absent), at
+    the top level and nested."""
+    mt = T.MapType(T.StringType(), T.LongType())
+    data = [{"a": 1}, {"a": 1, "b": None}, {"a": 2}, {"b": None},
+            {}, None, {"a": None}]
+    df = spark.createDataFrame([(d,) for d in data],
+                               T.StructType([T.StructField("m", mt, True)]))
+    for contract in ({"const": {"a": 1}},
+                     {"enum": [{"a": 1}, {}]},
+                     {"not": {"const": {"a": 1}}}):
+        plan = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+            F.col("m"), mt)
+        got = [r[0] for r in df.select(plan.valid_column()).collect()]
+        v = Validator(Schema(contract))
+        for d, g in zip(data, got):
+            kd = None if d is None else {k: x for k, x in d.items()
+                                         if x is not None}
+            assert bool(g) == v.validate(kd), (contract, d, g)
