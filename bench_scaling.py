@@ -219,6 +219,7 @@ def main() -> None:
              for c in (2, 8, 32)}
     assert route[8]["valid"] == kernel[8]["valid"]   # cross-plane parity
     assert route[2]["valid"] == kernel[2]["valid"]
+    assert route[32]["valid"] == kernel[32]["valid"]
     r_thr = {c: k_docs[c] / route[c]["sec"] for c in route}
     r_eff_sub = (r_thr[8] / r_thr[2]) / 4
     r_eff = (r_thr[32] / r_thr[8]) / 4

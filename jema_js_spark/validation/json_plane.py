@@ -695,7 +695,12 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     residue is rebalanced before the single Python stage, so on healthy
     data the errors pass stays scan-dominated with one small Python
     tail — the same property the row-plane violations path has
-    (SCALE.md).
+    (SCALE.md).  The JVM screen applies only when the compiled plan is
+    pure Plane A: a Plane-B check inside the screen filter would
+    project its kernel UDF over EVERY row, so such contracts (and
+    unroutable ones) skip the screen — ``iter_errors`` does its own
+    screening — and keep the source's partitioning (a rebalance of the
+    WHOLE input would add a full-corpus shuffle for nothing).
 
     Unparseable documents (malformed JSON — a state the reference's
     in-memory API cannot even receive) emit a single synthetic row
@@ -713,14 +718,20 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     plan = analyze_json_contract(schema)
+    screened = False
     if plan.routable:
         b3, route, compiled, work = _routing_pieces(
             base, json_col, schema, plan, format_assertion)
-        residue = b3.filter(~(route & F.coalesce(
-            compiled.valid_column(), F.lit(False)))).drop(*work)
-    else:
+        if compiled.coverage()["plane_b_checks"] == 0:
+            residue = b3.filter(~(route & F.coalesce(
+                compiled.valid_column(), F.lit(False)))).drop(*work)
+            screened = True
+    if not screened:
         residue = base                     # iter_errors screens itself
-    if not residue.isStreaming:
+    elif not residue.isStreaming:
+        # the screened residue is a (usually tiny) filtered subset —
+        # rebalance so empty partitions skip the Python stage; the
+        # unscreened whole-input path keeps the scan partitioning
         residue = residue.hint("rebalance")
     schema_json = _json.dumps(schema.schema)
     remotes_json = _json.dumps(remotes) if remotes else None

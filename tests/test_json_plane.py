@@ -598,11 +598,11 @@ def test_union_shape_python_only_on_residue(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("simple"))
     assert plan.count("ArrowEvalPython") == 1, plan
-    # the Python node's subtree contains the rebalance Exchange: Python
+    # the Python node's DIRECT child is the rebalance Exchange: Python
     # runs on post-shuffle residue partitions, never on the scan side
-    python_part = plan[plan.index("ArrowEvalPython"):]
-    assert "Exchange" in python_part.split("Union")[0] \
-        or "Exchange" in python_part, plan
+    # (round-6 review find: the previous or-form was a tautology)
+    import re
+    assert re.search(r"ArrowEvalPython[^\n]*\n[^\n]*Exchange", plan), plan
 
 
 def test_formatting_perturbation_fuzz(spark):
@@ -727,3 +727,53 @@ def test_plane_b_compiled_contract_both_shapes(spark, shape):
     bad = [(r["doc"], r["route"], r["valid"], expected[r["doc"]])
            for r in out if r["valid"] != expected[r["doc"]]]
     assert not bad, bad
+
+
+def test_errors_path_screen_gating_plans(spark):
+    """Round-6 review finds, pinned in the physical plan: the errors
+    path's JVM screen applies ONLY for pure-Plane-A compiled plans
+    (a Plane-B check in the filter would project its kernel UDF over
+    every row), and the whole-input fallback paths add NO rebalance
+    shuffle over the full corpus."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    df = spark.createDataFrame([(1, '{"k":1}')], "i long, doc string")
+
+    def phys(contract):
+        out = json_violation_rows(df, "doc", contract, id_cols=["i"])
+        return out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+
+    # pure Plane A: screened + rebalanced, no ArrowEvalPython verdict UDF
+    pure = {"type": "object", "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0}}}
+    p = phys(pure)
+    assert "ArrowEvalPython" not in p, p
+    assert "Exchange" in p and "MapInPandas" in p, p
+
+    # Plane-B-carrying routable contract: no screen, no full-input
+    # shuffle, no per-row verdict UDF — just the single MapInPandas
+    from jema_js_spark.compiler.compile import SchemaCompiler
+
+    planeb = {
+        "type": "object",
+        "properties": {"k": {"type": "integer"},
+                        "name": {"type": "string"}},
+        "anyOf": [{"required": ["k"]},
+                   {"properties": {"alias": {"type": "string"}},
+                    "required": ["alias"]}],
+        "unevaluatedProperties": False,
+    }
+    bplan = analyze_json_contract(planeb)
+    assert bplan.routable
+    bcompiled = SchemaCompiler(Schema(planeb)).compile_plan_for_column(
+        F.lit(None).cast(bplan.struct_type()), bplan.struct_type())
+    assert bcompiled.coverage()["plane_b_checks"] > 0   # the premise
+    p2 = phys(planeb)
+    assert "ArrowEvalPython" not in p2, p2
+    assert "Exchange" not in p2 and "MapInPandas" in p2, p2
+
+    # unroutable contract: same whole-input shape
+    p3 = phys({"type": "object", "minProperties": 1})
+    assert "Exchange" not in p3 and "MapInPandas" in p3, p3
