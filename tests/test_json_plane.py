@@ -777,3 +777,34 @@ def test_errors_path_screen_gating_plans(spark):
     # unroutable contract: same whole-input shape
     p3 = phys({"type": "object", "minProperties": 1})
     assert "Exchange" not in p3 and "MapInPandas" in p3, p3
+
+
+def test_oversized_docs_route_matches_kernel(spark):
+    """Stress shapes: 10k-element arrays, 100k-char strings, deeply
+    nested extra-key values, and a 5k-key map — the gates must stay
+    crash-free (no giant-expression hazards) and verdict-exact."""
+    big_xs = "[" + ",".join(str(i % 12) for i in range(10000)) + "]"
+    big_name = "user" + "9" * 100000
+    deep_extra = '{"a":' * 200 + "1" + "}" * 200
+    docs = [
+        '{"k":1,"name":"user1","xs":%s}' % big_xs,
+        '{"k":1,"name":"%s","xs":[1,2,3]}' % big_name,
+        '{"k":1,"name":"user1","xs":[1,2,3],"extra":%s}' % deep_extra,
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", CONTRACT, route_col="route").collect()
+    expected = _kernel_verdicts(CONTRACT, docs)
+    for r in out:
+        assert r["valid"] == expected[r["doc"]], (r["doc"][:60], r["route"])
+
+    map_contract = {"type": "object",
+                    "additionalProperties": {"type": "integer",
+                                             "minimum": 0}}
+    wide = "{" + ",".join(f'"k{i}":{i % 7}' for i in range(5000)) + "}"
+    wide_bad = "{" + ",".join(f'"k{i}":{i % 7}' for i in range(4999)) \
+        + ',"z":-1}'
+    df2 = spark.createDataFrame([(wide,), (wide_bad,)], "doc string")
+    out2 = {r["doc"]: (r["valid"], r["route"]) for r in with_valid_json(
+        df2, "doc", map_contract, route_col="route").collect()}
+    assert out2[wide] == (True, "columnar")
+    assert out2[wide_bad][0] is False
