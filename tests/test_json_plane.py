@@ -808,3 +808,63 @@ def test_oversized_docs_route_matches_kernel(spark):
         df2, "doc", map_contract, route_col="route").collect()}
     assert out2[wide] == (True, "columnar")
     assert out2[wide_bad][0] is False
+
+
+def test_conformance_corpus_through_route(spark):
+    """The conformance corpus itself through with_valid_json: every
+    object-data case whose schema the analyzer deems routable must get
+    its corpus-expected verdict through the ROUTE (shortcut, gates, or
+    kernel residue alike).  Schemas are batched per contract; the
+    per-contract docs become a JSON column.  This ties the route to the
+    same 48-file suite the kernel parity runs on, beyond the
+    hand-built batteries."""
+    from collections import defaultdict
+
+    from tests.suite_cases import CASES, REMOTES, expected_for
+
+    by_schema = defaultdict(list)
+    for c in CASES:
+        if not isinstance(c.schema, dict) or not isinstance(c.data, dict):
+            continue
+        try:
+            key = json.dumps(c.schema, sort_keys=True)
+        except (TypeError, ValueError):
+            continue
+        by_schema[key].append(c)
+
+    import random
+    rng = random.Random(424)
+    routable = []
+    for key, cs in by_schema.items():
+        contract = cs[0].schema
+        try:
+            if analyze_json_contract(contract).routable:
+                routable.append((contract, cs))
+        except Exception:
+            continue
+    assert len(routable) >= 30, len(routable)
+    # 31 routable schemas / 93 cases as of round 6 — min(60, n) keeps
+    # the whole set today and caps CI cost if the corpus grows
+    sample = rng.sample(routable, min(60, len(routable)))
+
+    mismatches = []
+    for contract, cs in sample:
+        docs, want = [], {}
+        for i, c in enumerate(cs):
+            try:
+                d = json.dumps(c.data)
+            except (TypeError, ValueError):
+                continue
+            docs.append((i, d))
+            want[i] = expected_for(c)
+        if not docs:
+            continue
+        df = spark.createDataFrame(docs, "i long, doc string")
+        out = with_valid_json(df, "doc", contract,
+                              remotes=REMOTES).collect()
+        for r in out:
+            if r["valid"] != want[r["i"]]:
+                mismatches.append((contract, cs[r["i"]].desc,
+                                   r["valid"], want[r["i"]]))
+    assert not mismatches, \
+        f"{len(mismatches)} mismatches; first: {mismatches[:2]}"
