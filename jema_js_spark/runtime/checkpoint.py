@@ -86,10 +86,12 @@ def hive_partition_keys(spark: SparkSession, path: str,
                 # directory names carry Hive %xx escaping (round-6
                 # review find: filtering on the ESCAPED value matches
                 # zero rows and the ledger marks the day done anyway);
-                # the null partition gets the planner's null sentinel
-                out.append(NULL_KEY if raw == "__HIVE_DEFAULT_PARTITION__"
+                # the null partition is returned as None — the planner
+                # maps it to its sentinel and can then detect a GENUINE
+                # value colliding with that sentinel
+                out.append(None if raw == "__HIVE_DEFAULT_PARTITION__"
                            else unquote(raw))
-        return sorted(out)
+        return sorted(out, key=lambda k: (k is None, str(k)))
     return provider
 
 
@@ -105,7 +107,12 @@ def iceberg_partition_keys(spark: SparkSession, table: str,
         rows = spark.sql(
             f"SELECT DISTINCT partition.`{field}` AS k "
             f"FROM {table}.partitions").collect()
-        return sorted(str(r["k"]) for r in rows)
+        # raw values, NOT str(): a NULL partition must reach
+        # run_partitioned as None so its NULL_KEY mapping (and the
+        # isNull filter) fires — str(None) would filter col=='None',
+        # process zero rows, and mark the day done (silent skip)
+        return sorted((r["k"] for r in rows),
+                      key=lambda k: (k is None, str(k)))
     return provider
 
 
@@ -126,11 +133,20 @@ def run_partitioned(spark: SparkSession, df: DataFrame, partition_col,
     input."""
     pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
     if key_provider is not None:
-        keys = [NULL_KEY if k is None else str(k) for k in key_provider()]
+        raw = list(key_provider())
     else:
-        keys = [NULL_KEY if r["__pk"] is None else r["__pk"] for r in
-                df.select(pcol.cast("string").alias("__pk"))
-                .distinct().collect()]
+        raw = [r["__pk"] for r in
+               df.select(pcol.cast("string").alias("__pk"))
+               .distinct().collect()]
+    # a GENUINE partition value equal to the null sentinel would be
+    # filtered as isNull → zero rows processed, ledger marks it done —
+    # the exact silent skip the sentinel exists to prevent.  Refuse
+    # loudly: that value space needs a different sentinel, not a guess.
+    if NULL_KEY in raw:
+        raise ValueError(
+            f"partition value collides with the null sentinel "
+            f"{NULL_KEY!r}; rename the value or use a custom ledger key")
+    keys = [NULL_KEY if k is None else str(k) for k in raw]
     done = set(ledger.completed_keys())
     results: Dict[str, dict] = {}
     for key in sorted(keys):

@@ -120,11 +120,13 @@ _EXACT_LONG = 1 << 53
 # exact, a double would not.  Array form: the token must be delimited
 # by array syntax so digit runs inside fractions don't match.  The
 # doc-wide form (map routing: dynamic keys have no per-key raw path)
-# also admits ':' delimiters; a hit anywhere — even inside a string
-# value — routes to the kernel, which only costs speed, never a verdict.
+# also admits ':' and '"' delimiters so a hit anywhere — even a quoted
+# token inside a string value — routes to the kernel, which only costs
+# speed, never a verdict (string-tagged values fail the number gates
+# regardless; the quote classes just keep the comment honest).
 _BIG_INT_SCALAR = r"^-?[0-9]{16,}$"
 _BIG_INT_IN_ARRAY = r"(^|[\[,\s])-?[0-9]{16,}([,\]\s]|$)"
-_BIG_INT_ANYWHERE = r"(^|[\[,:\s])-?[0-9]{16,}([,\]}\s]|$)"
+_BIG_INT_ANYWHERE = "(^|[\\[,:\\s\"])-?[0-9]{16,}([,\\]}\\s\"]|$)"
 
 # DECIMAL(p,s) admitted while the integer part fits 15 digits exactly
 _DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"

@@ -787,7 +787,9 @@ def test_checkpoint_hive_keys_unescape_and_null_partition(spark):
         path = f"{tmp}/tbl"
         df.write.partitionBy("day").parquet(path)
         provider = hive_partition_keys(spark, path, "day")
-        assert provider() == [NULL_KEY, "a:b", "plain"]
+        # providers return the RAW null (None sorts last); the planner
+        # owns the sentinel mapping so it can also detect collisions
+        assert provider() == ["a:b", "plain", None]
 
         src = spark.read.parquet(path)
         counts = {}
@@ -803,6 +805,59 @@ def test_checkpoint_hive_keys_unescape_and_null_partition(spark):
             run_partitioned(spark, src, "day", ledger, work,
                             key_provider=kp)
             assert counts == {"a:b": 2, "plain": 1, NULL_KEY: 2}, counts
+
+
+def test_checkpoint_iceberg_provider_keeps_raw_null(spark):
+    """ADVICE r6 (medium): the Iceberg provider used to str() every
+    value, turning a NULL partition into the string 'None' — the
+    planner's col=='None' filter then processed ZERO rows and the
+    ledger marked the day done (silent skip).  The provider must
+    return the raw None so run_partitioned's NULL_KEY mapping and
+    isNull filter fire.  Mirrors the `.partitions` metadata-table
+    shape with a real database table."""
+    from jema_js_spark.runtime.checkpoint import (NULL_KEY,
+                                                  iceberg_partition_keys)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ice_meta_t")
+    try:
+        (spark.createDataFrame([("d1",), ("d2",), (None,)], "day string")
+         .select(F.struct(F.col("day")).alias("partition"))
+         .write.mode("overwrite").saveAsTable("ice_meta_t.partitions"))
+        keys = iceberg_partition_keys(spark, "ice_meta_t", "day")()
+        assert keys == ["d1", "d2", None]
+
+        df = spark.createDataFrame(
+            [(1, "d1"), (2, None), (3, None)], "id long, day string")
+        counts = {}
+
+        def work(part, key):
+            counts[key] = part.count()
+            return {"n": counts[key]}
+
+        with tempfile.TemporaryDirectory() as tmp:
+            ledger = CheckpointLedger(spark, f"{tmp}/ledger", run_id="i1")
+            run_partitioned(spark, df, "day", ledger, work,
+                            key_provider=lambda: ["d1", None])
+        assert counts == {"d1": 1, NULL_KEY: 2}, counts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ice_meta_t.partitions")
+        spark.sql("DROP DATABASE IF EXISTS ice_meta_t")
+
+
+def test_checkpoint_sentinel_collision_raises(spark):
+    """ADVICE r6 (low): a GENUINE partition value equal to the null
+    sentinel would be filtered isNull → zero rows, ledger done.  The
+    planner refuses loudly instead, on both planning paths."""
+    from jema_js_spark.runtime.checkpoint import NULL_KEY
+
+    df = spark.createDataFrame(
+        [(1, NULL_KEY), (2, "ok")], "id long, day string")
+    with tempfile.TemporaryDirectory() as tmp:
+        ledger = CheckpointLedger(spark, f"{tmp}/ledger", run_id="c1")
+        for kp in (lambda: [NULL_KEY, "ok"], None):
+            with pytest.raises(ValueError, match="null sentinel"):
+                run_partitioned(spark, df, "day", ledger,
+                                lambda part, key: {}, key_provider=kp)
 
 
 def test_custom_audio_decoder_accepts_1d_mono(spark):
