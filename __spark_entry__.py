@@ -180,13 +180,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                "minimum": 0, "maximum": 80}}
         assert analyze_json_contract(map_schema).map_value == \
             ("integer", None)
+        # round 7: a NESTED document (object-in-object) synthesized from
+        # the event columns, validated through the recursive struct
+        # route — `meta` must analyze as a nested object node and the
+        # enum-typed `etype` exercises the heuristic slot inference.
+        # The DuckDB twin states the same verdict over the raw columns.
+        nested_schema = {
+            "type": "object", "required": ["id", "meta"],
+            "properties": {
+                "id": {"type": "integer", "minimum": 0},
+                "meta": {
+                    "type": "object", "required": ["etype", "v"],
+                    "properties": {
+                        "etype": {"enum": ["click", "view",
+                                           "purchase", "signup"]},
+                        "v": {"type": "number", "minimum": 0.5,
+                              "maximum": 150}}}}}
+        nplan = analyze_json_contract(nested_schema)
+        assert nplan.routable and nplan.fields["meta"][0] == "object", \
+            nplan.reasons
         udf = kernel_validate_udf(schema)
-        routed = with_valid_json(_events(spark, sf_dir), "props", schema,
+        ev = _events(spark, sf_dir).withColumn(
+            "nested_doc", F.to_json(F.struct(
+                F.col("event_id").alias("id"),
+                F.struct(F.col("event_type").alias("etype"),
+                         F.col("value").alias("v")).alias("meta"))))
+        routed = with_valid_json(ev, "props", schema,
                                  col_name="valid_columnar")
         routed = with_valid_json(routed, "props", map_schema,
                                  col_name="valid_map")
+        routed = with_valid_json(routed, "nested_doc", nested_schema,
+                                 col_name="valid_nested")
         return routed.select("event_id", udf(F.col("props")).alias("valid"),
-                             "valid_columnar", "valid_map")
+                             "valid_columnar", "valid_map", "valid_nested")
 
     def q_windowed_verdicts(spark, sf_dir):
         # the batch analog of the streaming windowed-verdict surface:
@@ -839,7 +865,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
                             BETWEEN 0 AND 80, FALSE) AS valid_columnar,
                    coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT)
-                            BETWEEN 0 AND 80, FALSE) AS valid_map
+                            BETWEEN 0 AND 80, FALSE) AS valid_map,
+                   -- the nested doc is to_json(struct(id, meta(etype, v)))
+                   -- built from these very columns, so the contract's
+                   -- verdict restates directly over them
+                   coalesce(event_id >= 0
+                            AND event_type IN ('click', 'view',
+                                               'purchase', 'signup')
+                            AND value BETWEEN 0.5 AND 150,
+                            FALSE) AS valid_nested
             FROM events""",
         "text_features": f"""
             WITH t AS (

@@ -310,7 +310,7 @@ class SchemaCompiler:
     # -- public -----------------------------------------------------------
     def compile_plan(self, df: DataFrame) -> "CompiledPlan":
         root = _TExpr(None, None, is_row=True, row_fields=list(df.schema.fields))
-        checks = self._compile_node(self.schema.schema, root, (), (), set())
+        checks = self._compile_root(root)
         return CompiledPlan(checks=checks, compiler=self)
 
     def compile_plan_for_column(self, col: Column,
@@ -321,8 +321,28 @@ class SchemaCompiler:
         itself, so the schema's root applies to the column, not the
         row shape."""
         texpr = _TExpr(col, dtype)
-        checks = self._compile_node(self.schema.schema, texpr, (), (), set())
+        checks = self._compile_root(texpr)
         return CompiledPlan(checks=checks, compiler=self)
+
+    def _compile_root(self, texpr: _TExpr) -> List["CheckSpec"]:
+        """Root entry shared by both plan shapes.  DYNAMIC-SCOPE GATE
+        (round 7): a scope-sensitive ``$dynamicRef`` (its anchor name
+        carries ≥2 ``$dynamicAnchor`` definitions across resources)
+        resolves through the runtime chain of ENTERED resources, which
+        only exists when the kernel validates from the true root — any
+        Plane-B fallback detached below the root would rebase the ref
+        lexically and can land on the wrong anchor (see
+        ``_dynamic_scope_hazard``).  Such contracts compile as ONE
+        root-level kernel check, mirroring the whole-node unevaluated*
+        gate."""
+        root = self.schema.schema
+        if isinstance(root, dict):
+            hazard = _dynamic_scope_hazard(self.schema)
+            if hazard is not None:
+                return [self._plane_b_check(
+                    dict(root), texpr, ("(dynamic-scope)",), (),
+                    root, "$dynamicRef", owner_node=root)]
+        return self._compile_node(root, texpr, (), (), set())
 
     # -- recursive compile ------------------------------------------------
     def _compile_node(self, node: Any, texpr: _TExpr,
@@ -535,6 +555,62 @@ def _contains_refs(node: Any, at_schema: bool = True) -> bool:
     if isinstance(node, list):
         return any(_contains_refs(x) for x in node)
     return False
+
+
+def _dynamic_scope_hazard(schema: "Schema") -> Optional[str]:
+    """Anchor name of a scope-SENSITIVE ``$dynamicRef`` anywhere in the
+    contract (root document + every registered remote), or None.
+
+    A ``$dynamicRef`` is scope-sensitive exactly when the runtime
+    dynamic scope can change which ``$dynamicAnchor`` it lands on —
+    i.e. when its anchor name is defined as a ``$dynamicAnchor`` more
+    than once across resources (spec §8.2.3.2; the kernel's
+    ``_v_dynamic_ref`` hunts the OUTERMOST in-scope resource).  With a
+    single definition, resolution is scope-independent and the
+    detached-fallback lexical rebase (``_rewrite_local_refs``) is
+    exact; with ≥2, ANY detachment below the validation root loses the
+    resources entered above the fallback node, so the whole plan must
+    compile as ONE root-level kernel check (round-7 find: the dyn-b
+    corpus case routed through the JSON plane and resolved to the
+    inner resource's no-op anchor instead of the outer's
+    ``type: integer``).  Over-approximation is sound — it only moves a
+    contract to Plane B, published via ``coverage()``."""
+    anchor_defs: Dict[str, int] = {}
+    ref_names: set = set()
+
+    def walk(node: Any, at_schema: bool = True) -> None:
+        if isinstance(node, dict):
+            if not at_schema:  # name→schema map: values are schemas
+                for v in node.values():
+                    walk(v)
+                return
+            for k, v in node.items():
+                if k in _DATA_KEYWORDS:
+                    continue
+                if k == "$dynamicAnchor" and isinstance(v, str):
+                    anchor_defs[v] = anchor_defs.get(v, 0) + 1
+                elif k == "$dynamicRef" and isinstance(v, str):
+                    frag = v.split("#", 1)[1] if "#" in v else ""
+                    if frag and "/" not in frag:
+                        ref_names.add(frag)
+                elif k in _NAME_MAP_KEYWORDS and isinstance(v, dict):
+                    walk(v, at_schema=False)
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    seen_docs: set = set()
+    for doc in [schema.schema, *schema.registry._docs.values()]:
+        if id(doc) in seen_docs:
+            continue
+        seen_docs.add(id(doc))
+        walk(doc)
+    for name in sorted(ref_names):
+        if anchor_defs.get(name, 0) >= 2:
+            return name
+    return None
 
 
 def _rewrite_local_refs(node: Any, base_url: str,

@@ -98,7 +98,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jema_js_spark.compiler.compile import CompiledPlan, SchemaCompiler
+from jema_js_spark.compiler.compile import (CompiledPlan, SchemaCompiler,
+                                            _dynamic_scope_hazard)
 from jema_js_spark.schema.frontend import Schema
 
 __all__ = ["analyze_json_contract", "with_valid_json",
@@ -132,16 +133,79 @@ _BIG_INT_ANYWHERE = "(^|[\\[,:\\s\"])-?[0-9]{16,}([,\\]}\\s\"]|$)"
 _DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"
 
 
+# --- the routing type tree (round 7: recursive — nested objects and
+# arrays of objects route instead of falling whole to the kernel) ----
+#
+# A *node* describes one typed slot.  The grammar keeps the flat round-6
+# tuples verbatim (so published layouts and their tests read unchanged)
+# and extends them structurally:
+#
+#   ("integer"|"number"|"string"|"boolean", None)   scalar slot
+#   ("array", "<scalar>")                           array of scalars
+#   ("array", <node>)                               array of objects /
+#                                                   nested arrays
+#   ("object", {name: <node>, ...})                 nested object
+#
+# Depth is capped (``_MAX_NEST``): past it — including any recursive
+# $ref chain, which would otherwise unfold forever — the contract
+# publishes a reason and stays on the kernel plane.
+_MAX_NEST = 12
+
+
+def _node_dtype(node: Tuple[str, Any]) -> T.DataType:
+    decl, extra = node
+    if decl == "object":
+        return T.StructType([T.StructField(n, _node_dtype(c), True)
+                             for n, c in extra.items()])
+    if decl == "array":
+        et = _SCALAR_SPARK[extra] if isinstance(extra, str) \
+            else _node_dtype(extra)
+        return T.ArrayType(et)
+    return _SCALAR_SPARK[decl]
+
+
+def _node_has_integer(node: Tuple[str, Any]) -> bool:
+    decl, extra = node
+    if decl == "integer":
+        return True
+    if decl == "array":
+        return extra == "integer" if isinstance(extra, str) \
+            else _node_has_integer(extra)
+    if decl == "object":
+        return any(_node_has_integer(c) for c in extra.values())
+    return False
+
+
+def _node_needs_doc_screen(node: Tuple[str, Any],
+                           under_elem: bool = False) -> bool:
+    """True when a ``number`` slot sits below an array-of-node element —
+    there is no per-value raw JSON path there, so the ≥16-digit
+    integer-token screen must run doc-wide (computed once per row in
+    the barrier)."""
+    decl, extra = node
+    if decl == "number":
+        return under_elem
+    if decl == "array":
+        if isinstance(extra, str):
+            return under_elem and extra == "number"
+        return _node_needs_doc_screen(extra, True)
+    if decl == "object":
+        return any(_node_needs_doc_screen(c, under_elem)
+                   for c in extra.values())
+    return False
+
+
 @dataclass
 class JsonColumnPlan:
     """Static routing analysis of one contract: a typed field layout
-    (struct mode), a uniform dynamic-key value type (map mode, round 6
-    — contracts built from patternProperties / propertyNames /
+    (struct mode — round 7: recursive, nested objects and arrays of
+    objects included), a uniform dynamic-key value type (map mode,
+    round 6 — contracts built from patternProperties / propertyNames /
     additionalProperties with one scalar/array value type), or the
     reasons the contract stays whole on the kernel plane."""
 
     schema: Any
-    fields: Dict[str, Tuple[str, Optional[str]]] = field(default_factory=dict)
+    fields: Dict[str, Tuple[str, Any]] = field(default_factory=dict)
     map_value: Optional[Tuple[str, Optional[str]]] = None
     reasons: List[str] = field(default_factory=list)
 
@@ -156,14 +220,7 @@ class JsonColumnPlan:
             vt: T.DataType = (T.ArrayType(_SCALAR_SPARK[elem])
                               if decl == "array" else _SCALAR_SPARK[decl])
             return T.MapType(T.StringType(), vt)
-        out = []
-        for name, (decl, elem) in self.fields.items():
-            if decl == "array":
-                dtype: T.DataType = T.ArrayType(_SCALAR_SPARK[elem])
-            else:
-                dtype = _SCALAR_SPARK[decl]
-            out.append(T.StructField(name, dtype, True))
-        return T.StructType(out)
+        return _node_dtype(("object", self.fields))
 
 
 def _declared_type(schema: Schema, node: Any,
@@ -266,22 +323,223 @@ def _collect_dynamic_value_sources(schema: Schema, node: Any,
             schema, schema.registry.ref_targets.get(id(node)), out, seen)
 
 
+# keyword → the single JSON type it constrains; used to pick a slot for
+# TYPELESS subschemas.  ANY slot choice is sound: the routing gates are
+# type-exact and fail closed (a value of any other type takes the
+# kernel), and the compiler folds keywords whose affects-type cannot
+# match the slot — the choice only decides which documents get the fast
+# plane, never a verdict.  Order = pick priority when classes mix.
+_AFFINITY: Tuple[Tuple[str, frozenset], ...] = (
+    ("object", frozenset({
+        "properties", "required", "patternProperties",
+        "additionalProperties", "propertyNames", "minProperties",
+        "maxProperties", "dependentRequired", "dependentSchemas"})),
+    ("array", frozenset({
+        "items", "prefixItems", "minItems", "maxItems", "uniqueItems",
+        "contains", "minContains", "maxContains"})),
+    ("number", frozenset({
+        "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+        "multipleOf"})),
+    ("string", frozenset({"minLength", "maxLength", "pattern"})),
+)
+
+_SLOT_TYPES = ("object", "array", "string", "integer", "number", "boolean")
+
+
+def _enum_type(values: list) -> Optional[str]:
+    """The single scalar JSON type of all enum/const values, or None."""
+    kinds = set()
+    for v in values:
+        if isinstance(v, bool):
+            kinds.add("boolean")
+        elif isinstance(v, int):
+            kinds.add("integer")
+        elif isinstance(v, float):
+            kinds.add("number")
+        elif isinstance(v, str):
+            kinds.add("string")
+        else:
+            return None
+    if kinds == {"integer"}:
+        return "integer"
+    if kinds <= {"integer", "number"} and kinds:
+        return "number"
+    return kinds.pop() if len(kinds) == 1 else None
+
+
+def _slot_decl(schema: Schema, sub: Any,
+               seen: Optional[set] = None) -> Optional[str]:
+    """The slot type for one subschema — round 7's generalization of
+    :func:`_declared_type`.  Resolution order, all signals gathered
+    from conjunctive positions only (the node, allOf branches, $ref
+    targets — never anyOf/oneOf/not/if, which don't force a type):
+
+    1. an explicit single ``type`` (the round-6 rule, unchanged);
+    2. a ``type`` union list → its first supported non-"null" member
+       (the other members' values simply take the kernel plane);
+    3. the common scalar type of ``enum``/``const`` values;
+    4. keyword affinity — the class of type-specific keywords the
+       subschema uses (pick priority ``_AFFINITY`` when mixed);
+    5. otherwise None (callers may default — see ``_build_node``).
+
+    A conjunctive ``false`` schema short-circuits to "boolean": no
+    value can satisfy it, so the slot is arbitrary and the compiled
+    false-check judges whatever routes."""
+    if seen is None:
+        seen = set()
+    single: List[str] = []
+    union: List[str] = []
+    enum_t: List[str] = []
+    classes: List[str] = []
+    has_false = [False]
+
+    def walk(node: Any) -> None:
+        if node is False:
+            has_false[0] = True
+            return
+        if not isinstance(node, dict) or id(node) in seen:
+            return
+        seen.add(id(node))
+        t = node.get("type")
+        if isinstance(t, str):
+            single.append(t)
+        elif isinstance(t, list):
+            union.extend(str(x) for x in t)
+        ev = node.get("enum")
+        if isinstance(ev, list):
+            et = _enum_type(ev)
+            if et:
+                enum_t.append(et)
+        if "const" in node:
+            et = _enum_type([node["const"]])
+            if et:
+                enum_t.append(et)
+        for name, kws in _AFFINITY:
+            if any(k in node for k in kws):
+                classes.append(name)
+        for branch in node.get("allOf") or []:
+            walk(branch)
+        if "$ref" in node:
+            walk(schema.registry.ref_targets.get(id(node)))
+
+    walk(sub)
+    if has_false[0]:
+        return "boolean"
+    if single:
+        return single[0]
+    for t in union:
+        if t != "null" and t in _SLOT_TYPES:
+            return t
+    if enum_t:
+        return enum_t[0]
+    for name, _kws in _AFFINITY:
+        if name in classes:
+            return name
+    return None
+
+
 def _value_decl(schema: Schema, sub: Any) -> Optional[Tuple[str, Optional[str]]]:
-    """(decl, elem) routing type of one value subschema, or None."""
-    d = _declared_type(schema, sub)
+    """(decl, elem) routing type of one map-mode value subschema, or
+    None.  Round 7: uses the generalized :func:`_slot_decl` (keyword
+    affinity, union pick, enum types) with a "string" default for a
+    fully unconstrained value — sound for the same fail-closed reason,
+    see ``_AFFINITY``."""
+    d = _slot_decl(schema, sub)
+    if d is None and isinstance(sub, (dict, bool)):
+        d = "string"
     if d in _SCALAR_SQL:
         return (d, None)
     if d == "array":
-        e = _declared_type(schema, _find_items(schema, sub))
+        items = _find_items(schema, sub)
+        e = _slot_decl(schema, items)
+        if e is None and (items is None or isinstance(items, (dict, bool))):
+            e = "string"
         if e in _SCALAR_SQL:
             return ("array", e)
     return None
 
 
+def _build_node(schema: Schema, sub: Any, label: str,
+                reasons: List[str], depth: int) -> Optional[Tuple[str, Any]]:
+    """Routing node of one property subschema, recursing into nested
+    objects (fixed-key ``properties`` at any depth) and arrays of
+    objects — or None with a published reason.  Depth counts EVERY
+    recursion step, so a recursive $ref chain hits ``_MAX_NEST`` and
+    publishes a reason instead of unfolding forever."""
+    if depth > _MAX_NEST:
+        reasons.append(
+            f"{label}: nesting beyond {_MAX_NEST} levels (or a recursive "
+            "$ref) — kernel only")
+        return None
+    decl = _slot_decl(schema, sub)
+    if decl == "null":
+        # a null-typed slot has no storable value; any slot works:
+        # absent keys route, a present null (or anything routed) is
+        # judged by the compiled type-check exactly like the kernel
+        decl = "string"
+    if decl is None and isinstance(sub, (dict, bool)):
+        # no signal at all (empty schema, anyOf-only, …): default slot
+        # — sound per _AFFINITY's fail-closed argument; only the route
+        # rate for non-string values is affected
+        decl = "string"
+    if decl in _SCALAR_SQL:
+        return (decl, None)
+    if decl == "array":
+        items = _find_items(schema, sub)
+        elem = _slot_decl(schema, items)
+        if elem == "null":
+            elem = "string"
+        if elem is None and (items is None
+                             or isinstance(items, (dict, bool))):
+            elem = "string"
+        if elem in _SCALAR_SQL:
+            return ("array", elem)
+        if elem in ("object", "array"):
+            child = _build_node(schema, items, f"{label} items",
+                                reasons, depth + 1)
+            return None if child is None else ("array", child)
+        reasons.append(
+            f"{label}: array items need a single scalar/object/array "
+            f"type, got {elem!r}")
+        return None
+    if decl == "object":
+        dyn: list = []
+        _collect_dynamic_value_sources(schema, sub, dyn)
+        if dyn:
+            # nested dynamic-key contracts would need a map slot inside
+            # the struct; not routed (yet) — published, never wrong
+            reasons.append(
+                f"{label}: nested dynamic-key value schemas — kernel only")
+            return None
+        srcs: Dict[str, list] = {}
+        _collect_property_sources(schema, sub, srcs)
+        fields: Dict[str, Tuple[str, Any]] = {}
+        ok = True
+        for k, subs in srcs.items():
+            if not _NAME_RE.match(k):
+                reasons.append(
+                    f"{label}.{k}: needs path quoting — kernel only")
+                ok = False
+                continue
+            merged = subs[0] if len(subs) == 1 else {"allOf": subs}
+            child = _build_node(schema, merged, f"{label}.{k}",
+                                reasons, depth + 1)
+            if child is None:
+                ok = False
+            else:
+                fields[k] = child
+        return ("object", fields) if ok else None
+    reasons.append(
+        f"{label}: no single scalar/array type (got {decl!r})")
+    return None
+
+
 def analyze_json_contract(schema: Any) -> JsonColumnPlan:
     """Decide whether a contract's conforming documents are exactly
-    representable as a flat typed struct — or (round 6, VERDICT r5 #6)
-    as a ``map<string, T>`` when the contract types its values through
+    representable as a typed struct — round 7: RECURSIVELY, nested
+    objects become nested ``StructType`` fields and arrays of objects
+    ``ArrayType(StructType)`` — or (round 6, VERDICT r5 #6) as a
+    ``map<string, T>`` when the contract types its values through
     dynamic-key keywords (``patternProperties`` /
     ``additionalProperties``) with ONE scalar/array type.  Unroutable
     contracts are not an error — ``with_valid_json`` just runs them
@@ -297,6 +555,15 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
     if not isinstance(root, dict):
         plan.reasons.append("root schema is boolean — no declared shape")
         return plan
+    hazard = _dynamic_scope_hazard(schema)
+    if hazard is not None:
+        # the compiler hoists such contracts to ONE root-level kernel
+        # check (compile.py _compile_root) — routing would pay parse +
+        # gates to reach a plan that is 100% Plane B anyway
+        plan.reasons.append(
+            f"scope-sensitive $dynamicRef '#{hazard}' — whole-plan "
+            "kernel check, routing buys nothing")
+        return plan
     sources: Dict[str, list] = {}
     _collect_property_sources(schema, root, sources)
     dyn: list = []
@@ -311,6 +578,13 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
         decls |= {_value_decl(schema, subs[0] if len(subs) == 1
                               else {"allOf": subs})
                   for subs in sources.values()}
+        # integers are exactly representable in the number slot (the
+        # gates keep them within 2^53 / DECIMAL-exact), so a mixed
+        # integer/number contract routes on the wider slot
+        if decls == {("integer", None), ("number", None)}:
+            decls = {("number", None)}
+        elif decls == {("array", "integer"), ("array", "number")}:
+            decls = {("array", "number")}
         if None not in decls and len(decls) == 1:
             plan.map_value = next(iter(decls))
             return plan
@@ -331,22 +605,10 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
             plan.reasons.append(
                 f"property {name!r} needs path quoting — kernel only")
             continue
-        decl = _declared_type(schema, sub)
-        if decl in _SCALAR_SQL:
-            plan.fields[name] = (decl, None)
-        elif decl == "array":
-            items = _find_items(schema, sub)
-            elem = _declared_type(schema, items)
-            if elem in _SCALAR_SQL:
-                plan.fields[name] = ("array", elem)
-            else:
-                plan.reasons.append(
-                    f"property {name!r}: array items need a single scalar "
-                    f"type, got {elem!r}")
-        else:
-            plan.reasons.append(
-                f"property {name!r}: no single scalar/array type "
-                f"(got {decl!r})")
+        node = _build_node(schema, sub, f"property {name!r}",
+                           plan.reasons, 1)
+        if node is not None:
+            plan.fields[name] = node
     return plan
 
 
@@ -361,111 +623,142 @@ def _exact_long_range(x: Column) -> Column:
     return x.between(F.lit(-_EXACT_LONG), F.lit(_EXACT_LONG))
 
 
-def _field_gate(v: Column, doc: Column, name: str,
-                decl: str, elem: Optional[str]) -> Column:
-    """True when this field's observed JSON shape is exactly
-    representable in its typed struct slot.  Absent fields (tag SQL
-    NULL) pass: absent maps to struct NULL = absent under the bridge."""
-    path = f"$.{name}"
-    tag = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+def _reprable(base: Column, path: str, node: Tuple[str, Any],
+              doc: Optional[Column], clean: Optional[Column]) -> Column:
+    """True when the PRESENT variant value at ``path`` under ``base``
+    is exactly representable in ``node``'s typed slot — the one
+    recursive gate behind every routing mode (round 7; it subsumes the
+    round-6 flat field gate and map-value gate).
+
+    ``doc`` is the root raw JSON string when per-path raw text exists
+    (``get_json_object`` powers the ≥16-digit integer-token screens for
+    ``number`` slots); below array-of-node elements there is no raw
+    path, so ``doc`` is None and the doc-wide ``clean`` screen applies
+    — computed ONCE per row in the barrier (inlining ``doc.rlike``
+    per value would re-scan the document each time, round-6 review
+    find).  A hit routes to the kernel: slower, never wrong.
+
+    A VOID tag (present JSON null) is never representable — struct
+    ``to_json`` omits null fields, so the bridge would read it as
+    absent.  Nested objects check key-exactness (``map<string,
+    variant>`` extraction is NULL on non-objects = fail-closed) and
+    recurse per fixed key; arrays of objects extract
+    ``array<variant>`` (NULL on non-arrays) and recurse per element,
+    where a VOID element IS representable: a NULL struct element
+    round-trips as JSON null and the bridge reads array elements (which
+    cannot be "absent") as JSON null — parity pinned differentially."""
+    decl, extra = node
+
+    def vg(cast: str) -> Column:
+        return F.try_variant_get(base, path, cast)
+
+    tag = F.schema_of_variant(vg("variant"))
     if decl == "integer":
-        ok = (tag == "BIGINT") & _exact_long_range(
-            F.try_variant_get(v, path, "bigint"))
-    elif decl == "number":
-        raw = F.get_json_object(doc, path)
-        ok = (
-            ((tag == "BIGINT") & _exact_long_range(
-                F.try_variant_get(v, path, "bigint")))
-            | ((tag == "DOUBLE") & ~raw.rlike(_BIG_INT_SCALAR))
-            | _decimal_gate(tag)
-        )
-    elif decl == "string":
-        ok = tag == "STRING"
-    elif decl == "boolean":
-        ok = tag == "BOOLEAN"
-    else:                                  # array<elem>
+        return (tag == "BIGINT") & _exact_long_range(vg("bigint"))
+    if decl == "number":
+        screen = (~F.get_json_object(doc, path).rlike(_BIG_INT_SCALAR)) \
+            if doc is not None else clean
+        return (((tag == "BIGINT") & _exact_long_range(vg("bigint")))
+                | ((tag == "DOUBLE") & screen)
+                | _decimal_gate(tag))
+    if decl == "string":
+        return tag == "STRING"
+    if decl == "boolean":
+        return tag == "BOOLEAN"
+    if decl == "object":
+        m = vg("map<string, variant>")
+        keys = F.map_keys(m)
+        if extra:
+            known = F.array(*[F.lit(n) for n in extra])
+            ok = m.isNotNull() & (F.size(F.array_except(keys, known)) == 0)
+        else:
+            # bare {"type": "object"} node: only the empty object is
+            # representable in an empty struct; any key → kernel
+            ok = m.isNotNull() & (F.size(keys) == 0)
+        for name, child in extra.items():
+            ok = ok & _slot_ok(base, f"{path}.{name}", child, doc, clean)
+        return ok
+    # array slots
+    if isinstance(extra, str):                    # array of scalars
+        elem = extra
         if elem == "integer":
-            arr = F.try_variant_get(v, path, "array<bigint>")
-            ok = (tag == "ARRAY<VOID>") | (
+            arr = vg("array<bigint>")
+            return (tag == "ARRAY<VOID>") | (
                 (tag == "ARRAY<BIGINT>")
                 & F.forall(arr, lambda e: e.isNull() | _exact_long_range(e)))
-        elif elem == "number":
-            arr = F.try_variant_get(v, path, "array<bigint>")
-            raw = F.get_json_object(doc, path)
+        if elem == "number":
+            arr = vg("array<bigint>")
+            screen = (~F.get_json_object(doc, path).rlike(_BIG_INT_IN_ARRAY)) \
+                if doc is not None else clean
             dec_elem = F.regexp_extract(tag, r"ARRAY<" + _DECIMAL_RE + ">", 0)
-            ok = (
+            return (
                 (tag == "ARRAY<VOID>")
                 | ((tag == "ARRAY<BIGINT>")
                    & F.forall(arr, lambda e: e.isNull()
                               | _exact_long_range(e)))
-                | ((tag == "ARRAY<DOUBLE>")
-                   & ~raw.rlike(_BIG_INT_IN_ARRAY))
+                | ((tag == "ARRAY<DOUBLE>") & screen)
                 | ((dec_elem != "")
                    & _decimal_gate(F.replace(F.replace(
                        tag, F.lit("ARRAY<"), F.lit("")),
                        F.lit(">"), F.lit(""))))
             )
-        elif elem == "string":
-            ok = tag.isin("ARRAY<VOID>", "ARRAY<STRING>")
-        else:
-            ok = tag.isin("ARRAY<VOID>", "ARRAY<BOOLEAN>")
-    # absent is always representable; a present JSON null (tag VOID)
-    # never is (the bridge would read it as absent)
-    return tag.isNull() | F.coalesce(ok, F.lit(False))
+        if elem == "string":
+            return tag.isin("ARRAY<VOID>", "ARRAY<STRING>")
+        return tag.isin("ARRAY<VOID>", "ARRAY<BOOLEAN>")
+    # array of nodes: per-element recursion against the ELEMENT variant
+    # (no per-element raw path — number screens fall to `clean`)
+    arr = vg("array<variant>")
+    child_node = extra
+
+    def elem_ok(e: Column) -> Column:
+        etag = F.schema_of_variant(e)
+        return (etag == "VOID") | F.coalesce(
+            _reprable(e, "$", child_node, None, clean), F.lit(False))
+
+    return arr.isNotNull() & F.forall(arr, elem_ok)
 
 
-def _map_value_ok(vv: Column, clean: Optional[Column], decl: str,
-                  elem: Optional[str]) -> Column:
-    """True when one dynamic map entry's variant VALUE is exactly
-    representable in the map's typed value slot — the map-mode twin of
-    :func:`_field_gate`.  Dynamic keys have no per-key raw JSON path,
-    so the ≥16-digit integer-token screen for ``number`` slots runs
-    doc-wide (a hit anywhere — even inside a string — routes to the
-    kernel: slower, never wrong); ``clean`` is that screen, computed
-    ONCE per row in the barrier — inlining ``doc.rlike`` here would
-    re-scan the document per map entry (round-6 review find).  A VOID
-    tag (present JSON null) is never representable: map ``to_json``
-    RENDERS null values, but the bridge reads them as absent."""
-    tag = F.schema_of_variant(vv)
+def _slot_ok(base: Column, path: str, node: Tuple[str, Any],
+             doc: Optional[Column], clean: Optional[Column]) -> Column:
+    """Absent-or-representable: absent fields (tag SQL NULL) pass —
+    absent maps to struct NULL = absent under the bridge."""
+    tag = F.schema_of_variant(F.try_variant_get(base, path, "variant"))
+    return tag.isNull() | F.coalesce(
+        _reprable(base, path, node, doc, clean), F.lit(False))
+
+
+def _exact_guard(col: Column, node: Tuple[str, Any]) -> Optional[Column]:
+    """Round-trip-shortcut guard: no integer slot anywhere under
+    ``col`` exceeds ±2^53 (an exact int64 in (2^53, 2^63] round-trips
+    verbatim but the kernel applies JS float semantics there).  None
+    when the subtree has no integer slot — no guard expression built.
+    Null-safe at every level: a NULL struct/array (absent / JSON null)
+    passes, and NULL propagates through nested field access."""
+    decl, extra = node
     if decl == "integer":
-        ok = (tag == "BIGINT") & _exact_long_range(
-            F.try_variant_get(vv, "$", "bigint"))
-    elif decl == "number":
-        ok = (
-            ((tag == "BIGINT") & _exact_long_range(
-                F.try_variant_get(vv, "$", "bigint")))
-            | ((tag == "DOUBLE") & clean)
-            | _decimal_gate(tag)
-        )
-    elif decl == "string":
-        ok = tag == "STRING"
-    elif decl == "boolean":
-        ok = tag == "BOOLEAN"
-    else:                                  # array<elem>
-        if elem == "integer":
-            arr = F.try_variant_get(vv, "$", "array<bigint>")
-            ok = (tag == "ARRAY<VOID>") | (
-                (tag == "ARRAY<BIGINT>")
-                & F.forall(arr, lambda e: e.isNull() | _exact_long_range(e)))
-        elif elem == "number":
-            arr = F.try_variant_get(vv, "$", "array<bigint>")
-            dec_elem = F.regexp_extract(tag, r"ARRAY<" + _DECIMAL_RE + ">", 0)
-            ok = (
-                (tag == "ARRAY<VOID>")
-                | ((tag == "ARRAY<BIGINT>")
-                   & F.forall(arr, lambda e: e.isNull()
-                              | _exact_long_range(e)))
-                | ((tag == "ARRAY<DOUBLE>") & clean)
-                | ((dec_elem != "")
-                   & _decimal_gate(F.replace(F.replace(
-                       tag, F.lit("ARRAY<"), F.lit("")),
-                       F.lit(">"), F.lit(""))))
-            )
-        elif elem == "string":
-            ok = tag.isin("ARRAY<VOID>", "ARRAY<STRING>")
-        else:
-            ok = tag.isin("ARRAY<VOID>", "ARRAY<BOOLEAN>")
-    return F.coalesce(ok, F.lit(False))
+        return col.isNull() | _exact_long_range(col)
+    if decl == "array":
+        if isinstance(extra, str):
+            if extra != "integer":
+                return None
+            return col.isNull() | F.forall(
+                col, lambda x: x.isNull() | _exact_long_range(x))
+        if not _node_has_integer(extra):
+            return None
+        child_node = extra
+
+        def elem_guard(e: Column) -> Column:
+            g = _exact_guard(e, child_node)
+            return F.lit(True) if g is None else F.coalesce(g, F.lit(True))
+
+        return col.isNull() | F.forall(col, elem_guard)
+    if decl == "object":
+        subs = [g for n, c in extra.items()
+                if (g := _exact_guard(col.getField(n), c)) is not None]
+        if not subs:
+            return None
+        return functools.reduce(lambda a, b: a & b, subs)
+    return None
 
 
 def with_valid_json(df: DataFrame, json_col: str, schema: Any,
@@ -611,12 +904,10 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
                 lambda a: F.forall(a, lambda x: x.isNull()
                                    | _exact_long_range(x))))
     else:
-        for n, (decl, elem) in plan.fields.items():
-            if decl == "integer":
-                guards.append(p[n].isNull() | _exact_long_range(p[n]))
-            elif decl == "array" and elem == "integer":
-                guards.append(p[n].isNull() | F.forall(
-                    p[n], lambda x: x.isNull() | _exact_long_range(x)))
+        for n, node in plan.fields.items():
+            g = _exact_guard(p[n], node)
+            if g is not None:
+                guards.append(g)
     b2 = b1.select("*", F.explode(F.array(F.coalesce(
         functools.reduce(lambda a, b: a & b, guards),
         F.lit(False)))).alias("__jsc"))
@@ -624,9 +915,15 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
 
     # Stage 3: the variant, parsed ONLY for shortcut misses (CaseWhen
     # branches evaluate lazily per row) — canonical documents never pay
-    # a second parse.  number-valued map contracts also materialize the
-    # doc-wide big-int screen here, once per row (see _map_value_ok).
-    needs_clean = plan.map_value is not None and "number" in plan.map_value
+    # a second parse.  The doc-wide big-int screen is materialized here
+    # once per row when any number slot lacks a per-value raw path:
+    # map-mode number values (dynamic keys) or struct-mode number slots
+    # below an array-of-object element (see _reprable).
+    needs_clean = (
+        (plan.map_value is not None and "number" in plan.map_value)
+        or (plan.map_value is None
+            and any(_node_needs_doc_screen(n)
+                    for n in plan.fields.values())))
     if needs_clean:
         b3 = b2.select("*", F.explode(F.array(F.when(~sc, F.struct(
             F.try_parse_json(doc).alias("v"),
@@ -640,12 +937,13 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
         v = F.col("__jv")
         clean = None
 
-    vm = F.try_variant_get(v, "$", "map<string, variant>")
     if plan.map_value is not None:
-        decl, elem = plan.map_value
+        vm = F.try_variant_get(v, "$", "map<string, variant>")
+        value_node: Tuple[str, Any] = plan.map_value
 
         def entry_bad(k: Column, vv: Column) -> Column:
-            return ~_map_value_ok(vv, clean, decl, elem)
+            return ~F.coalesce(_reprable(vv, "$", value_node, None, clean),
+                               F.lit(False))
 
         gates = [
             v.isNotNull(),                   # parses; no duplicate keys
@@ -653,15 +951,13 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
             F.size(F.map_filter(vm, entry_bad)) == 0,
         ]
     else:
-        keys = F.map_keys(vm)
-        known = F.array(*[F.lit(n) for n in plan.fields])
+        # the whole struct layout is one object node — key exactness
+        # and per-field recursion (nested objects, arrays of objects)
+        # all live in _reprable
         gates = [
             v.isNotNull(),                   # parses; no duplicate keys
-            keys.isNotNull(),                # is an object
-            F.size(F.array_except(keys, known)) == 0,
+            _reprable(v, "$", ("object", plan.fields), doc, clean),
         ]
-        gates += [_field_gate(v, doc, n, decl, elem)
-                  for n, (decl, elem) in plan.fields.items()]
     full_gates = functools.reduce(lambda a, b: a & b, gates)
     # shortcut hits skip the gate chain entirely; on misses every input
     # (sc, v) is a generated attribute, so re-evaluating `route` per

@@ -965,3 +965,56 @@ def test_map_column_enum_const_deep_equality(spark):
             kd = None if d is None else {k: x for k, x in d.items()
                                          if x is not None}
             assert bool(g) == v.validate(kd), (contract, d, g)
+
+
+def test_dynamic_scope_sensitive_ref_hoists_to_root(spark):
+    """Round-7 find (dyn-b through the JSON route): a $dynamicRef whose
+    anchor name has ≥2 $dynamicAnchor definitions resolves through the
+    runtime chain of entered resources — a Plane-B fallback detached
+    below the root rebases it lexically and lands on the WRONG anchor.
+    Such contracts must compile as ONE root-level kernel check
+    ('(dynamic-scope)'), and the verdicts must match the kernel."""
+    contract = {
+        "$id": "http://example.com/hoist-dyn/outer.json",
+        "$defs": {
+            "strict": {"$dynamicAnchor": "T", "type": "integer"},
+            "inner": {"$id": "inner.json",
+                      "$defs": {"loose": {"$dynamicAnchor": "T"}},
+                      "properties": {"v": {"$dynamicRef": "#T"}}}},
+        "$ref": "inner.json"}
+    ct = T.StructType([T.StructField("v", T.StringType(), True)])
+    df = spark.createDataFrame([(("s",),), ((None,),), (None,)],
+                               T.StructType([T.StructField("d", ct, True)]))
+    plan = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+        F.col("d"), ct)
+    cov = plan.coverage()
+    assert cov["plane_b_names"] == ["(dynamic-scope)"]
+    got = [r[0] for r in df.select(plan.valid_column()).collect()]
+    v = Validator(Schema(contract))
+    # bridge: NULL field ⇔ absent key; "s" must FAIL (outer's bookended
+    # anchor asserts integer — the lexical rebase would wrongly pass it)
+    assert [bool(g) for g in got] == [v.validate({"v": "s"}),
+                                      v.validate({}), v.validate(None)]
+    assert got[0] is False
+
+
+def test_dynamic_ref_single_anchor_stays_detached(spark):
+    """One $dynamicAnchor definition ⇒ resolution is scope-independent:
+    the detached lexical-rebase fallback is exact and the plan must NOT
+    hoist (the hoist would needlessly kernel sibling Plane-A checks)."""
+    contract = {
+        "$id": "http://example.com/nohoist-dyn/root.json",
+        "$defs": {"base": {"$dynamicAnchor": "T", "type": "string"}},
+        "properties": {"x": {"$dynamicRef": "#T"},
+                       "n": {"type": "integer"}}}
+    ct = T.StructType([T.StructField("x", T.StringType(), True),
+                       T.StructField("n", T.LongType(), True)])
+    df = spark.createDataFrame([(("s", 1),), ((None, 2),)],
+                               T.StructType([T.StructField("d", ct, True)]))
+    plan = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+        F.col("d"), ct)
+    cov = plan.coverage()
+    assert "(dynamic-scope)" not in cov["plane_b_names"]
+    assert cov["plane_a_checks"] > 0          # sibling n stays Plane A
+    got = [r[0] for r in df.select(plan.valid_column()).collect()]
+    assert [bool(g) for g in got] == [True, True]

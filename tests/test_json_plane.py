@@ -232,14 +232,37 @@ def test_fast_plane_has_no_python_stage(spark):
 
 
 def test_unroutable_contracts_fall_back_whole(spark):
+    """Nested objects / arrays of objects (round 7) and heuristic slots
+    (union types, keyword affinity, enum types, typeless defaults)
+    ROUTE now — what stays unroutable: layoutless roots, boolean
+    roots, unknown type names, property names needing path quoting,
+    nested dynamic-key value schemas, recursive $refs (depth cap),
+    nesting past _MAX_NEST, and scope-sensitive $dynamicRef (the
+    compiler hoists those to one root kernel check — routing would buy
+    nothing)."""
+    deep: dict = {"type": "integer"}
+    for _ in range(14):                    # > _MAX_NEST levels
+        deep = {"type": "object", "properties": {"x": deep}}
     docs = ['{"a": {"b": 1}}', '{"a": null}', 'junk', '{"a": [1, {"z": 2}]}']
     contracts = [
-        {"properties": {"a": {"type": "object"}}},            # nested object
-        {"properties": {"a": {"type": ["integer", "string"]}}},  # union
-        {"properties": {"a": {"type": "array",
-                               "items": {"type": "object"}}}},
         {"properties": {}},                                    # no layout
         True,                                                  # boolean root
+        {"properties": {"a": {"type": "frob"}}},               # unknown type
+        {"properties": {"a/b": {"type": "integer"}}},          # path quoting
+        {"properties": {"a": {                                 # nested dyn
+            "type": "object",
+            "additionalProperties": {"type": "integer"}}}},
+        {"$defs": {"n": {"type": "object",                     # recursive
+                          "properties": {"next": {"$ref": "#/$defs/n"}}}},
+         "properties": {"a": {"$ref": "#/$defs/n"}}},
+        {"properties": {"a": deep}},                           # too deep
+        {"$id": "http://example.com/unroutable-dyn/outer.json",
+         "$defs": {                        # scope-sensitive $dynamicRef
+             "strict": {"$dynamicAnchor": "T", "type": "integer"},
+             "inner": {"$id": "inner.json",
+                       "$defs": {"loose": {"$dynamicAnchor": "T"}},
+                       "properties": {"a": {"$dynamicRef": "#T"}}}},
+         "$ref": "inner.json"},
     ]
     for contract in contracts:
         plan = analyze_json_contract(contract)
@@ -842,9 +865,10 @@ def test_conformance_corpus_through_route(spark):
                 routable.append((contract, cs))
         except Exception:
             continue
-    assert len(routable) >= 30, len(routable)
-    # 31 routable schemas / 93 cases as of round 6 — min(60, n) keeps
-    # the whole set today and caps CI cost if the corpus grows
+    # round 6 (flat layouts): 31 routable schemas / 93 cases; round 7
+    # (recursive layouts + heuristic slots): 90 schemas / 251 cases —
+    # the floor pins against silent routability regressions
+    assert len(routable) >= 80, len(routable)
     sample = rng.sample(routable, min(60, len(routable)))
 
     mismatches = []
@@ -868,3 +892,201 @@ def test_conformance_corpus_through_route(spark):
                                    r["valid"], want[r["i"]]))
     assert not mismatches, \
         f"{len(mismatches)} mismatches; first: {mismatches[:2]}"
+
+
+NESTED_CONTRACT = {
+    "type": "object", "required": ["id", "profile"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 0},
+        "profile": {
+            "type": "object", "required": ["name"],
+            "properties": {
+                "name": {"type": "string", "minLength": 2},
+                "age": {"type": "integer", "minimum": 0, "maximum": 150},
+                "nickname": {},            # typeless → heuristic slot
+                "address": {
+                    "type": "object",
+                    "properties": {
+                        "zip": {"pattern": "^[0-9]{5}$"},   # affinity
+                        "geo": {"type": "array",
+                                "items": {"type": "number"}}}}}},
+        "events": {
+            "type": "array",
+            "items": {
+                "type": "object", "required": ["ts"],
+                "properties": {
+                    "ts": {"type": "number", "minimum": 0},
+                    "tags": {"type": "array",
+                             "items": {"type": "string"}},
+                    "n": {"type": "integer"}}}},
+    },
+}
+
+NESTED_DOCS = [
+    # canonical conforming (compact = round-trip shortcut hits)
+    '{"id":1,"profile":{"name":"ann","age":30},'
+    '"events":[{"ts":1.5,"tags":["a"],"n":2}]}',
+    '{"id":2,"profile":{"name":"bo"}}',
+    '{"id":3,"profile":{"name":"cy",'
+    '"address":{"zip":"12345","geo":[1.5,2.5]}},"events":[]}',
+    # violations that still route (typed shape fits, value fails)
+    '{"id":-1,"profile":{"name":"ann"}}',
+    '{"id":4,"profile":{"name":"x"}}',
+    '{"id":5,"profile":{"name":"ann","age":200}}',
+    '{"id":6,"profile":{"name":"ann","address":{"zip":"12"}}}',
+    '{"id":7,"profile":{"name":"ann"},"events":[{"ts":-5}]}',
+    '{"id":8,"profile":{}}',
+    # extra key at a NESTED level → key-exactness gate → kernel (valid:
+    # no additionalProperties constraint anywhere)
+    '{"id":9,"profile":{"name":"ann","unknown":1}}',
+    '{"id":10,"profile":{"name":"ann",'
+    '"address":{"zip":"12345","what":true}}}',
+    # JSON null at each depth (VOID: present ≠ absent → kernel)
+    '{"id":11,"profile":null}',
+    '{"id":12,"profile":{"name":null}}',
+    '{"id":13,"profile":{"name":"ann","address":null}}',
+    # null ELEMENT inside array-of-object (representable: element null
+    # round-trips; kernel sees JSON null failing items type object)
+    '{"id":14,"profile":{"name":"ann"},"events":[null]}',
+    '{"id":15,"profile":{"name":"ann"},'
+    '"events":[{"ts":1},null,{"ts":2}]}',
+    # wrong container types at nested positions
+    '{"id":16,"profile":[]}',
+    '{"id":17,"profile":"ann"}',
+    '{"id":18,"profile":{"name":"ann"},"events":{"ts":1}}',
+    '{"id":19,"profile":{"name":"ann"},"events":[["ts"]]}',
+    '{"id":20,"profile":{"name":5}}',
+    '{"id":21,"profile":{"name":"ann","age":30.5}}',
+    '{"id":22,"profile":{"name":"ann","age":"30"}}',
+    # integer-exactness hazards DEEP inside array-of-object
+    '{"id":23,"profile":{"name":"ann"},'
+    '"events":[{"ts":1,"n":9007199254740993}]}',
+    '{"id":24,"profile":{"name":"ann"},'
+    '"events":[{"ts":12345678901234567}]}',
+    '{"id":9007199254740993,"profile":{"name":"ann"}}',
+    # long-decimal double inside nested array (doc-wide screen path)
+    '{"id":25,"profile":{"name":"ann",'
+    '"address":{"geo":[0.30000000000000004]}}}',
+    '{"id":26,"profile":{"name":"ann"},'
+    '"events":[{"ts":1e309}]}',
+    # typeless slot gets hostile values (heuristic string slot must
+    # fail closed, never mis-judge)
+    '{"id":27,"profile":{"name":"ann","nickname":"nick"}}',
+    '{"id":28,"profile":{"name":"ann","nickname":7}}',
+    '{"id":29,"profile":{"name":"ann","nickname":{"deep":[1]}}}',
+    '{"id":30,"profile":{"name":"ann","nickname":null}}',
+    # geo with null element; empty nested object; dup keys nested
+    '{"id":31,"profile":{"name":"ann","address":{"geo":[1,null]}}}',
+    '{"id":32,"profile":{"name":"ann","address":{}}}',
+    '{"id":33,"profile":{"name":"ann","name":"bo"}}',
+    # root hostility
+    'junk', '[]', '"s"', 'null', '17', '{}',
+]
+
+
+def test_nested_contract_battery_matches_kernel(spark):
+    """Round-7 battery: recursive struct routing (nested objects,
+    arrays of objects) — every doc aims at one gate (VOID at depth,
+    nested extra keys, null array elements, deep integer-exactness,
+    heuristic typeless slots), parity with the kernel on all."""
+    plan = analyze_json_contract(NESTED_CONTRACT)
+    assert plan.routable, plan.reasons
+    dt = plan.struct_type()
+    assert dt["profile"].dataType["address"].dataType["geo"].dataType \
+        .elementType.typeName() == "double"
+    assert dt["events"].dataType.elementType["n"].dataType \
+        .typeName() == "long"
+
+    df = spark.createDataFrame([(d,) for d in NESTED_DOCS], "doc string")
+    out = with_valid_json(df, "doc", NESTED_CONTRACT,
+                          route_col="route").collect()
+    expected = _kernel_verdicts(NESTED_CONTRACT, NESTED_DOCS)
+    bad = [(r["doc"][:90], r["route"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+    routes = {r["doc"]: r["route"] for r in out}
+    # canonical compact conforming docs take the shortcut → columnar
+    assert routes[NESTED_DOCS[0]] == "columnar"
+    assert routes[NESTED_DOCS[1]] == "columnar"
+    # nested extra key and VOID-at-depth must be kernel
+    assert routes['{"id":9,"profile":{"name":"ann","unknown":1}}'] == "kernel"
+    assert routes['{"id":11,"profile":null}'] == "kernel"
+
+
+def test_nested_random_contracts_and_docs_match_kernel(spark):
+    """Round-7 fuzz sweep: RANDOM nested layouts (depth ≤3: scalars,
+    arrays of scalars, objects, arrays of objects, random constraints
+    and required sets) × random documents drawn from hostile value
+    pools — route verdict must equal the kernel on every pair."""
+    import random
+
+    rng = random.Random(707)
+    scalar_specs = [
+        {"type": "integer", "minimum": 0},
+        {"type": "number", "maximum": 100},
+        {"type": "string", "minLength": 2},
+        {"type": "boolean"},
+        {},
+    ]
+
+    def gen_schema(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            return dict(rng.choice(scalar_specs))
+        if r < 0.6:
+            return {"type": "array", "items": gen_schema(depth + 1)}
+        props = {f"f{i}": gen_schema(depth + 1)
+                 for i in range(rng.randint(1, 3))}
+        sub = {"type": "object", "properties": props}
+        req = [k for k in props if rng.random() < 0.3]
+        if req:
+            sub["required"] = req
+        return sub
+
+    val_pool = [0, 5, -3, 2.5, 150, "ab", "x", "", True, False, None,
+                9007199254740993, 0.30000000000000004, [1, 2], {"z": 1}]
+
+    def gen_value(sub, depth):
+        if rng.random() < 0.25:             # hostile off-schema value
+            return rng.choice(val_pool)
+        t = sub.get("type")
+        if t == "integer":
+            return rng.choice([0, 7, 150, -2, 9007199254740993])
+        if t == "number":
+            return rng.choice([1.5, 99.0, 101.5, 3, 1e20])
+        if t == "string":
+            return rng.choice(["ab", "x", "hello", ""])
+        if t == "boolean":
+            return rng.choice([True, False])
+        if t == "array":
+            return [gen_value(sub.get("items", {}), depth + 1)
+                    for _ in range(rng.randint(0, 3))]
+        if t == "object":
+            out = {}
+            for k, s in sub.get("properties", {}).items():
+                if rng.random() < 0.8:
+                    out[k] = gen_value(s, depth + 1)
+            if rng.random() < 0.15:
+                out["extra"] = rng.choice(val_pool)
+            return out
+        return rng.choice(val_pool)
+
+    checked = 0
+    for ci in range(20):
+        props = {f"p{i}": gen_schema(1) for i in range(rng.randint(1, 4))}
+        contract = {"type": "object", "properties": props,
+                    "required": [k for k in props if rng.random() < 0.4]}
+        if not analyze_json_contract(contract).routable:
+            continue
+        docs = sorted({json.dumps(gen_value(contract, 0),
+                                  separators=(",", ":"))
+                       for _ in range(30)})
+        df = spark.createDataFrame([(d,) for d in docs], "doc string")
+        out = with_valid_json(df, "doc", contract).collect()
+        expected = _kernel_verdicts(contract, docs)
+        bad = [(r["doc"][:90], r["valid"], expected[r["doc"]])
+               for r in out if r["valid"] != expected[r["doc"]]]
+        assert not bad, \
+            f"contract {contract}: {len(bad)} mismatches; {bad[:3]}"
+        checked += 1
+    assert checked >= 12, checked   # most random layouts must route
