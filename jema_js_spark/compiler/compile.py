@@ -2075,6 +2075,16 @@ class CompiledPlan:
     def valid_column(self) -> Column:
         return _and_all([c.predicate for c in self.checks])
 
+    def plane_a_column(self) -> Column:
+        """AND of the Plane-A (pure Catalyst) checks only — a sound
+        NECESSARY condition for validity (every check is a conjunct of
+        the full verdict), evaluable inside a JVM filter with zero
+        Python.  ``lit(True)`` when every check is Plane B.  Used by
+        the errors-path masked screen (round 7): rows failing any
+        Plane-A check are invalid without consulting the kernel."""
+        return _and_all([c.predicate for c in self.checks
+                         if c.plane == "A"])
+
     def coverage(self) -> Dict[str, Any]:
         """Plane-A share — regressions to Plane B must be visible
         (SURVEY.md §7.0)."""

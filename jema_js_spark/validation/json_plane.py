@@ -151,6 +151,13 @@ _DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"
 # publishes a reason and stays on the kernel plane.
 _MAX_NEST = 12
 
+# streaming residue floor (round 7): the union shape's kernel branch is
+# repartitioned to this many partitions per microbatch — enough to keep
+# a few Python workers busy on a residue-heavy batch, small enough that
+# a near-empty residue doesn't pay the per-task Arrow handshake once
+# per source partition
+_STREAM_RESIDUE_PARTITIONS = 4
+
 
 def _node_dtype(node: Tuple[str, Any]) -> T.DataType:
     decl, extra = node
@@ -824,11 +831,19 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
     # (working columns dropped first — the struct/variant never ship),
     # so near-empty residue partitions coalesce under AQE and the
     # Python worker handshake isn't paid 96× for nothing.  Measured:
-    # 2.05 s → 1.16 s at 1M all-conforming docs.  Streaming plans skip
-    # the hint (AQE does not apply to microbatches).
+    # 2.05 s → 1.16 s at 1M all-conforming docs.  Streaming plans (AQE
+    # does not apply to microbatches) instead repartition the residue
+    # to a small fixed floor (round 7, VERDICT r6 #6): without it every
+    # microbatch pays the ~10 ms/task ArrowEvalPython handshake once
+    # per SOURCE partition on near-empty residue.  repartition, not
+    # coalesce: coalesce would collapse the residue FILTER itself into
+    # N tasks (it merges upstream), while this shuffle moves only the
+    # residue rows and keeps the scan/gate work at full parallelism.
     slow = b3.filter(~route).drop(*work)
     if not slow.isStreaming:
         slow = slow.hint("rebalance")
+    else:
+        slow = slow.repartition(_STREAM_RESIDUE_PARTITIONS)
     slow = slow.withColumn(
         col_name, F.coalesce(kernel_pred(doc), F.lit(False)))
     if route_col:
@@ -990,15 +1005,18 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     columnar-valid ones, computed with zero Python (the kernel verdict
     pass the round-5 implementation ran over the residue was redundant:
     ``iter_errors`` itself emits nothing for valid documents).  The
-    residue is rebalanced before the single Python stage, so on healthy
-    data the errors pass stays scan-dominated with one small Python
-    tail — the same property the row-plane violations path has
-    (SCALE.md).  The JVM screen applies only when the compiled plan is
-    pure Plane A: a Plane-B check inside the screen filter would
-    project its kernel UDF over EVERY row, so such contracts (and
-    unroutable ones) skip the screen — ``iter_errors`` does its own
-    screening — and keep the source's partitioning (a rebalance of the
-    WHOLE input would add a full-corpus shuffle for nothing).
+    residue is rebalanced before the Python stage, so on healthy data
+    the errors pass stays scan-dominated with one small Python tail —
+    the same property the row-plane violations path has (SCALE.md).
+    The zero-Python JVM screen applies when the compiled plan is pure
+    Plane A; a plan CARRYING Plane-B checks screens with the masked
+    whole-doc verdict UDF instead (round 7 — input nulled on rows the
+    screen cannot exonerate anyway, so the boolean kernel walk runs
+    only on routed rows passing every Plane-A check, and the expensive
+    ``iter_errors`` pass shrinks to actually-invalid rows).  Unroutable
+    contracts skip screening — ``iter_errors`` does its own — and keep
+    the source's partitioning (a rebalance of the WHOLE input would
+    add a full-corpus shuffle for nothing).
 
     Unparseable documents (malformed JSON — a state the reference's
     in-memory API cannot even receive) emit a single synthetic row
@@ -1023,6 +1041,34 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
         if compiled.coverage()["plane_b_checks"] == 0:
             residue = b3.filter(~(route & F.coalesce(
                 compiled.valid_column(), F.lit(False)))).drop(*work)
+            screened = True
+        else:
+            # Masked-kernel screen (round 7, VERDICT r6 #5).  A Plane-B
+            # check cannot sit inside the JVM filter — its kernel UDF
+            # would be projected over EVERY row — so round 6 skipped
+            # screening entirely for these contracts, leaving the
+            # errors pass kernel-bound for exactly the contracts that
+            # are already slowest.  Instead: screen with the whole-doc
+            # VERDICT UDF (boolean _boolean_mode walk, ~3.8× cheaper
+            # than iter_errors' message formatting), its input masked
+            # to NULL on rows that are in the residue regardless —
+            # unrouted rows (iter_errors self-screens them) and routed
+            # rows failing a Plane-A check (invalid without consulting
+            # the kernel).  The masked rows cost one vectorized fill
+            # (kernel_udf null fast path); only routed-and-Plane-A-ok
+            # rows pay a real kernel walk, and of those only the
+            # actually-invalid ones reach iter_errors.  Masked rows'
+            # verdict values are irrelevant: `keep` is already False.
+            from jema_js_spark.validation.kernel_udf import \
+                kernel_validate_udf
+            verdict_pred = kernel_validate_udf(
+                schema.schema, remotes=remotes,
+                format_assertion=format_assertion)
+            keep = route & F.coalesce(compiled.plane_a_column(),
+                                      F.lit(False))
+            residue = b3.filter(~(keep & F.coalesce(
+                verdict_pred(F.when(keep, F.col(json_col))),
+                F.lit(False)))).drop(*work)
             screened = True
     if not screened:
         residue = base                     # iter_errors screens itself

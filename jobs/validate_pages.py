@@ -100,21 +100,33 @@ def main() -> None:
 
     def work(part_df, key: str) -> dict:
         out = f"{args.output}/days/{key}"
+        aggs = [F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("valid").cast("long")).alias("n_valid")]
         if args.json_col:
-            valid = with_valid_json(part_df, args.json_col, schema)
+            # route_col: the routed/kernel split per partition lands in
+            # the ledger metrics (round 7, VERDICT r6 #4) — a routing-
+            # gate regression in production keeps verdicts right but
+            # collapses throughput, and without these counts it is
+            # invisible until someone reads a Spark UI
+            valid = with_valid_json(part_df, args.json_col, schema,
+                                    route_col="route")
             viol = json_violation_rows(part_df, args.json_col, schema,
                                        id_cols=[args.id_col])
+            aggs.append(F.sum((F.col("route") == "columnar").cast("long"))
+                        .alias("n_routed"))
         else:
             valid = with_valid(part_df, schema)
             viol = violation_rows(part_df, schema, id_cols=[args.id_col])
-        verdict = valid.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("valid").cast("long")).alias("n_valid")).collect()[0]
+        verdict = valid.agg(*aggs).collect()[0]
         viol.write.mode("overwrite").parquet(f"{out}/violations")
         column_stats_long(part_df).write.mode("overwrite") \
             .parquet(f"{out}/metrics")
-        return {"n_rows": verdict["n_rows"], "n_valid": verdict["n_valid"],
-                "n_invalid": verdict["n_rows"] - verdict["n_valid"]}
+        metrics = {"n_rows": verdict["n_rows"], "n_valid": verdict["n_valid"],
+                   "n_invalid": verdict["n_rows"] - verdict["n_valid"]}
+        if args.json_col:
+            metrics["n_routed"] = verdict["n_routed"]
+            metrics["n_kernel"] = verdict["n_rows"] - verdict["n_routed"]
+        return metrics
 
     results = run_partitioned(spark, pages, day, ledger, work,
                               key_provider=provider)

@@ -220,6 +220,20 @@ def test_validate_pages_json_col_and_hive_keys(spark, tmp_path):
     assert not any(u in ('https://a.example/0', 'https://a.example/4')
                    for u, _, _ in got)
 
+    # route-rate observability (round 7, VERDICT r6 #4): the ledger's
+    # per-partition metrics carry the routed/kernel split, so a
+    # routing-gate regression in production is visible in the state
+    # table, not just the Spark UI.  Day 1: both docs route (canonical
+    # ints); day 2: the missing-k doc routes (shape fits; verdict
+    # false), "not json" takes the kernel; day 3: routes.
+    ledger = spark.read.parquet(f"{out}/ledger")
+    lm = {r["partition_key"]: json.loads(r["metrics_json"])
+          for r in ledger.collect()}
+    assert {k: (m["n_routed"], m["n_kernel"]) for k, m in lm.items()} == {
+        "2024-01-01": (2, 0), "2024-01-02": (1, 1), "2024-01-03": (1, 0)}
+    assert all(m["n_routed"] + m["n_kernel"] == m["n_rows"]
+               for m in lm.values())
+
     res2 = subprocess.run(args + ["--resume"], capture_output=True,
                           text=True, env=env, timeout=420)
     assert res2.returncode == 0, res2.stderr[-2000:]

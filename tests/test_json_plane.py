@@ -753,11 +753,12 @@ def test_plane_b_compiled_contract_both_shapes(spark, shape):
 
 
 def test_errors_path_screen_gating_plans(spark):
-    """Round-6 review finds, pinned in the physical plan: the errors
-    path's JVM screen applies ONLY for pure-Plane-A compiled plans
-    (a Plane-B check in the filter would project its kernel UDF over
-    every row), and the whole-input fallback paths add NO rebalance
-    shuffle over the full corpus."""
+    """Physical-plan pins for the errors path's three screening shapes
+    (round 6 gating + the round-7 masked screen, VERDICT r6 #5): pure
+    Plane A screens with zero Python; a Plane-B-carrying routable plan
+    screens with ONE masked whole-doc verdict UDF (ArrowEvalPython)
+    and still rebalances only the screened residue; unroutable
+    contracts skip screening and add NO full-input shuffle."""
     from jema_js_spark.validation.json_plane import json_violation_rows
 
     df = spark.createDataFrame([(1, '{"k":1}')], "i long, doc string")
@@ -775,8 +776,9 @@ def test_errors_path_screen_gating_plans(spark):
     assert "ArrowEvalPython" not in p, p
     assert "Exchange" in p and "MapInPandas" in p, p
 
-    # Plane-B-carrying routable contract: no screen, no full-input
-    # shuffle, no per-row verdict UDF — just the single MapInPandas
+    # Plane-B-carrying routable contract: the masked verdict screen —
+    # exactly one ArrowEvalPython stage (inputs nulled on rows the
+    # screen can't exonerate), residue rebalance Exchange, MapInPandas
     from jema_js_spark.compiler.compile import SchemaCompiler
 
     planeb = {
@@ -794,12 +796,72 @@ def test_errors_path_screen_gating_plans(spark):
         F.lit(None).cast(bplan.struct_type()), bplan.struct_type())
     assert bcompiled.coverage()["plane_b_checks"] > 0   # the premise
     p2 = phys(planeb)
-    assert "ArrowEvalPython" not in p2, p2
-    assert "Exchange" not in p2 and "MapInPandas" in p2, p2
+    assert p2.count("ArrowEvalPython") == 1, p2
+    assert "Exchange" in p2 and "MapInPandas" in p2, p2
 
-    # unroutable contract: same whole-input shape
+    # unroutable contract: whole-input shape, no screen, no shuffle
     p3 = phys({"type": "object", "minProperties": 1})
+    assert "ArrowEvalPython" not in p3, p3
     assert "Exchange" not in p3 and "MapInPandas" in p3, p3
+
+
+def test_errors_path_masked_screen_output_identical(spark):
+    """The round-7 masked screen must not change a single emitted row:
+    a Plane-B-carrying routable contract's violation rows are compared
+    field-for-field against the kernel's own iter_errors over every
+    document — including docs the screen exonerates (columnar-valid),
+    docs failing only the Plane-B check, docs failing Plane-A checks,
+    unrouted shapes, JSON null, and unparseable input."""
+    import json as _json
+
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    contract = {
+        "type": "object",
+        "properties": {"k": {"type": "integer"},
+                        "name": {"type": "string"}},
+        "anyOf": [{"required": ["k"]},
+                   {"properties": {"alias": {"type": "string"}},
+                    "required": ["alias"]}],
+        "unevaluatedProperties": False,
+    }
+    docs = [
+        '{"k": 3}',                       # valid (screened out)
+        '{"k": 3, "name": "a"}',          # valid
+        '{"alias": "z"}',                 # valid via second anyOf branch
+        '{"k": "s"}',                     # Plane-A type failure
+        '{"k": 3, "extra": 1}',           # fails ONLY unevaluatedProps (B)
+        '{"name": "a"}',                  # fails anyOf
+        '[1, 2]',                         # unrouted shape
+        'null',                           # JSON null
+        'not json',                       # unparseable
+        None,                             # SQL NULL → JSON null bridge
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), "i long, doc string")
+    got = sorted(
+        tuple(r) for r in json_violation_rows(
+            df, "doc", contract, id_cols=["i"]).collect())
+
+    from jema_js_spark.kernel.jstypes import js_to_string
+
+    v = Schema(contract)
+    expected = []
+    for i, doc in enumerate(docs):
+        try:
+            value = None if doc is None else _json.loads(doc)
+        except ValueError:
+            expected.append((i, "__parse__", "__parse__", "[]", "[]", "",
+                             "document is not parseable JSON"))
+            continue
+        for err in v.errors(value):
+            spath = [str(x) for x in err.schema_stack]
+            keyword = next((x for x in reversed(spath)
+                            if not x.isdigit()), "")
+            expected.append((
+                i, ".".join(spath), keyword,
+                _json.dumps(err.schema_stack), _json.dumps(err.data_stack),
+                js_to_string(err.schema_value), err.message))
+    assert got == sorted(expected)
 
 
 def test_oversized_docs_route_matches_kernel(spark):
