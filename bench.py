@@ -220,6 +220,56 @@ def main() -> None:
         routes.get("columnar", 0) / N_KERNEL_DOCS, 4)
     mdocs.unpersist()
 
+    # 12c. route_vs_kernel (round 7, VERDICT r6 #3): the headline
+    # route-over-kernel ratio, measured HERE so the driver-diffable
+    # BENCH artifact carries it instead of only the scaling harness's
+    # BASELINE.md.  Protocol differs from the entries above in two
+    # deliberate ways: the kernel/route passes are INTERLEAVED (ambient
+    # load drifts on this shared box — r6's sequential entries printed
+    # 1.66× under load while the same-harness quiet number was
+    # 3.05–4.32×; pairing keeps both sides under the same pressure),
+    # and the workload is 4× larger so the route's fixed floors
+    # (job dispatch, Python worker handshake) amortize the way they do
+    # at real scale (margin grows with size — BENCH/BASELINE.md r6
+    # bullet).  MIN per side over the pairs, ratio of the mins; the
+    # loadavg fields bound the pressure this specific block endured.
+    n_pair = int(os.environ.get("SPARK_GRAFT_BENCH_PAIR_DOCS",
+                                str(4 * N_KERNEL_DOCS)))
+    pdocs = representative_json_docs(
+        spark, n_pair, num_partitions=CPUS * 3).cache()
+    pdocs.count()
+    pair_udf = kernel_validate_udf(REPRESENTATIVE_KERNEL_CONTRACT)
+    pair_load_before = os.getloadavg()
+
+    def pair_kernel():
+        return pdocs.select(pair_udf(F.col("doc")).alias("v")).agg(
+            F.sum(F.col("v").cast("long"))).collect()[0][0]
+
+    def pair_route():
+        out = with_valid_json(pdocs, "doc", REPRESENTATIVE_KERNEL_CONTRACT)
+        return out.agg(F.sum(F.col("valid").cast("long"))).collect()[0][0]
+
+    k_samples, r_samples = [], []
+    pair_kernel(); pair_route()            # warm both sides once
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kv = pair_kernel()
+        k_samples.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rv = pair_route()
+        r_samples.append(time.perf_counter() - t0)
+        assert kv == rv                    # cross-plane verdict parity
+    extras["route_vs_kernel"] = round(min(k_samples) / min(r_samples), 2)
+    extras["route_pair"] = {
+        "n_docs": n_pair,
+        "kernel_sec": round(min(k_samples), 3),
+        "route_sec": round(min(r_samples), 3),
+        "timing": "interleaved_min_of_3",
+        "loadavg_before": [round(x, 2) for x in pair_load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    pdocs.unpersist()
+
     # plane-coverage pin (VERDICT r3 #6): a silent regression of
     # flagship-contract keywords from Plane A (Catalyst) to Plane B
     # (kernel UDF) must show up in BENCH_r*.json diffs
@@ -239,6 +289,8 @@ def main() -> None:
         "kernel_docs_per_sec": extras["kernel_docs_per_sec"],
         "json_columnar_docs_per_sec": extras["json_columnar_docs_per_sec"],
         "json_route_rate": extras["json_route_rate"],
+        "route_vs_kernel": extras["route_vs_kernel"],
+        "route_pair": extras["route_pair"],
         "n_kernel_docs": N_KERNEL_DOCS,
         "plane_a_pct": round(cov["plane_a_fraction"] * 100, 1),
         # protocol (round 6): each entry is MIN of 3 timed fresh-plan
