@@ -41,6 +41,7 @@ from jema_js_spark.kernel.jstypes import js_to_string
 from jema_js_spark.kernel.regex_js import (
     UnsupportedRegexError,
     compile_js_regex,
+    java_regex_explain,
     java_regex_or_none,
 )
 from jema_js_spark.schema.frontend import Schema
@@ -67,6 +68,10 @@ class CheckSpec:
     predicate: Column         # True (never NULL) == row passes
     plane: str                # 'A' (pure Catalyst) or 'B' (Arrow kernel)
     value_col: Optional[Column] = None  # offending value for messages
+    # WHY a check left pure Plane A (round 7, VERDICT r6 #7): the
+    # ColumnarUnsupported reason / regex-translator decision, surfaced by
+    # CompiledPlan.coverage() so fallback causes are countable per corpus
+    note: Optional[str] = None
 
     @property
     def message(self) -> str:
@@ -341,7 +346,9 @@ class SchemaCompiler:
             if hazard is not None:
                 return [self._plane_b_check(
                     dict(root), texpr, ("(dynamic-scope)",), (),
-                    root, "$dynamicRef", owner_node=root)]
+                    root, "$dynamicRef", owner_node=root,
+                    note=f"scope-sensitive $dynamicRef {hazard!r} needs "
+                         "the runtime resource chain (root kernel)")]
         return self._compile_node(root, texpr, (), (), set())
 
     # -- recursive compile ------------------------------------------------
@@ -374,32 +381,43 @@ class SchemaCompiler:
                for sub in self._inplace_subtrees(node)):
             return [self._plane_b_check(
                 dict(node), texpr, spath + ("(unevaluated-context)",),
-                dpath, node, "unevaluated", owner_node=node)]
+                dpath, node, "unevaluated", owner_node=node,
+                note="unevaluated* inside an in-place applicator subtree "
+                     "(shared evaluated set → whole-node kernel gate)")]
 
         checks: List[CheckSpec] = []
         # set by descend_pred when a combinator folded a Plane-B (kernel
         # UDF) predicate into the Column it returned — the emitted check
         # must then be recorded as plane 'B' so CompiledPlan.coverage()
-        # stays honest (the published-plane invariant, CLAUDE.md)
+        # stays honest (the published-plane invariant, CLAUDE.md).
+        # The folded sub-checks' own fallback reasons ride along so
+        # coverage() can say WHY (round 7, VERDICT r6 #7).
         saw_plane_b = [False]
+        folded_notes: List[str] = []
 
         def add(keyword: str, schema_value: Any, pred: Column,
                 extra_path: Tuple = ()) -> None:
             sp = spath + (keyword,) + extra_path
             vcol = _print_col(texpr)
             plane = "B" if saw_plane_b[0] else "A"
+            note = "; ".join(dict.fromkeys(folded_notes)) or None \
+                if plane == "B" else None
             saw_plane_b[0] = False
+            folded_notes.clear()
             checks.append(CheckSpec(
                 name=".".join(map(str, sp)),
                 keyword=keyword, schema_path=sp, data_path=dpath,
                 schema_value=schema_value, predicate=pred, plane=plane,
-                value_col=vcol))
+                value_col=vcol, note=note))
 
         def descend_pred(sub: Any, sub_texpr: _TExpr) -> Column:
             """Valid-predicate of a whole subtree (for combinators)."""
             sub_checks = self._compile_node(sub, sub_texpr, spath, dpath, ref_stack)
             if any(c.plane == "B" for c in sub_checks):
                 saw_plane_b[0] = True
+                folded_notes.extend(
+                    c.note or f"kernel check {c.name}"
+                    for c in sub_checks if c.plane == "B")
             return _and_all([c.predicate for c in sub_checks])
 
         jt = texpr.json_type()
@@ -407,19 +425,20 @@ class SchemaCompiler:
 
         for keyword, sval in node.items():
             saw_plane_b[0] = False
+            folded_notes.clear()
             try:
                 handler = _HANDLERS.get(keyword)
                 if handler is None:
                     continue
                 handler(self, keyword, sval, node, texpr, jt, is_null,
                         add, descend_pred, checks, spath, dpath, ref_stack)
-            except ColumnarUnsupported:
+            except ColumnarUnsupported as exc:
                 # Plane-B fallback for this keyword's subtree only: run
                 # the row kernel on the JSON form via Arrow batches
                 checks.append(self._plane_b_check(
                     {keyword: sval, **_carry_siblings(node, keyword)},
                     texpr, spath + (keyword,), dpath, sval, keyword,
-                    owner_node=node))
+                    owner_node=node, note=str(exc)))
         return checks
 
     # -- soundness-gate helpers --------------------------------------------
@@ -486,7 +505,8 @@ class SchemaCompiler:
     def _plane_b_check(self, sub_schema: dict, texpr: _TExpr,
                        spath: Tuple, dpath: Tuple,
                        schema_value: Any, keyword: str,
-                       owner_node: Optional[dict] = None) -> CheckSpec:
+                       owner_node: Optional[dict] = None,
+                       note: Optional[str] = None) -> CheckSpec:
         from jema_js_spark.validation.kernel_udf import kernel_validate_udf
 
         # A detached fallback mini-schema loses the owning resource's
@@ -520,7 +540,7 @@ class SchemaCompiler:
             name=".".join(map(str, spath)),
             keyword=keyword, schema_path=spath, data_path=dpath,
             schema_value=schema_value,
-            predicate=F.coalesce(pred, F.lit(True)), plane="B")
+            predicate=F.coalesce(pred, F.lit(True)), plane="B", note=note)
 
 
 # base URI for a Plane-B fallback whose owning resource has no $id
@@ -938,7 +958,7 @@ def _h_pattern(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
     if texpr.is_row or jt != "string":
         add(kw, sval, F.lit(True))
         return
-    jre = java_regex_or_none(sval)
+    jre, why = java_regex_explain(sval)
     if jre is not None:
         add(kw, sval, is_null | texpr.string_col().rlike(jre))
         return
@@ -949,7 +969,8 @@ def _h_pattern(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
     try:
         compile_js_regex(sval)
     except UnsupportedRegexError as exc:
-        raise ColumnarUnsupported(str(exc)) from exc
+        raise ColumnarUnsupported(
+            f"pattern {sval!r} untranslatable: {exc}") from exc
     from jema_js_spark.functions.columns import js_rlike
 
     sp = spath + (kw,)
@@ -958,7 +979,9 @@ def _h_pattern(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
         data_path=dpath, schema_value=sval,
         predicate=is_null | F.coalesce(js_rlike(texpr.string_col(), sval),
                                        F.lit(True)),
-        plane="B", value_col=texpr.col.cast("string")))
+        plane="B", value_col=texpr.col.cast("string"),
+        note=f"pattern {sval!r} outside the rlike subset ({why}); "
+             "single-column pandas-UDF regex"))
 
 
 # regex-shaped format assertions reusable as rlike (schema.js:513,516-518)
@@ -1189,7 +1212,8 @@ def _wrap_vacuous(sub_checks: List[CheckSpec], gate: Column) -> List[CheckSpec]:
     """Gate child checks to pass vacuously (absent key / null parent —
     the relational bridge, module docstring)."""
     return [CheckSpec(s.name, s.keyword, s.schema_path, s.data_path,
-                      s.schema_value, gate | s.predicate, s.plane, s.value_col)
+                      s.schema_value, gate | s.predicate, s.plane, s.value_col,
+                      note=s.note)
             for s in sub_checks]
 
 
@@ -2087,12 +2111,23 @@ class CompiledPlan:
 
     def coverage(self) -> Dict[str, Any]:
         """Plane-A share — regressions to Plane B must be visible
-        (SURVEY.md §7.0)."""
+        (SURVEY.md §7.0).  ``plane_b_reasons`` (round 7, VERDICT r6 #7)
+        names WHY each check left pure Catalyst — the ColumnarUnsupported
+        reason or the regex translator's rejection — so fallback causes
+        are countable over a corpus, not just counted."""
         a = sum(1 for c in self.checks if c.plane == "A")
         b = sum(1 for c in self.checks if c.plane == "B")
+        b_checks = [c for c in self.checks if c.plane == "B"]
         return {"plane_a_checks": a, "plane_b_checks": b,
                 "plane_a_fraction": a / max(a + b, 1),
-                "plane_b_names": [c.name for c in self.checks if c.plane == "B"]}
+                "plane_b_names": [c.name for c in b_checks],
+                "plane_b_reasons": {c.name: c.note or "(unrecorded)"
+                                    for c in b_checks},
+                "pattern_fallbacks": sum(
+                    1 for c in b_checks
+                    if c.keyword in ("pattern", "patternProperties",
+                                     "propertyNames")
+                    or "pattern" in (c.note or ""))}
 
     def with_valid(self, df: DataFrame, col_name: str = "valid") -> DataFrame:
         return df.withColumn(col_name, self.valid_column())
