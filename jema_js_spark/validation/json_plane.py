@@ -53,12 +53,17 @@ This module routes each row at runtime, entirely JVM-side:
      projected for every row (an ArrowEvalPython node cannot be
      skipped per-row) but its input is masked to SQL NULL for routed
      rows, and the UDF's null fast path (kernel_udf.py) vector-fills
-     those in one validate call per batch.  Slower here (1.97 s: the
-     all-rows Arrow projection floor is ~0.9 s at 1M×96 tasks even
-     for null input) but reads the source ONCE — the right shape when
-     the scan itself is the bottleneck (uncached 100-TB source where
-     the union's second scan doubles IO) and for single-pass
-     streaming.
+     those in one validate call per batch.  Measured on an UNCACHED
+     parquet source (round 7, bench_scaling.py plan-shape section):
+     a wash at scale against a warm page cache (masked 5.19 s vs
+     union 5.34 s at 4.8M docs/local[32] — the union's second
+     decode+parse pass ≈ masked's all-rows Arrow projection), masked
+     1.48× ahead at 100k-doc batches on local[8] where the union's
+     per-branch fixed floors dominate.  On a CACHED source union wins
+     (1.16 s vs 1.97 s at 1M docs — the projection floor is ~0.9 s at
+     1M×96 tasks even for null input).  masked is the right opt-in
+     for genuinely cold object-store scans (the page cache hides the
+     union's re-paid IO here) and small per-batch row counts.
 
 Routing gates that protect exact kernel parity (each has a
 differential test in tests/test_json_plane.py):
