@@ -9,6 +9,12 @@ fallback of :func:`js_rlike`.
 
 from __future__ import annotations
 
+# module-level: with postponed annotations, pandas_udf resolves the
+# pd.Series type hints through the function's globals — a function-local
+# import left them unresolvable (latent until round 7, when \p{...}
+# support made the Python-regex fallback reachable)
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,7 +41,6 @@ def js_rlike(col: Column, ecma_pattern: str) -> Column:
         return col.rlike(jre)
     py = translate(ecma_pattern, target="python")
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")

@@ -29,13 +29,23 @@ Key dialect deltas handled here (ES2015+ 'u' flag semantics):
 - ``[]`` never matches in JS (Python: syntax error) → ``(?!x)x``;
   ``[^]`` matches anything → ``[\\s\\S]``.
 
-Constructs with no faithful mapping (``\\p{…}`` Unicode property
-escapes in Python, variable-length lookbehind in Python) raise
-:class:`UnsupportedRegexError`; the columnar compiler treats that as
-"not Java-safe / not Python-safe" and the keyword falls back to the
-next plane.  The official suite's non-optional ``pattern.json``
-material stays inside the supported subset (the reference itself
-excludes ``ecmascript-regex.json`` — tests/test-suite-init.js:54).
+``\\p{…}`` / ``\\P{…}`` Unicode property escapes (round 7): general
+categories and White_Space expand into explicit codepoint-range
+classes built from ``unicodedata`` for the Python target, matching the
+reference's native 'u'-flag support; the Java target deliberately
+rejects them (the JVM's Unicode tables can diverge from Python's
+across versions), so \\p patterns always run Python-side — Plane-B
+single-column pandas UDF or the kernel — and one implementation owns
+every verdict.  Script properties and other binary properties stay
+unsupported (loud).
+
+Constructs with no faithful mapping (script ``\\p``, variable-length
+lookbehind in Python) raise :class:`UnsupportedRegexError`; the
+columnar compiler treats that as "not Java-safe / not Python-safe" and
+the keyword falls back to the next plane.  The official suite's
+non-optional ``pattern.json`` material stays inside the supported
+subset (the reference itself excludes ``ecmascript-regex.json`` —
+tests/test-suite-init.js:54).
 """
 
 from __future__ import annotations
@@ -62,6 +72,110 @@ _JS_DOT = "[^\\n\\r\\u2028\\u2029]"
 class UnsupportedRegexError(ValueError):
     """Pattern uses a construct with no faithful mapping in the target
     dialect — callers fall back to another execution plane."""
+
+
+# -- \p{...} Unicode property escapes (round 7) -----------------------------
+#
+# The reference evaluates these natively (JS RegExp 'u' flag); Python re
+# has no \p, so general-category properties are expanded into explicit
+# codepoint-range classes built from unicodedata — ONE full-codespace
+# pass, cached.  The Java target deliberately REJECTS \p (Java regex
+# would evaluate it against the JVM's own Unicode tables, which can
+# diverge from Python's across Unicode versions — a silent cross-plane
+# verdict split); \p patterns therefore always run Python-side (kernel
+# or the single-column pandas UDF), one implementation owning the
+# verdict.  Script/binary properties beyond White_Space stay loud.
+
+_GC_LONG_ALIASES = {
+    "LETTER": "L", "UPPERCASE_LETTER": "Lu", "LOWERCASE_LETTER": "Ll",
+    "TITLECASE_LETTER": "Lt", "MODIFIER_LETTER": "Lm", "OTHER_LETTER": "Lo",
+    "CASED_LETTER": "LC",
+    "MARK": "M", "NONSPACING_MARK": "Mn", "SPACING_MARK": "Mc",
+    "ENCLOSING_MARK": "Me", "COMBINING_MARK": "M",
+    "NUMBER": "N", "DECIMAL_NUMBER": "Nd", "DIGIT": "Nd",
+    "LETTER_NUMBER": "Nl", "OTHER_NUMBER": "No",
+    "PUNCTUATION": "P", "CONNECTOR_PUNCTUATION": "Pc",
+    "DASH_PUNCTUATION": "Pd", "OPEN_PUNCTUATION": "Ps",
+    "CLOSE_PUNCTUATION": "Pe", "INITIAL_PUNCTUATION": "Pi",
+    "FINAL_PUNCTUATION": "Pf", "OTHER_PUNCTUATION": "Po", "PUNCT": "P",
+    "SYMBOL": "S", "MATH_SYMBOL": "Sm", "CURRENCY_SYMBOL": "Sc",
+    "MODIFIER_SYMBOL": "Sk", "OTHER_SYMBOL": "So",
+    "SEPARATOR": "Z", "SPACE_SEPARATOR": "Zs", "LINE_SEPARATOR": "Zl",
+    "PARAGRAPH_SEPARATOR": "Zp",
+    "OTHER": "C", "CONTROL": "Cc", "CNTRL": "Cc", "FORMAT": "Cf",
+    "SURROGATE": "Cs", "PRIVATE_USE": "Co", "UNASSIGNED": "Cn",
+}
+_GC_SHORT = {"L", "Lu", "Ll", "Lt", "Lm", "Lo", "LC", "M", "Mn", "Mc",
+             "Me", "N", "Nd", "Nl", "No", "P", "Pc", "Pd", "Ps", "Pe",
+             "Pi", "Pf", "Po", "S", "Sm", "Sc", "Sk", "So", "Z", "Zs",
+             "Zl", "Zp", "C", "Cc", "Cf", "Cs", "Co", "Cn"}
+
+# ECMAScript binary property White_Space (PropList.txt) — a fixed list,
+# not derivable from general categories (it spans Zs/Zl/Zp/Cc)
+_WHITE_SPACE_CPS = (
+    list(range(0x09, 0x0E)) + [0x20, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000])
+
+
+@lru_cache(maxsize=1)
+def _category_ranges():
+    """One pass over the whole codespace: general category → sorted
+    [start, end] codepoint ranges (~1 s, done at most once per
+    process; executors pay it lazily on first \\p evaluation)."""
+    import unicodedata
+
+    ranges: dict = {}
+    prev_cat = None
+    start = 0
+    for cp in range(0x110000):
+        cat = unicodedata.category(chr(cp))
+        if cat != prev_cat:
+            if prev_cat is not None:
+                ranges.setdefault(prev_cat, []).append((start, cp - 1))
+            prev_cat = cat
+            start = cp
+    ranges.setdefault(prev_cat, []).append((start, 0x10FFFF))
+    return ranges
+
+
+def _merge_ranges(ranges):
+    out = []
+    for a, b in sorted(ranges):
+        if out and a <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
+
+
+@lru_cache(maxsize=128)
+def _property_class_body(prop: str) -> str:
+    """Class-body range material (no brackets) for a \\p{prop}, or
+    raises UnsupportedRegexError for properties outside the supported
+    set (general categories + White_Space)."""
+    raw = prop.strip()
+    for prefix in ("General_Category=", "general_category=", "gc="):
+        if raw.startswith(prefix):
+            raw = raw[len(prefix):]
+            break
+    if raw == "White_Space":
+        cps = [(c, c) for c in _WHITE_SPACE_CPS]
+    else:
+        key = raw if raw in _GC_SHORT else _GC_LONG_ALIASES.get(raw.upper())
+        if key is None:
+            raise UnsupportedRegexError(
+                f"\\p{{{prop}}} property unsupported (general categories "
+                "and White_Space only)")
+        cats = (["Lu", "Ll", "Lt"] if key == "LC"
+                else [c for c in _category_ranges() if c.startswith(key)]
+                if len(key) == 1 else [key])
+        cps = [r for c in cats for r in _category_ranges().get(c, [])]
+    parts = []
+    for a, b in _merge_ranges(cps):
+        ea = _hex4(a) if a <= 0xFFFF else f"\\U{a:08x}"
+        eb = _hex4(b) if b <= 0xFFFF else f"\\U{b:08x}"
+        parts.append(ea if a == b else f"{ea}-{eb}")
+    return "".join(parts)
 
 
 def _hex4(cp: int) -> str:
@@ -131,17 +245,28 @@ def translate(pattern: str, target: str = "python") -> str:
                 else:
                     raise UnsupportedRegexError(r"malformed \uXXXX")
             elif e in ("p", "P"):
-                if target == "java" and i < n and pattern[i] == "{":
-                    # Java supports \p{...} natively with compatible names
-                    # for the common script/category classes
-                    j = pattern.find("}", i)
-                    if j == -1:
-                        raise UnsupportedRegexError(r"unterminated \p{...}")
-                    out.append("\\" + e + pattern[i:j + 1])
-                    i = j + 1
-                else:
+                if i >= n or pattern[i] != "{":
+                    raise UnsupportedRegexError(r"bare \p")
+                j = pattern.find("}", i)
+                if j == -1:
+                    raise UnsupportedRegexError(r"unterminated \p{...}")
+                prop = pattern[i + 1:j]
+                i = j + 1
+                if target == "java":
+                    # Java regex has native \p{...}, but the JVM's Unicode
+                    # tables can diverge from Python's across versions —
+                    # \p verdicts stay Python-owned (kernel / pandas UDF)
+                    # so the two planes can never split on a codepoint
                     raise UnsupportedRegexError(
-                        r"\p{...} property escapes unsupported in Python re")
+                        r"\p{...} kept Python-side for cross-plane parity")
+                body = _property_class_body(prop)
+                if e == "P":
+                    if in_class:
+                        raise UnsupportedRegexError(
+                            r"\P inside character class")
+                    out.append(f"[^{body}]")
+                else:
+                    out.append(body if in_class else f"[{body}]")
             elif e == "k":
                 if i < n and pattern[i] == "<":
                     j = pattern.find(">", i)

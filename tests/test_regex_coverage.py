@@ -106,10 +106,66 @@ def test_translator_accepts_dialect_features():
 
 def test_translator_fallbacks_carry_reasons():
     """Outside-subset patterns explain themselves."""
+    # \p is Python-owned (cross-plane parity) → off the rlike path
     jre, why = java_regex_explain(r"\p{L}+")
-    assert jre is None and "python twin" in why and r"\p{" in why
+    assert jre is None and "parity" in why
     jre, why = java_regex_explain(r"(?<=a+)b")   # variable-length lookbehind
     assert jre is None and why
+    jre, why = java_regex_explain(r"\p{Script=Greek}")  # scripts stay loud
+    assert jre is None and why
+
+
+def test_unicode_property_escapes():
+    """round 7: \\p{...} general categories match the reference's native
+    'u'-flag semantics — expanded classes, evaluated Python-side."""
+    from jema_js_spark.kernel.regex_js import js_regex_search
+
+    assert js_regex_search(r"^\p{L}+$", "aÉあ")
+    assert not js_regex_search(r"^\p{L}+$", "a1")
+    assert js_regex_search(r"^\p{Lu}$", "É")
+    assert not js_regex_search(r"^\p{Lu}$", "é")
+    assert js_regex_search(r"^\p{Nd}+$", "7٣")      # ASCII + Arabic-Indic
+    assert not js_regex_search(r"^\p{Nd}$", "Ⅷ")    # Nl, not Nd
+    assert js_regex_search(r"^\p{N}$", "Ⅷ")
+    assert js_regex_search(r"^\P{L}$", "1")
+    assert not js_regex_search(r"^\P{L}$", "a")
+    assert js_regex_search(r"^[\p{L}0-9]+$", "a0É")  # in-class union
+    assert js_regex_search(r"^\p{White_Space}$", " ")
+    assert js_regex_search(r"^\p{Letter}+$", "ab")   # long alias
+    assert js_regex_search(r"^\p{gc=Lu}$", "A")      # gc= form
+    assert js_regex_search(r"^\p{L}$", "\U00010400")  # astral letter (Deseret)
+    assert not js_regex_search(r"^\p{L}$", "\U0001F600")  # emoji is So
+
+    # end-to-end: a contract the engine previously could not validate
+    from jema_js_spark.schema.frontend import Schema
+
+    s = Schema({"type": "string", "pattern": r"^\p{Lu}\p{Ll}+$"})
+    assert s.validate("Hello") is True
+    assert s.validate("hello") is False
+    assert s.validate("HELLO") is False
+
+
+def test_property_escape_cross_plane_parity(spark):
+    """A \\p contract judged by the columnar plan (single-column pandas
+    UDF — the Python-owned path) must agree with the kernel on every
+    row, including astral and category-edge codepoints."""
+    from pyspark.sql import Row
+
+    from jema_js_spark.schema.frontend import Schema
+    from jema_js_spark.validation.engine import compile_for
+
+    contract = {"type": "object",
+                "properties": {"name": {"pattern": r"^\p{L}[\p{L}\p{Nd}]*$"}}}
+    samples = ["abc", "a1", "1a", "É٣", "あいう", "\U00010400x",
+               "\U0001F600", "", " ", "a b", "Ⅷ", "áb", None]
+    df = spark.createDataFrame([Row(name=s) for s in samples])
+    plan = compile_for(df, contract)
+    assert plan.coverage()["pattern_fallbacks"] >= 1  # the premise
+    got = [r["valid"] for r in
+           plan.with_valid(df).select("valid").collect()]
+    s = Schema(contract)
+    want = [s.validate({} if x is None else {"name": x}) for x in samples]
+    assert got == want, list(zip(samples, got, want))
 
 
 def test_coverage_reports_reasons(spark):
