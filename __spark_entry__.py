@@ -14,7 +14,8 @@
               consolidations (each keyword still compiled and
               oracle-checked, several per query):
               - kw_length        = minLength + maxLength + pattern
-                                   (two valid columns)
+                                   + \\p{Nd} property escape
+                                   (three valid columns)
               - kw_enum_const    = enum + const
               - kw_bounds        = minimum + exclusiveMinimum +
                                    exclusiveMaximum + multipleOf
@@ -559,7 +560,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        col_name="valid_len")
         d = with_valid(d, {"properties": {"text": {"pattern": "^[a-z]"}}},
                        col_name="valid_pattern")
-        return d.select("doc_id", "valid_len", "valid_pattern")
+        # round 7: \p{...} Unicode property escape (general categories)
+        # — runs the Python-owned single-column regex path; DuckDB's
+        # RE2 evaluates the same property class natively
+        d = with_valid(d, {"properties": {"text": {"pattern": r"\p{Nd}"}}},
+                       col_name="valid_prop")
+        return d.select("doc_id", "valid_len", "valid_pattern",
+                        "valid_prop")
 
     def q_mined_contract(spark, sf_dir):
         # contract mining (schema/inference.py): profile documents into
@@ -989,7 +996,9 @@ def oracle_sql() -> dict[str, str]:
                    (text IS NULL OR length(text) BETWEEN 100 AND 400)
                      AS valid_len,
                    (text IS NULL OR regexp_matches(text, '^[a-z]'))
-                     AS valid_pattern
+                     AS valid_pattern,
+                   (text IS NULL OR regexp_matches(text, '\\p{Nd}'))
+                     AS valid_prop
             FROM documents""",
         "mined_contract": """
             -- the mined contract's per-column facts recomputed with
