@@ -192,7 +192,10 @@ def _leaf(rng: random.Random) -> dict:
         checks = rng.sample([
             ("minLength", rng.randint(0, 30)),
             ("maxLength", rng.randint(0, 60)),
-            ("pattern", rng.choice(["^h", "o", "[a-z]+$", "^[a-z]{2}$"])),
+            # incl. \p property escapes (round 7): columnar js_rlike
+            # pandas path vs kernel expanded-class re, differentially
+            ("pattern", rng.choice(["^h", "o", "[a-z]+$", "^[a-z]{2}$",
+                                    r"^\p{Ll}", r"\p{Nd}", r"^\P{N}+$"])),
         ], rng.randint(1, 2))
         return {"properties": {col: dict(checks)}}
     if kind == "num":

@@ -661,15 +661,23 @@ def test_untranslatable_pattern_props_falls_back(spark, df):
     """ADVICE r1: an untranslatable patternProperties regex paired with
     additionalProperties / unevaluatedProperties must fall back to
     Plane B instead of crashing compile_plan with
-    UnsupportedRegexError."""
+    UnsupportedRegexError.  (\\p{Lu} — this test's original specimen —
+    became TRANSLATABLE in round 7; script properties remain outside.)"""
     for schema in (
-        {"patternProperties": {r"^\p{Lu}": {}},
+        {"patternProperties": {r"^\p{Script=Greek}": {}},
          "additionalProperties": {"type": "string"}},
-        {"patternProperties": {r"^\p{Lu}": {}},
+        {"patternProperties": {r"^\p{Script=Greek}": {}},
          "unevaluatedProperties": False},
     ):
         plan = SchemaCompiler(schema).compile_plan(df)  # must not raise
         assert plan.coverage()["plane_b_checks"] >= 1
+
+    # round 7 upgrade pin: a \p general-category key regex now expands
+    # statically — pure Plane A, no kernel fallback
+    plan = SchemaCompiler(
+        {"patternProperties": {r"^\p{Lu}": {}},
+         "additionalProperties": {"type": "string"}}).compile_plan(df)
+    assert plan.coverage()["plane_b_checks"] == 0
 
 
 def test_coverage_reports_nested_plane_b(spark, df):
