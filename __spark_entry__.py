@@ -200,20 +200,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nplan = analyze_json_contract(nested_schema)
         assert nplan.routable and nplan.fields["meta"][0] == "object", \
             nplan.reasons
+        # round 7: a ROOT-VALUE document — the JSON column holds a bare
+        # array, not an object ("[12.5]"); from_json cannot parse a
+        # non-object root, so the route wraps it as {"v": <doc>} and
+        # validates the single extracted slot (json_plane.py root mode).
+        # The DuckDB twin restates the verdict over the raw column.
+        root_schema = {"type": "array", "minItems": 1, "maxItems": 4,
+                       "items": {"type": "number", "minimum": 0.5,
+                                 "maximum": 150}}
+        rplan = analyze_json_contract(root_schema)
+        assert rplan.routable and rplan.root == ("array", "number"), \
+            rplan.reasons
         udf = kernel_validate_udf(schema)
         ev = _events(spark, sf_dir).withColumn(
             "nested_doc", F.to_json(F.struct(
                 F.col("event_id").alias("id"),
                 F.struct(F.col("event_type").alias("etype"),
-                         F.col("value").alias("v")).alias("meta"))))
+                         F.col("value").alias("v")).alias("meta")))) \
+            .withColumn("root_doc", F.to_json(F.array(F.col("value"))))
         routed = with_valid_json(ev, "props", schema,
                                  col_name="valid_columnar")
         routed = with_valid_json(routed, "props", map_schema,
                                  col_name="valid_map")
         routed = with_valid_json(routed, "nested_doc", nested_schema,
                                  col_name="valid_nested")
+        routed = with_valid_json(routed, "root_doc", root_schema,
+                                 col_name="valid_root")
         return routed.select("event_id", udf(F.col("props")).alias("valid"),
-                             "valid_columnar", "valid_map", "valid_nested")
+                             "valid_columnar", "valid_map", "valid_nested",
+                             "valid_root")
 
     def q_windowed_verdicts(spark, sf_dir):
         # the batch analog of the streaming windowed-verdict surface:
@@ -880,7 +895,12 @@ def oracle_sql() -> dict[str, str]:
                             AND event_type IN ('click', 'view',
                                                'purchase', 'signup')
                             AND value BETWEEN 0.5 AND 150,
-                            FALSE) AS valid_nested
+                            FALSE) AS valid_nested,
+                   -- the root doc is to_json(array(value)): a bare
+                   -- JSON array, validated through the wrapped
+                   -- root-value route; same bounds restated
+                   coalesce(value BETWEEN 0.5 AND 150,
+                            FALSE) AS valid_root
             FROM events""",
         "text_features": f"""
             WITH t AS (

@@ -28,10 +28,23 @@ This module routes each row at runtime, entirely JVM-side:
    (a JSON string "5" extracts as long 5), so the gate must read the
    tag, never rely on extraction failure.  The variant parse is masked
    behind the shortcut (``F.when`` — CaseWhen branches evaluate lazily
-   per row), so canonical documents never pay it.
+   per row), so canonical documents never pay it.  Because every
+   Jackson-backed parse is PREFIX-lenient (trailing garbage after one
+   complete value is silently ignored — a round-7 find), the gates
+   parse the doc inside a sentinel array ``[<doc>,"<md5(doc)>"]`` and
+   require exactly two elements with the sentinel second — a
+   structural completeness proof no trailing-garbage document can
+   satisfy (see the stage-3 comment in ``_routing_pieces``).
 3. Routable rows are validated by the columnar compiler
    (``SchemaCompiler.compile_plan_for_column``) over the ``from_json``
-   struct — whole-stage-codegen, zero Python compute.
+   struct — whole-stage-codegen, zero Python compute.  Three routing
+   modes share the machinery: fixed-key STRUCT layouts (round 7:
+   recursive — nested objects and arrays of objects), dynamic-key MAP
+   contracts (``map<string, T>``), and ROOT-VALUE contracts (round 7:
+   the document is a bare scalar or array — ``from_json`` cannot parse
+   a non-object root, so the route parses ``{"v": <doc>}`` and
+   validates the single extracted slot; the round-trip proof compares
+   against the same wrapped string, so no document text can spoof it).
 4. Every other row (malformed JSON, duplicate keys — ``try_parse_json``
    nulls both — non-objects, extra keys, JSON-null-valued fields,
    wrong-typed fields, numeric-exactness hazards) takes the kernel UDF,
@@ -213,18 +226,24 @@ class JsonColumnPlan:
     (struct mode — round 7: recursive, nested objects and arrays of
     objects included), a uniform dynamic-key value type (map mode,
     round 6 — contracts built from patternProperties / propertyNames /
-    additionalProperties with one scalar/array value type), or the
-    reasons the contract stays whole on the kernel plane."""
+    additionalProperties with one scalar/array value type), a ROOT
+    VALUE slot (round 7: contracts whose documents are scalars or
+    arrays, not objects — ``from_json`` cannot parse a bare scalar, so
+    the route parses the doc wrapped as ``{"v": <doc>}`` and validates
+    the single field), or the reasons the contract stays whole on the
+    kernel plane."""
 
     schema: Any
     fields: Dict[str, Tuple[str, Any]] = field(default_factory=dict)
     map_value: Optional[Tuple[str, Optional[str]]] = None
+    root: Optional[Tuple[str, Any]] = None
     reasons: List[str] = field(default_factory=list)
 
     @property
     def routable(self) -> bool:
         return not self.reasons and (bool(self.fields)
-                                     or self.map_value is not None)
+                                     or self.map_value is not None
+                                     or self.root is not None)
 
     def struct_type(self) -> T.DataType:
         if self.map_value is not None:
@@ -232,6 +251,9 @@ class JsonColumnPlan:
             vt: T.DataType = (T.ArrayType(_SCALAR_SPARK[elem])
                               if decl == "array" else _SCALAR_SPARK[decl])
             return T.MapType(T.StringType(), vt)
+        if self.root is not None:
+            return T.StructType(
+                [T.StructField("v", _node_dtype(self.root), True)])
         return _node_dtype(("object", self.fields))
 
 
@@ -608,7 +630,20 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
         # fall through: fixed-property struct mode still routes the
         # fixed-key documents; extra keys go to the kernel
     if not sources:
-        plan.reasons.append("root has no properties — no field layout")
+        # Root-value mode (round 7): the contract's documents are not
+        # objects at all — a scalar ("5", "\"en\"") or an array
+        # ("[1,2]") root.  Conformance suites and real pipelines are
+        # full of these (a JSON column of tags lists, scores, ids).
+        # Object-affine layoutless roots (bare {"type": "object"},
+        # {"minProperties": 2}, …) stay on the kernel: a root slot for
+        # them would route only the empty object and pay parse + gates
+        # on everything else.
+        decl = _slot_decl(schema, root)
+        if decl == "object":
+            plan.reasons.append("root has no properties — no field layout")
+            return plan
+        plan.root = _build_node(schema, root, "root value",
+                                plan.reasons, 1)
         return plan
     props = {name: subs[0] if len(subs) == 1 else {"allOf": subs}
              for name, subs in sources.items()}
@@ -866,7 +901,7 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     :func:`with_valid_json` (verdicts) and :func:`json_violation_rows`
     (screening — which needs the route and the columnar verdict but NOT
     a kernel verdict pass)."""
-    reserved = {"__jp", "__jsc", "__jv"} & set(df.columns)
+    reserved = {"__jp", "__jsc", "__jw", "__jv"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"with_valid_json reserves working columns {sorted(reserved)}; "
@@ -874,6 +909,19 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
 
     doc = F.col(json_col)
     struct_type = plan.struct_type()
+
+    # Root-value mode (round 7): ``from_json`` parses struct/map/array
+    # roots only, so a scalar-or-array-root contract parses the doc
+    # WRAPPED as ``{"v": <doc>}`` into struct<v: T>.  The round-trip
+    # proof compares against the same wrapped string: ``to_json(p)``
+    # is ``{"v":`` + canonical(v) + ``}`` by construction, so equality
+    # forces the raw doc to BE canonical(v) — no document text can
+    # spoof it (an injection like ``5,"v":6`` changes the parse, fails
+    # the equality, and the variant gates below run on the RAW doc, so
+    # wrapper tricks only cost speed, never a verdict).
+    root_mode = plan.root is not None
+    parse_src = F.concat(F.lit('{"v":'), doc, F.lit('}')) \
+        if root_mode else doc
 
     # Generate-node barriers (explode of a 1-element array): Catalyst
     # re-inlines a derived column's defining expression into EVERY
@@ -887,7 +935,7 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     # Stage 1: the typed struct, parsed directly from the string.  This
     # is the ONLY JSON parse canonical documents pay.
     b1 = df.select("*", F.explode(F.array(
-        F.from_json(doc, struct_type))).alias("__jp"))
+        F.from_json(parse_src, struct_type))).alias("__jp"))
     p = F.col("__jp")
 
     # Stage 2: the round-trip shortcut.  ``to_json(p) == doc`` proves
@@ -905,8 +953,12 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     # routes those to the kernel.  (Null array ELEMENTS round-trip and
     # stay columnar: the bridge reads them as JSON null, parity pinned
     # in tests.)
-    guards = [F.to_json(p) == doc]
-    if plan.map_value is not None:
+    guards = [F.to_json(p) == parse_src]
+    if root_mode:
+        g = _exact_guard(p["v"], plan.root)
+        if g is not None:
+            guards.append(g)
+    elif plan.map_value is not None:
         # map hazards the round-trip alone cannot see (probed round 6):
         # duplicate keys round-trip through from_json/to_json but the
         # map lookup is first-match while the kernel is last-wins; and
@@ -935,29 +987,77 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
 
     # Stage 3: the variant, parsed ONLY for shortcut misses (CaseWhen
     # branches evaluate lazily per row) — canonical documents never pay
-    # a second parse.  The doc-wide big-int screen is materialized here
+    # a second parse.
+    #
+    # COMPLETENESS PROOF (round 7 — closes a live round-6 hole): every
+    # Jackson-backed Spark parse (from_json, try_parse_json,
+    # get_json_object, json_tuple, …) is PREFIX-lenient — it consumes
+    # one complete value and silently ignores trailing content, so
+    # '{"k":1} junk' parses as {"k":1} and would route columnar while
+    # the kernel's json.loads rejects the document.  No strict JVM
+    # parser exists, so the proof is structural: parse the doc wrapped
+    # as  [<doc>,"<md5(doc)>"]  and require the result to be an array
+    # of EXACTLY two elements whose second equals the sentinel.  A doc
+    # that is exactly one JSON value always qualifies; trailing garbage
+    # either breaks the array syntax (parse → NULL) or changes the
+    # element count; and the only way to fake the shape is a document
+    # that CONTAINS its own md5 followed by ']' — a hash fixed point,
+    # computationally infeasible.  Canonical-whitespace variants, key
+    # order, and number forms are untouched, so the route rate is
+    # unchanged; the gates' variant becomes element 0 of the SAME
+    # single parse (no second pass).  Jackson also rejects \x0b/\f
+    # between the value and our sentinel comma, matching json.loads's
+    # stricter whitespace rules.
+    #
+    # The doc-wide big-int screen is materialized in the same barrier
     # once per row when any number slot lacks a per-value raw path:
-    # map-mode number values (dynamic keys) or struct-mode number slots
-    # below an array-of-object element (see _reprable).
+    # map-mode number values (dynamic keys), struct-mode number slots
+    # below an array-of-object element, or any root-mode number slot
+    # (see _reprable).
+    sentinel = F.md5(doc)
+    wrapped_arr = F.concat(F.lit('['), doc, F.lit(',"'), sentinel,
+                           F.lit('"]'))
+    b2a = b2.select("*", F.explode(F.array(
+        F.when(~sc, F.try_parse_json(wrapped_arr)))).alias("__jw"))
+    vw = F.col("__jw")
+    complete = (
+        vw.isNotNull()
+        & F.try_variant_get(vw, "$[2]", "variant").isNull()
+        & (F.try_variant_get(vw, "$[1]", "string") == sentinel))
+    v_expr = F.when(complete, F.try_variant_get(vw, "$[0]", "variant"))
+    # root mode passes doc=None to the gates (the doc IS the value —
+    # a per-path get_json_object buys nothing over the doc-wide
+    # screen), so every number slot under the root uses `clean`
     needs_clean = (
-        (plan.map_value is not None and "number" in plan.map_value)
-        or (plan.map_value is None
+        (root_mode and _node_needs_doc_screen(plan.root, True))
+        or (plan.map_value is not None and "number" in plan.map_value)
+        or (not root_mode and plan.map_value is None
             and any(_node_needs_doc_screen(n)
                     for n in plan.fields.values())))
     if needs_clean:
-        b3 = b2.select("*", F.explode(F.array(F.when(~sc, F.struct(
-            F.try_parse_json(doc).alias("v"),
+        b3 = b2a.select("*", F.explode(F.array(F.when(~sc, F.struct(
+            v_expr.alias("v"),
             (~doc.rlike(_BIG_INT_ANYWHERE)).alias("clean"),
         )))).alias("__jv"))
         v = F.col("__jv.v")
         clean = F.col("__jv.clean")
     else:
-        b3 = b2.select("*", F.explode(F.array(
-            F.when(~sc, F.try_parse_json(doc)))).alias("__jv"))
+        b3 = b2a.select("*", F.explode(F.array(
+            F.when(~sc, v_expr))).alias("__jv"))
         v = F.col("__jv")
         clean = None
 
-    if plan.map_value is not None:
+    if root_mode:
+        # the gates judge the RAW doc (never the wrapped parse): one
+        # recursive representability check of the root slot.  A VOID
+        # tag (doc "null") is not representable — p.v NULL would read
+        # as absent under the bridge — and _reprable already rejects it.
+        gates = [
+            v.isNotNull(),     # parses COMPLETELY; no duplicate keys
+            F.coalesce(_reprable(v, "$", plan.root, None, clean),
+                       F.lit(False)),
+        ]
+    elif plan.map_value is not None:
         vm = F.try_variant_get(v, "$", "map<string, variant>")
         value_node: Tuple[str, Any] = plan.map_value
 
@@ -966,7 +1066,7 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
                                F.lit(False))
 
         gates = [
-            v.isNotNull(),                   # parses; no duplicate keys
+            v.isNotNull(),     # parses COMPLETELY; no duplicate keys
             vm.isNotNull(),                  # is an object
             F.size(F.map_filter(vm, entry_bad)) == 0,
         ]
@@ -975,7 +1075,7 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
         # and per-field recursion (nested objects, arrays of objects)
         # all live in _reprable
         gates = [
-            v.isNotNull(),                   # parses; no duplicate keys
+            v.isNotNull(),     # parses COMPLETELY; no duplicate keys
             _reprable(v, "$", ("object", plan.fields), doc, clean),
         ]
     full_gates = functools.reduce(lambda a, b: a & b, gates)
@@ -985,11 +1085,15 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     route = F.when(sc, F.lit(True)) \
         .otherwise(F.coalesce(full_gates, F.lit(False)))
 
+    # root mode compiles the contract against the single extracted
+    # value column — the schema root applies to p.v, not the wrapper
     compiled: CompiledPlan = SchemaCompiler(
         schema, format_assertion=format_assertion) \
-        .compile_plan_for_column(p, struct_type)
+        .compile_plan_for_column(
+            p["v"] if root_mode else p,
+            struct_type["v"].dataType if root_mode else struct_type)
 
-    return b3, route, compiled, ["__jp", "__jsc", "__jv"]
+    return b3, route, compiled, ["__jp", "__jsc", "__jw", "__jv"]
 
 
 def json_violation_rows(df: DataFrame, json_col: str, schema: Any,

@@ -909,7 +909,10 @@ def test_conformance_corpus_through_route(spark):
 
     by_schema = defaultdict(list)
     for c in CASES:
-        if not isinstance(c.schema, dict) or not isinstance(c.data, dict):
+        # round 7 root-value mode: scalar/array data cases run through
+        # the route too — only the schema must be a dict (boolean roots
+        # are unroutable by analysis)
+        if not isinstance(c.schema, dict):
             continue
         try:
             key = json.dumps(c.schema, sort_keys=True)
@@ -928,9 +931,12 @@ def test_conformance_corpus_through_route(spark):
         except Exception:
             continue
     # round 6 (flat layouts): 31 routable schemas / 93 cases; round 7
-    # (recursive layouts + heuristic slots): 90 schemas / 251 cases —
-    # the floor pins against silent routability regressions
-    assert len(routable) >= 80, len(routable)
+    # (recursive layouts + heuristic slots): 90 schemas / 251 cases;
+    # round 7 root-value mode (scalar/array roots through the {"v":...}
+    # wrapper, non-object data cases now admitted): 386 of this
+    # filter's deduped dict schemas — the floor pins against silent
+    # routability regressions
+    assert len(routable) >= 350, len(routable)
     sample = rng.sample(routable, min(60, len(routable)))
 
     mismatches = []
@@ -1152,3 +1158,179 @@ def test_nested_random_contracts_and_docs_match_kernel(spark):
             f"contract {contract}: {len(bad)} mismatches; {bad[:3]}"
         checked += 1
     assert checked >= 12, checked   # most random layouts must route
+
+
+# --- round 7: root-value mode (scalar / array document roots) ----------
+
+ROOT_CONTRACTS = [
+    {"type": "integer", "minimum": 3},
+    {"type": "number", "exclusiveMaximum": 10},
+    {"type": "string", "minLength": 2, "pattern": "^[a-z]+$"},
+    {"type": "boolean"},
+    {"type": "array", "items": {"type": "integer", "minimum": 0},
+     "minItems": 1},
+    {"type": "array", "items": {"type": "object", "required": ["a"],
+                                "properties": {"a": {"type": "integer"}}}},
+    {"enum": ["a", "b"]},
+    {"const": 5},
+    {"minimum": 0},                      # keyword affinity -> number slot
+    {},                                  # empty schema -> string default
+    {"type": ["integer", "string"]},     # union -> integer slot
+    {"type": "null"},                    # null-typed -> string slot
+]
+
+ROOT_DOCS = [
+    '5', '2', '3', '-7', '10', '9.5', '"ab"', '"A"', '"a"', 'true',
+    'false', '[1,2]', '[]', '[-1]', '[{"a":1}]', '[{"b":2}]',
+    '[{"a":null}]', 'null', '{}', '{"v":5}', 'junk', '  5', '5 ', '"b"',
+    '9007199254740993', '12345678901234567890123456789012345678901',
+    '1.5', '0.1', '-0', 'NaN', '5,"v":6', '5}', '[1,2', '1e308', '1e309',
+    '"\\u0041"', '[null]', '', '3.0', '1e2', '5.000000000000001',
+    # wrapper-injection attempts: any doc text that changes the wrapped
+    # parse fails the round-trip proof, and the gates judge the RAW doc
+    '5},"w":{', '[5],"v":[6]', '"a","v":"b"',
+]
+
+
+@pytest.mark.parametrize("shape", ["union", "masked"])
+def test_root_value_route_matches_kernel(spark, shape):
+    """Round-7 root-value mode: contracts whose documents are bare
+    scalars or arrays route through the {"v": <doc>} wrapper — parity
+    with the kernel on hostile docs (whitespace, wrapper injections,
+    big ints, wrong types, malformed JSON) under both plan shapes."""
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(ROOT_DOCS)],
+                               "i long, doc string")
+    for contract in ROOT_CONTRACTS:
+        plan = analyze_json_contract(contract)
+        assert plan.routable and plan.root is not None, (contract,
+                                                         plan.reasons)
+        out = with_valid_json(df, "doc", contract, route_col="route",
+                              plan_shape=shape).collect()
+        expected = _kernel_verdicts(contract, ROOT_DOCS)
+        bad = [(ROOT_DOCS[r["i"]], r["valid"], expected[ROOT_DOCS[r["i"]]])
+               for r in out if r["valid"] != expected[ROOT_DOCS[r["i"]]]]
+        assert not bad, f"{contract}: {bad[:5]}"
+
+
+def test_root_value_canonical_docs_hit_shortcut(spark):
+    """Canonical renderings take the round-trip shortcut and route
+    columnar; every gate failure routes kernel."""
+    contract = {"type": "array", "items": {"type": "number"}}
+    docs = ['[1.5,2.5]', '[]', '[1.5, 2.5]', '"x"', '[1,2]', 'null']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = {r["doc"]: (r["valid"], r["route"]) for r in with_valid_json(
+        df, "doc", contract, route_col="route").collect()}
+    assert out['[1.5,2.5]'] == (True, "columnar")
+    assert out['[]'] == (True, "columnar")
+    # whitespace variant: shortcut miss, variant gates still route it
+    assert out['[1.5, 2.5]'] == (True, "columnar")
+    assert out['"x"'] == (False, "kernel")
+    # integer tokens in a number-slot array: DECIMAL/BIGINT tags route
+    assert out['[1,2]'][0] is True
+    assert out['null'] == (False, "kernel")
+
+
+def test_root_value_violation_rows_match_kernel(spark):
+    """errors() through the root-value screen: per-doc messages equal
+    iter_errors byte-for-byte."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    contract = {"type": "array", "minItems": 1,
+                "items": {"type": "integer", "minimum": 0}}
+    docs = [(i, d) for i, d in enumerate(
+        ['[1,2]', '[]', '[-1]', '["x"]', 'junk', '5', '[0]'])]
+    df = spark.createDataFrame(docs, "i long, doc string")
+    out = json_violation_rows(df, "doc", contract, id_cols=["i"])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["i"], []).append(r["message"])
+
+    v = Validator(Schema(contract))
+    for i, d in docs:
+        try:
+            value = json.loads(d)
+        except ValueError:
+            assert got.get(i) == ["document is not parseable JSON"], d
+            continue
+        expected = [e.message for e in v.iter_errors(value)]
+        assert sorted(got.get(i, [])) == sorted(expected), (d, got.get(i))
+
+
+def test_root_value_fuzz_matches_kernel(spark):
+    """Random root-value contracts x random hostile scalar/array docs:
+    route verdict equals the kernel on every pair."""
+    import random
+
+    rng = random.Random(808)
+    roots = [
+        {"type": "integer", "multipleOf": 3},
+        {"type": "number", "minimum": -5, "maximum": 5},
+        {"type": "string", "maxLength": 4},
+        {"type": "array", "items": {"type": "number", "minimum": 0},
+         "maxItems": 3},
+        {"type": "array", "items": {"type": "string"}, "uniqueItems": True},
+        {"type": "array",
+         "items": {"type": "object",
+                   "properties": {"a": {"type": "integer"},
+                                  "b": {"type": "string"}},
+                   "required": ["a"]}},
+        {"enum": [1, 2, 3]},
+        {"anyOf": [{"type": "integer"}, {"type": "string"}]},
+        {"not": {"type": "string"}},
+    ]
+    pool = [0, 3, 6, -5, 5.5, 2.5, "ab", "abcde", "", True, None,
+            2**53 + 1, 10**20, 0.1, [0, 1.5], [], ["a", "a"], ["a", "b"],
+            [{"a": 1}], [{"a": "x"}], [{"b": "y"}], [None], {"a": 1}, {}]
+    perturb = [lambda s: s, lambda s: " " + s, lambda s: s + "\n",
+               lambda s: s.replace(",", ", "), lambda s: s.replace(":", ": ")]
+    checked = 0
+    for contract in roots:
+        plan = analyze_json_contract(contract)
+        if not plan.routable:
+            continue
+        docs = sorted({rng.choice(perturb)(json.dumps(rng.choice(pool),
+                                                      separators=(",", ":")))
+                       for _ in range(60)})
+        df = spark.createDataFrame([(d,) for d in docs], "doc string")
+        out = with_valid_json(df, "doc", contract).collect()
+        expected = _kernel_verdicts(contract, docs)
+        bad = [(r["doc"], r["valid"], expected[r["doc"]])
+               for r in out if r["valid"] != expected[r["doc"]]]
+        assert not bad, f"{contract}: {bad[:5]}"
+        checked += 1
+    assert checked >= 8, checked
+
+
+def test_trailing_garbage_never_routes(spark):
+    """Round-7 find: every Jackson-backed Spark parse is PREFIX-lenient
+    ('{"k":1} junk' parses as {"k":1}), so round 6 routed such docs
+    columnar and judged them valid while the kernel's json.loads
+    rejects them.  The sentinel-array completeness proof must send every
+    trailing-garbage doc to the kernel, in all three routing modes."""
+    cases = {
+        # struct mode
+        json.dumps({"type": "object", "required": ["k"],
+                    "properties": {"k": {"type": "integer",
+                                         "minimum": 0}}}):
+        ['{"k":1} junk', '{"k":1},"x":2', '{"k":1}{"k":2}', '{"k":1}]',
+         '{"k":1}}', '{"k":1}\x0b', '{"k":1}\x0c', '{"k":1} ,',
+         '{"k": 1} null', '{"k":1}'],
+        # map mode
+        json.dumps({"type": "object",
+                    "additionalProperties": {"type": "integer"}}):
+        ['{"a":1} junk', '{"a":1},"b":2', '{"a":1}'],
+        # root-value mode
+        json.dumps({"type": "array", "items": {"type": "integer"}}):
+        ['[5],"v":[6]', '[5] ,', '[5]]', '[5] junk', '[1,2] [3]', '[5]'],
+    }
+    for contract_json, docs in cases.items():
+        contract = json.loads(contract_json)
+        df = spark.createDataFrame([(d,) for d in docs], "doc string")
+        out = {r["doc"]: (r["valid"], r["route"]) for r in with_valid_json(
+            df, "doc", contract, route_col="route").collect()}
+        expected = _kernel_verdicts(contract, docs)
+        for d in docs:
+            assert out[d][0] == expected[d], (contract, d, out[d])
+            # garbage-suffixed docs must take the kernel plane
+            if not expected[d]:
+                assert out[d][1] == "kernel", (contract, d, out[d])
