@@ -163,6 +163,13 @@ _DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"
 #   ("array", <node>)                               array of objects /
 #                                                   nested arrays
 #   ("object", {name: <node>, ...})                 nested object
+#   ("map", <node>)                                 dynamic-key object
+#                                                   (round 7: nested
+#                                                   additionalProperties/
+#                                                   patternProperties
+#                                                   slots — all value
+#                                                   sources must agree
+#                                                   on ONE node)
 #
 # Depth is capped (``_MAX_NEST``): past it — including any recursive
 # $ref chain, which would otherwise unfold forever — the contract
@@ -182,6 +189,8 @@ def _node_dtype(node: Tuple[str, Any]) -> T.DataType:
     if decl == "object":
         return T.StructType([T.StructField(n, _node_dtype(c), True)
                              for n, c in extra.items()])
+    if decl == "map":
+        return T.MapType(T.StringType(), _node_dtype(extra))
     if decl == "array":
         et = _SCALAR_SPARK[extra] if isinstance(extra, str) \
             else _node_dtype(extra)
@@ -198,15 +207,28 @@ def _node_has_integer(node: Tuple[str, Any]) -> bool:
             else _node_has_integer(extra)
     if decl == "object":
         return any(_node_has_integer(c) for c in extra.values())
+    if decl == "map":
+        return _node_has_integer(extra)
+    return False
+
+
+def _node_has_map(node: Tuple[str, Any]) -> bool:
+    decl, extra = node
+    if decl == "map":
+        return True
+    if decl == "array":
+        return not isinstance(extra, str) and _node_has_map(extra)
+    if decl == "object":
+        return any(_node_has_map(c) for c in extra.values())
     return False
 
 
 def _node_needs_doc_screen(node: Tuple[str, Any],
                            under_elem: bool = False) -> bool:
-    """True when a ``number`` slot sits below an array-of-node element —
-    there is no per-value raw JSON path there, so the ≥16-digit
-    integer-token screen must run doc-wide (computed once per row in
-    the barrier)."""
+    """True when a ``number`` slot sits below an array-of-node element
+    or a map value — there is no per-value raw JSON path there, so the
+    ≥16-digit integer-token screen must run doc-wide (computed once per
+    row in the barrier)."""
     decl, extra = node
     if decl == "number":
         return under_elem
@@ -217,6 +239,8 @@ def _node_needs_doc_screen(node: Tuple[str, Any],
     if decl == "object":
         return any(_node_needs_doc_screen(c, under_elem)
                    for c in extra.values())
+    if decl == "map":
+        return _node_needs_doc_screen(extra, True)
     return False
 
 
@@ -539,14 +563,37 @@ def _build_node(schema: Schema, sub: Any, label: str,
     if decl == "object":
         dyn: list = []
         _collect_dynamic_value_sources(schema, sub, dyn)
-        if dyn:
-            # nested dynamic-key contracts would need a map slot inside
-            # the struct; not routed (yet) — published, never wrong
-            reasons.append(
-                f"{label}: nested dynamic-key value schemas — kernel only")
-            return None
         srcs: Dict[str, list] = {}
         _collect_property_sources(schema, sub, srcs)
+        if dyn:
+            # dynamic-key slot (round 7): a map<string, V> node.  Every
+            # value source — dynamic AND fixed properties (their keys
+            # live in the same map) — must agree on ONE routing node;
+            # heterogeneous contracts publish a reason and stay kernel.
+            probe: List[str] = []
+            nodes: List[Any] = []
+            for s in dyn + [subs[0] if len(subs) == 1 else {"allOf": subs}
+                            for subs in srcs.values()]:
+                n = _build_node(schema, s, f"{label} values", probe,
+                                depth + 1)
+                if n not in nodes:          # object nodes hold dicts —
+                    nodes.append(n)         # dedup by equality, not hash
+            # integers are exactly representable in the number slot
+            # (the gates keep them within 2^53), so mixed contracts
+            # route on the wider slot — mirrors root map mode
+            if sorted(map(repr, nodes)) == [repr(("integer", None)),
+                                            repr(("number", None))]:
+                nodes = [("number", None)]
+            elif sorted(map(repr, nodes)) == [repr(("array", "integer")),
+                                              repr(("array", "number"))]:
+                nodes = [("array", "number")]
+            if None not in nodes and len(nodes) == 1:
+                return ("map", nodes[0])
+            reasons.append(
+                f"{label}: dynamic-key value schemas disagree on a "
+                "single routing node — kernel only"
+                + (f" ({probe[0]})" if probe else ""))
+            return None
         fields: Dict[str, Tuple[str, Any]] = {}
         ok = True
         for k, subs in srcs.items():
@@ -571,11 +618,15 @@ def _build_node(schema: Schema, sub: Any, label: str,
 def analyze_json_contract(schema: Any) -> JsonColumnPlan:
     """Decide whether a contract's conforming documents are exactly
     representable as a typed struct — round 7: RECURSIVELY, nested
-    objects become nested ``StructType`` fields and arrays of objects
-    ``ArrayType(StructType)`` — or (round 6, VERDICT r5 #6) as a
-    ``map<string, T>`` when the contract types its values through
-    dynamic-key keywords (``patternProperties`` /
-    ``additionalProperties``) with ONE scalar/array type.  Unroutable
+    objects become nested ``StructType`` fields, arrays of objects
+    ``ArrayType(StructType)``, and nested dynamic-key slots
+    ``MapType`` (all value sources agreeing on one node) — or (round
+    6, VERDICT r5 #6) as a ``map<string, T>`` when the contract types
+    its values through dynamic-key keywords (``patternProperties`` /
+    ``additionalProperties``) with ONE scalar/array type (object-typed
+    values route as a root ``("map", node)`` through the wrapper), or
+    (round 7) as a ROOT VALUE slot when the documents are bare scalars
+    or arrays rather than objects.  Unroutable
     contracts are not an error — ``with_valid_json`` just runs them
     whole on the kernel plane — but the reasons are published so a
     pipeline owner can see why a contract is stuck on the slow plane.
@@ -623,9 +674,13 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
             plan.map_value = next(iter(decls))
             return plan
         if not sources:
-            plan.reasons.append(
-                "dynamic-key value schemas disagree on a single "
-                f"scalar/array type ({sorted(map(str, decls))})")
+            # round 7: value sources beyond scalars/arrays (object or
+            # nested-map values) — route as a ROOT map node through the
+            # {"v": <doc>} wrapper; _build_node's object branch builds
+            # ("map", <node>) when every source agrees on one node,
+            # else publishes the disagreement
+            plan.root = _build_node(schema, root, "root value",
+                                    plan.reasons, 1)
             return plan
         # fall through: fixed-property struct mode still routes the
         # fixed-key documents; extra keys go to the kernel
@@ -725,6 +780,22 @@ def _reprable(base: Column, path: str, node: Tuple[str, Any],
         for name, child in extra.items():
             ok = ok & _slot_ok(base, f"{path}.{name}", child, doc, clean)
         return ok
+    if decl == "map":
+        # dynamic-key node: any key set; every PRESENT value must be
+        # representable in the value node.  A VOID value is not — the
+        # bridge reads a NULL map entry as "absent key" while the
+        # kernel sees a present null — and _reprable already rejects
+        # VOID in every value branch.  Duplicate keys anywhere null
+        # the whole-doc variant parse, so the gate path never sees
+        # them (the shortcut path is guarded in _exact_guard).
+        m = vg("map<string, variant>")
+        value_node = extra
+
+        def entry_bad(k: Column, vv: Column) -> Column:
+            return ~F.coalesce(_reprable(vv, "$", value_node, None, clean),
+                               F.lit(False))
+
+        return m.isNotNull() & (F.size(F.map_filter(m, entry_bad)) == 0)
     # array slots
     if isinstance(extra, str):                    # array of scalars
         elem = extra
@@ -775,12 +846,23 @@ def _slot_ok(base: Column, path: str, node: Tuple[str, Any],
 
 
 def _exact_guard(col: Column, node: Tuple[str, Any]) -> Optional[Column]:
-    """Round-trip-shortcut guard: no integer slot anywhere under
-    ``col`` exceeds ±2^53 (an exact int64 in (2^53, 2^63] round-trips
-    verbatim but the kernel applies JS float semantics there).  None
-    when the subtree has no integer slot — no guard expression built.
-    Null-safe at every level: a NULL struct/array (absent / JSON null)
-    passes, and NULL propagates through nested field access."""
+    """Round-trip-shortcut guard.  Two hazard classes the to_json
+    equality cannot see:
+
+    - no integer slot anywhere under ``col`` exceeds ±2^53 (an exact
+      int64 in (2^53, 2^63] round-trips verbatim but the kernel
+      applies JS float semantics there);
+    - map nodes (round 7): ``from_json`` KEEPS duplicate keys in the
+      map binary and ``to_json`` renders them all back — a dup-key
+      canonical doc round-trips, but the map lookup is first-match vs
+      the kernel's last-wins; and a JSON-null map value renders back
+      while the bridge reads the NULL entry as "absent key".  Both
+      route to the kernel.
+
+    None when the subtree has neither hazard — no guard expression
+    built.  Null-safe at every level: a NULL struct/array/map (absent /
+    JSON null) passes, and NULL propagates through nested field
+    access."""
     decl, extra = node
     if decl == "integer":
         return col.isNull() | _exact_long_range(col)
@@ -790,7 +872,7 @@ def _exact_guard(col: Column, node: Tuple[str, Any]) -> Optional[Column]:
                 return None
             return col.isNull() | F.forall(
                 col, lambda x: x.isNull() | _exact_long_range(x))
-        if not _node_has_integer(extra):
+        if not (_node_has_integer(extra) or _node_has_map(extra)):
             return None
         child_node = extra
 
@@ -805,6 +887,19 @@ def _exact_guard(col: Column, node: Tuple[str, Any]) -> Optional[Column]:
         if not subs:
             return None
         return functools.reduce(lambda a, b: a & b, subs)
+    if decl == "map":
+        keys = F.map_keys(col)
+        g = ((F.size(keys) == F.size(F.array_distinct(keys)))
+             & ~F.exists(F.map_values(col), lambda x: x.isNull()))
+        child_node = extra
+        if _node_has_integer(child_node) or _node_has_map(child_node):
+            def val_guard(x: Column) -> Column:
+                vg_ = _exact_guard(x, child_node)
+                return F.lit(True) if vg_ is None \
+                    else F.coalesce(vg_, F.lit(True))
+
+            g = g & F.forall(F.map_values(col), val_guard)
+        return col.isNull() | g
     return None
 
 

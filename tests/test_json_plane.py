@@ -232,14 +232,15 @@ def test_fast_plane_has_no_python_stage(spark):
 
 
 def test_unroutable_contracts_fall_back_whole(spark):
-    """Nested objects / arrays of objects (round 7) and heuristic slots
-    (union types, keyword affinity, enum types, typeless defaults)
-    ROUTE now — what stays unroutable: layoutless roots, boolean
-    roots, unknown type names, property names needing path quoting,
-    nested dynamic-key value schemas, recursive $refs (depth cap),
-    nesting past _MAX_NEST, and scope-sensitive $dynamicRef (the
-    compiler hoists those to one root kernel check — routing would buy
-    nothing)."""
+    """Nested objects / arrays of objects, heuristic slots (union
+    types, keyword affinity, enum types, typeless defaults),
+    scalar/array roots, and nested dynamic-key slots ALL route now
+    (round 7) — what stays unroutable: layoutless object-affine roots,
+    boolean roots, unknown type names, property names needing path
+    quoting, dynamic-key value schemas that disagree on one node,
+    recursive $refs (depth cap), nesting past _MAX_NEST, and
+    scope-sensitive $dynamicRef (the compiler hoists those to one root
+    kernel check — routing would buy nothing)."""
     deep: dict = {"type": "integer"}
     for _ in range(14):                    # > _MAX_NEST levels
         deep = {"type": "object", "properties": {"x": deep}}
@@ -249,9 +250,10 @@ def test_unroutable_contracts_fall_back_whole(spark):
         True,                                                  # boolean root
         {"properties": {"a": {"type": "frob"}}},               # unknown type
         {"properties": {"a/b": {"type": "integer"}}},          # path quoting
-        {"properties": {"a": {                                 # nested dyn
-            "type": "object",
-            "additionalProperties": {"type": "integer"}}}},
+        {"properties": {"a": {          # dynamic values disagreeing on
+            "type": "object",           # a single routing node
+            "patternProperties": {"^x": {"type": "integer"},
+                                  "^y": {"type": "boolean"}}}}},
         {"$defs": {"n": {"type": "object",                     # recursive
                           "properties": {"next": {"$ref": "#/$defs/n"}}}},
          "properties": {"a": {"$ref": "#/$defs/n"}}},
@@ -1334,3 +1336,147 @@ def test_trailing_garbage_never_routes(spark):
             # garbage-suffixed docs must take the kernel plane
             if not expected[d]:
                 assert out[d][1] == "kernel", (contract, d, out[d])
+
+
+# --- round 7: nested dynamic-key (map) nodes ---------------------------
+
+NESTED_MAP_CONTRACTS = [
+    {"type": "object", "required": ["id", "labels"],
+     "properties": {"id": {"type": "integer"},
+                    "labels": {"type": "object",
+                               "additionalProperties": {"type": "string",
+                                                        "minLength": 1}}}},
+    {"properties": {"counts": {"type": "object",
+                               "additionalProperties": {"type": "integer",
+                                                        "minimum": 0}}}},
+    # top-level map of OBJECTS: routes as a root ("map", node) through
+    # the {"v": <doc>} wrapper
+    {"type": "object",
+     "additionalProperties": {"type": "object", "required": ["x"],
+                              "properties": {"x": {"type": "number"}}}},
+    {"additionalProperties": {"type": "array",
+                              "items": {"type": "object",
+                                        "properties": {
+                                            "n": {"type": "integer"}}}}},
+    {"properties": {"m": {"type": "object",
+                          "additionalProperties": {
+                              "type": "object",
+                              "additionalProperties": {
+                                  "type": "integer"}}}}},
+    {"properties": {"tags": {"type": "object",
+                             "patternProperties": {
+                                 "^[a-z]+$": {"type": "boolean"}},
+                             "additionalProperties": {"type": "boolean"}}}},
+]
+
+NESTED_MAP_DOCS = [
+    '{"id":1,"labels":{"a":"x","b":"y"}}', '{"id":1,"labels":{}}',
+    '{"id":1,"labels":{"a":""}}', '{"id":1,"labels":{"a":1}}',
+    '{"id":1,"labels":{"a":null}}', '{"id":1,"labels":{"a":"x","a":"y"}}',
+    '{"id":1}', '{"labels":{"a":"x"}}', '{"id":1,"labels":[]}',
+    '{"counts":{"a":1,"b":0}}', '{"counts":{"a":-1}}',
+    '{"counts":{"a":1.5}}', '{"counts":{"a":9007199254740993}}',
+    '{"counts":{}}', '{}',
+    '{"k":{"x":1.5}}', '{"k":{"x":"s"}}', '{"k":{}}',
+    '{"k":{"x":1.5,"y":2}}',
+    '{"k":[{"n":1}]}', '{"k":[{"n":1},{"n":"s"}]}', '{"k":[]}',
+    '{"m":{"a":{"b":1}}}', '{"m":{"a":{"b":1.5}}}', '{"m":{"a":{}}}',
+    '{"m":{}}', '{"tags":{"go":true}}', '{"tags":{"GO":true}}',
+    '{"tags":{"go":"x"}}', '{"a": {"x": 2}} junk', 'junk', 'null',
+    '{"id": 1, "labels": {"a": "x"}}',
+]
+
+
+@pytest.mark.parametrize("shape", ["union", "masked"])
+def test_nested_map_route_matches_kernel(spark, shape):
+    """Round-7 map nodes: dynamic-key slots nested inside struct
+    layouts (and top-level dynamic contracts with object values) route
+    — parity with the kernel on dup-key, null-value, wrong-type, and
+    big-int hazards under both plan shapes."""
+    df = spark.createDataFrame([(i, d) for i, d in
+                                enumerate(NESTED_MAP_DOCS)],
+                               "i long, doc string")
+    for contract in NESTED_MAP_CONTRACTS:
+        plan = analyze_json_contract(contract)
+        assert plan.routable, (contract, plan.reasons)
+        out = with_valid_json(df, "doc", contract, route_col="route",
+                              plan_shape=shape).collect()
+        expected = _kernel_verdicts(contract, NESTED_MAP_DOCS)
+        bad = [(NESTED_MAP_DOCS[r["i"]], r["valid"],
+                expected[NESTED_MAP_DOCS[r["i"]]])
+               for r in out
+               if r["valid"] != expected[NESTED_MAP_DOCS[r["i"]]]]
+        assert not bad, f"{contract}: {bad[:5]}"
+
+
+def test_nested_map_hazards_route_kernel(spark):
+    """The map-node hazards must take the kernel plane: duplicate keys
+    (first-match vs last-wins), JSON-null values (absent under the
+    bridge), beyond-2^53 integers — in canonical form (shortcut
+    guards) AND in whitespace-variant form (gate path)."""
+    contract = {"properties": {"counts": {
+        "type": "object",
+        "additionalProperties": {"type": "integer"}}}}
+    hazard_docs = [
+        '{"counts":{"a":1,"a":2}}',          # dup keys, canonical
+        '{"counts":{"a":null}}',             # null value, canonical
+        '{"counts":{"a":9007199254740993}}',  # >2^53, canonical
+        '{"counts": {"a": 1, "a": 2}}',      # dup keys, gate path
+        '{"counts": {"a": null}}',           # null value, gate path
+        '{"counts": {"a": 9007199254740993}}',
+    ]
+    ok_docs = ['{"counts":{"a":1}}', '{"counts": {"a": 1}}']
+    df = spark.createDataFrame(
+        [(d,) for d in hazard_docs + ok_docs], "doc string")
+    out = {r["doc"]: (r["valid"], r["route"]) for r in with_valid_json(
+        df, "doc", contract, route_col="route").collect()}
+    expected = _kernel_verdicts(contract, hazard_docs + ok_docs)
+    for d in hazard_docs:
+        assert out[d][0] == expected[d], (d, out[d])
+        assert out[d][1] == "kernel", (d, out[d])
+    for d in ok_docs:
+        assert out[d] == (True, "columnar"), (d, out[d])
+
+
+def test_nested_map_fuzz_matches_kernel(spark):
+    """Random docs over nested-map contracts with hostile values in
+    every slot — parity on all of them."""
+    import random
+
+    rng = random.Random(909)
+    contract = {"type": "object", "required": ["id"],
+                "properties": {
+                    "id": {"type": "integer", "minimum": 0},
+                    "labels": {"type": "object",
+                               "additionalProperties": {
+                                   "type": "string", "maxLength": 3}},
+                    "stats": {"type": "object",
+                              "additionalProperties": {
+                                  "type": "array",
+                                  "items": {"type": "number"}}}}}
+    label_vals = ["ab", "abcd", "", 1, None, True, ["x"], {"z": 1}]
+    stat_vals = [[1.5], [], [1.5, "x"], [None], "nope", 5,
+                 [9007199254740993], [0.1, 2]]
+    key_pool = ["a", "b", "ln", "木", "a b", ""]
+
+    def gen():
+        doc = {}
+        if rng.random() < 0.9:
+            doc["id"] = rng.choice([0, 5, -1, 1.5, "x", None])
+        if rng.random() < 0.8:
+            doc["labels"] = {rng.choice(key_pool): rng.choice(label_vals)
+                             for _ in range(rng.randint(0, 3))}
+        if rng.random() < 0.6:
+            doc["stats"] = {rng.choice(key_pool): rng.choice(stat_vals)
+                            for _ in range(rng.randint(0, 2))}
+        if rng.random() < 0.1:
+            doc["extra"] = 1
+        return json.dumps(doc)
+
+    docs = sorted({gen() for _ in range(250)})
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", contract).collect()
+    expected = _kernel_verdicts(contract, docs)
+    bad = [(r["doc"], r["valid"], expected[r["doc"]])
+           for r in out if r["valid"] != expected[r["doc"]]]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
