@@ -246,13 +246,33 @@ def valid_uri_reference(value: str) -> bool:
 
 
 def valid_regex(value: str) -> bool:
-    from jema_js_spark.kernel.regex_js import UnsupportedRegexError, compile_js_regex
+    """Mirror of ``case 'regex'`` (schema.js:519): the reference only
+    asks whether ``new RegExp(value, 'u')`` COMPILES.  Round-7 review
+    fix: classify instead of blanket-False —
+
+    - :class:`InvalidRegexError` (ES SyntaxError) → False, like the
+      reference's catch;
+    - plain :class:`UnsupportedRegexError` (valid ES this engine can't
+      *evaluate* — binary properties, variable-width lookbehind) →
+      True: it compiles in the reference, and compilability is all
+      this format asserts;
+    - :class:`UndecidableRegexError` (script properties — validity
+      needs tables this engine doesn't carry) → LOUD, never a guessed
+      verdict."""
+    from jema_js_spark.kernel.regex_js import (InvalidRegexError,
+                                               UndecidableRegexError,
+                                               UnsupportedRegexError,
+                                               compile_js_regex)
 
     try:
         compile_js_regex(value)
         return True
-    except UnsupportedRegexError:
+    except InvalidRegexError:
         return False
+    except UndecidableRegexError:
+        raise
+    except UnsupportedRegexError:
+        return True
 
 
 def check_format(fmt: str, value: str) -> bool:

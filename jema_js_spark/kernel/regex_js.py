@@ -36,8 +36,11 @@ reference's native 'u'-flag support; the Java target deliberately
 rejects them (the JVM's Unicode tables can diverge from Python's
 across versions), so \\p patterns always run Python-side — Plane-B
 single-column pandas UDF or the kernel — and one implementation owns
-every verdict.  Script properties and other binary properties stay
-unsupported (loud).
+every verdict.  ASCII/Any/Assigned evaluate too; other ES binary
+properties are valid-but-unevaluable (plain Unsupported); script
+properties are undecidable (loud); unknown names are ES SyntaxErrors
+(:class:`InvalidRegexError` — exact-case matching, round-7 review
+fix).
 
 Constructs with no faithful mapping (script ``\\p``, variable-length
 lookbehind in Python) raise :class:`UnsupportedRegexError`; the
@@ -55,6 +58,8 @@ from functools import lru_cache
 
 __all__ = [
     "UnsupportedRegexError",
+    "InvalidRegexError",
+    "UndecidableRegexError",
     "translate",
     "compile_js_regex",
     "js_regex_search",
@@ -71,7 +76,26 @@ _JS_DOT = "[^\\n\\r\\u2028\\u2029]"
 
 class UnsupportedRegexError(ValueError):
     """Pattern uses a construct with no faithful mapping in the target
-    dialect — callers fall back to another execution plane."""
+    dialect — callers fall back to another execution plane.  Raised
+    PLAIN only for constructs that are VALID ECMAScript 'u'-flag syntax
+    (``new RegExp(p,'u')`` compiles in the reference) — that contract
+    lets ``format: "regex"`` answer compilability questions without
+    evaluating (formats.py valid_regex)."""
+
+
+class InvalidRegexError(UnsupportedRegexError):
+    """Pattern is a SyntaxError under ECMAScript 'u'-flag compilation —
+    the reference's ``new RegExp(p,'u')`` throws.  ``format: "regex"``
+    maps this to false exactly as the reference's catch does
+    (schema.js:519)."""
+
+
+class UndecidableRegexError(UnsupportedRegexError):
+    """This engine cannot decide whether the pattern compiles under
+    ECMAScript 'u' (e.g. ``\\p{Script=X}`` — validity depends on the
+    Unicode script-name table, which this engine does not carry).
+    ``format: "regex"`` refuses LOUDLY rather than guessing a verdict
+    either way."""
 
 
 # -- \p{...} Unicode property escapes (round 7) -----------------------------
@@ -84,27 +108,65 @@ class UnsupportedRegexError(ValueError):
 # diverge from Python's across Unicode versions — a silent cross-plane
 # verdict split); \p patterns therefore always run Python-side (kernel
 # or the single-column pandas UDF), one implementation owning the
-# verdict.  Script/binary properties beyond White_Space stay loud.
+# verdict.  ASCII/Any/Assigned evaluate too; other ES binary
+# properties are recognized as VALID-but-unevaluable (plain
+# Unsupported); script properties are UNDECIDABLE (loud); unknown
+# names are ES SyntaxErrors (InvalidRegexError) — see
+# _property_class_body.
 
+# EXACT-case names per PropertyValueAliases.txt — ES property matching
+# is case-sensitive (round-7 review find: the old .upper() matching
+# accepted SyntaxError names like \p{letter}, splitting format:"regex"
+# verdicts from the reference's new RegExp(p,'u') throw).  The
+# lowercase entries (digit/cntrl/punct) are exact aliases from the
+# file, not case forgiveness.
 _GC_LONG_ALIASES = {
-    "LETTER": "L", "UPPERCASE_LETTER": "Lu", "LOWERCASE_LETTER": "Ll",
-    "TITLECASE_LETTER": "Lt", "MODIFIER_LETTER": "Lm", "OTHER_LETTER": "Lo",
-    "CASED_LETTER": "LC",
-    "MARK": "M", "NONSPACING_MARK": "Mn", "SPACING_MARK": "Mc",
-    "ENCLOSING_MARK": "Me", "COMBINING_MARK": "M",
-    "NUMBER": "N", "DECIMAL_NUMBER": "Nd", "DIGIT": "Nd",
-    "LETTER_NUMBER": "Nl", "OTHER_NUMBER": "No",
-    "PUNCTUATION": "P", "CONNECTOR_PUNCTUATION": "Pc",
-    "DASH_PUNCTUATION": "Pd", "OPEN_PUNCTUATION": "Ps",
-    "CLOSE_PUNCTUATION": "Pe", "INITIAL_PUNCTUATION": "Pi",
-    "FINAL_PUNCTUATION": "Pf", "OTHER_PUNCTUATION": "Po", "PUNCT": "P",
-    "SYMBOL": "S", "MATH_SYMBOL": "Sm", "CURRENCY_SYMBOL": "Sc",
-    "MODIFIER_SYMBOL": "Sk", "OTHER_SYMBOL": "So",
-    "SEPARATOR": "Z", "SPACE_SEPARATOR": "Zs", "LINE_SEPARATOR": "Zl",
-    "PARAGRAPH_SEPARATOR": "Zp",
-    "OTHER": "C", "CONTROL": "Cc", "CNTRL": "Cc", "FORMAT": "Cf",
-    "SURROGATE": "Cs", "PRIVATE_USE": "Co", "UNASSIGNED": "Cn",
+    "Letter": "L", "Uppercase_Letter": "Lu", "Lowercase_Letter": "Ll",
+    "Titlecase_Letter": "Lt", "Modifier_Letter": "Lm",
+    "Other_Letter": "Lo", "Cased_Letter": "LC",
+    "Mark": "M", "Nonspacing_Mark": "Mn", "Spacing_Mark": "Mc",
+    "Enclosing_Mark": "Me", "Combining_Mark": "M",
+    "Number": "N", "Decimal_Number": "Nd", "digit": "Nd",
+    "Letter_Number": "Nl", "Other_Number": "No",
+    "Punctuation": "P", "Connector_Punctuation": "Pc",
+    "Dash_Punctuation": "Pd", "Open_Punctuation": "Ps",
+    "Close_Punctuation": "Pe", "Initial_Punctuation": "Pi",
+    "Final_Punctuation": "Pf", "Other_Punctuation": "Po", "punct": "P",
+    "Symbol": "S", "Math_Symbol": "Sm", "Currency_Symbol": "Sc",
+    "Modifier_Symbol": "Sk", "Other_Symbol": "So",
+    "Separator": "Z", "Space_Separator": "Zs", "Line_Separator": "Zl",
+    "Paragraph_Separator": "Zp",
+    "Other": "C", "Control": "Cc", "cntrl": "Cc", "Format": "Cf",
+    "Surrogate": "Cs", "Private_Use": "Co", "Unassigned": "Cn",
 }
+
+# ES 'u'-flag binary Unicode property names (spec table incl. aliases)
+# that this engine does NOT evaluate beyond White_Space/ASCII/Any/
+# Assigned.  Their presence still means the pattern COMPILES in the
+# reference — plain UnsupportedRegexError (es-valid), never Invalid.
+_ES_BINARY_PROPS = frozenset({
+    "Alphabetic", "Alpha", "Case_Ignorable", "CI", "Cased",
+    "Changes_When_Casefolded", "CWCF", "Changes_When_Casemapped",
+    "CWCM", "Changes_When_Lowercased", "CWL",
+    "Changes_When_NFKC_Casefolded", "CWKCF", "Changes_When_Titlecased",
+    "CWT", "Changes_When_Uppercased", "CWU", "Dash",
+    "Default_Ignorable_Code_Point", "DI", "Deprecated", "Dep",
+    "Diacritic", "Dia", "Emoji", "Emoji_Component", "EComp",
+    "Emoji_Modifier", "EMod", "Emoji_Modifier_Base", "EBase",
+    "Emoji_Presentation", "EPres", "Extended_Pictographic", "ExtPict",
+    "Extender", "Ext", "Grapheme_Base", "Gr_Base", "Grapheme_Extend",
+    "Gr_Ext", "Hex_Digit", "Hex", "ID_Continue", "IDC", "ID_Start",
+    "IDS", "Ideographic", "Ideo", "IDS_Binary_Operator", "IDSB",
+    "IDS_Trinary_Operator", "IDST", "Join_Control", "Join_C",
+    "Logical_Order_Exception", "LOE", "Lowercase", "Lower", "Math",
+    "Noncharacter_Code_Point", "NChar", "Pattern_Syntax", "Pat_Syn",
+    "Pattern_White_Space", "Pat_WS", "Quotation_Mark", "QMark",
+    "Radical", "Regional_Indicator", "RI", "Sentence_Terminal",
+    "STerm", "Soft_Dotted", "SD", "Terminal_Punctuation", "Term",
+    "Unified_Ideograph", "UIdeo", "Uppercase", "Upper",
+    "Variation_Selector", "VS", "XID_Continue", "XIDC", "XID_Start",
+    "XIDS",
+})
 _GC_SHORT = {"L", "Lu", "Ll", "Lt", "Lm", "Lo", "LC", "M", "Mn", "Mc",
              "Me", "N", "Nd", "Nl", "No", "P", "Pc", "Pd", "Ps", "Pe",
              "Pi", "Pf", "Po", "S", "Sm", "Sc", "Sk", "So", "Z", "Zs",
@@ -150,32 +212,79 @@ def _merge_ranges(ranges):
 
 @lru_cache(maxsize=128)
 def _property_class_body(prop: str) -> str:
-    """Class-body range material (no brackets) for a \\p{prop}, or
-    raises UnsupportedRegexError for properties outside the supported
-    set (general categories + White_Space)."""
-    raw = prop.strip()
-    for prefix in ("General_Category=", "general_category=", "gc="):
-        if raw.startswith(prefix):
-            raw = raw[len(prefix):]
-            break
-    if raw == "White_Space":
-        cps = [(c, c) for c in _WHITE_SPACE_CPS]
-    else:
-        key = raw if raw in _GC_SHORT else _GC_LONG_ALIASES.get(raw.upper())
-        if key is None:
+    """Class-body range material (no brackets) for a \\p{prop}.
+
+    Name matching is EXACT-case (ES 'u'-flag property matching is
+    case-sensitive; no whitespace trimming either — ``\\p{ Letter }``
+    is a SyntaxError in the reference).  Raises:
+
+    - nothing — for evaluable properties: general categories (short,
+      long, and exact file aliases), White_Space/WSpace, ASCII, Any,
+      Assigned;
+    - plain :class:`UnsupportedRegexError` — for ES-VALID binary
+      properties this engine does not evaluate (Alphabetic, ID_Start,
+      …): the reference compiles them, we cannot match them;
+    - :class:`UndecidableRegexError` — for Script/Script_Extensions
+      values (validity depends on the Unicode script-name table this
+      engine does not carry);
+    - :class:`InvalidRegexError` — for everything else: the
+      reference's ``new RegExp(p,'u')`` throws."""
+    raw = prop
+    explicit_gc = raw.startswith(("General_Category=", "gc="))
+    if explicit_gc:
+        raw = raw.split("=", 1)[1]
+    if not explicit_gc:
+        if raw in ("White_Space", "WSpace"):
+            return _ranges_to_body([(c, c) for c in _WHITE_SPACE_CPS])
+        if raw == "ASCII":
+            return _ranges_to_body([(0x00, 0x7F)])
+        if raw == "Any":
+            return _ranges_to_body([(0x00, 0x10FFFF)])
+        if raw == "Assigned":
+            cn = _category_ranges().get("Cn", [])
+            return _ranges_to_body(_complement_ranges(cn))
+        if raw in _ES_BINARY_PROPS:
             raise UnsupportedRegexError(
-                f"\\p{{{prop}}} property unsupported (general categories "
-                "and White_Space only)")
-        cats = (["Lu", "Ll", "Lt"] if key == "LC"
-                else [c for c in _category_ranges() if c.startswith(key)]
-                if len(key) == 1 else [key])
-        cps = [r for c in cats for r in _category_ranges().get(c, [])]
+                f"\\p{{{prop}}}: ES-valid binary property this engine "
+                "does not evaluate")
+        if raw.startswith(("Script=", "sc=", "Script_Extensions=",
+                           "scx=")):
+            raise UndecidableRegexError(
+                f"\\p{{{prop}}}: script-property validity needs the "
+                "Unicode script table")
+    key = raw if raw in _GC_SHORT else _GC_LONG_ALIASES.get(raw)
+    if key is None:
+        raise InvalidRegexError(
+            f"\\p{{{prop}}}: not a known general category"
+            + ("" if explicit_gc else " or supported binary property")
+            + " — SyntaxError under the reference's RegExp(p,'u')")
+    cats = (["Lu", "Ll", "Lt"] if key == "LC"
+            else [c for c in _category_ranges() if c.startswith(key)]
+            if len(key) == 1 else [key])
+    cps = [r for c in cats for r in _category_ranges().get(c, [])]
+    return _ranges_to_body(cps)
+
+
+def _ranges_to_body(cps) -> str:
     parts = []
     for a, b in _merge_ranges(cps):
         ea = _hex4(a) if a <= 0xFFFF else f"\\U{a:08x}"
         eb = _hex4(b) if b <= 0xFFFF else f"\\U{b:08x}"
         parts.append(ea if a == b else f"{ea}-{eb}")
     return "".join(parts)
+
+
+def _complement_ranges(ranges):
+    """Sorted complement of [start, end] ranges over the codespace."""
+    out = []
+    nxt = 0
+    for a, b in sorted(_merge_ranges(list(ranges))):
+        if a > nxt:
+            out.append((nxt, a - 1))
+        nxt = max(nxt, b + 1)
+    if nxt <= 0x10FFFF:
+        out.append((nxt, 0x10FFFF))
+    return out
 
 
 def _hex4(cp: int) -> str:
@@ -204,7 +313,7 @@ def translate(pattern: str, target: str = "python") -> str:
 
         if c == "\\":
             if i + 1 >= n:
-                raise UnsupportedRegexError("trailing backslash")
+                raise InvalidRegexError("trailing backslash")
             e = pattern[i + 1]
             i += 2
             if e == "d":
@@ -230,12 +339,12 @@ def translate(pattern: str, target: str = "python") -> str:
                     out.append(f"\\x{ord(pattern[i].upper()) % 32:02x}")
                     i += 1
                 else:
-                    raise UnsupportedRegexError(r"bare \c")
+                    raise InvalidRegexError(r"bare \c")
             elif e == "u":
                 if i < n and pattern[i] == "{":
                     j = pattern.find("}", i)
                     if j == -1:
-                        raise UnsupportedRegexError(r"unterminated \u{...}")
+                        raise InvalidRegexError(r"unterminated \u{...}")
                     cp = int(pattern[i + 1:j], 16)
                     out.append(_code_point_escape(cp, target))
                     i = j + 1
@@ -243,13 +352,13 @@ def translate(pattern: str, target: str = "python") -> str:
                     out.append("\\u" + pattern[i:i + 4])
                     i += 4
                 else:
-                    raise UnsupportedRegexError(r"malformed \uXXXX")
+                    raise InvalidRegexError(r"malformed \uXXXX")
             elif e in ("p", "P"):
                 if i >= n or pattern[i] != "{":
-                    raise UnsupportedRegexError(r"bare \p")
+                    raise InvalidRegexError(r"bare \p")
                 j = pattern.find("}", i)
                 if j == -1:
-                    raise UnsupportedRegexError(r"unterminated \p{...}")
+                    raise InvalidRegexError(r"unterminated \p{...}")
                 prop = pattern[i + 1:j]
                 i = j + 1
                 if target == "java":
@@ -271,12 +380,12 @@ def translate(pattern: str, target: str = "python") -> str:
                 if i < n and pattern[i] == "<":
                     j = pattern.find(">", i)
                     if j == -1:
-                        raise UnsupportedRegexError(r"unterminated \k<...>")
+                        raise InvalidRegexError(r"unterminated \k<...>")
                     name = pattern[i + 1:j]
                     out.append(f"(?P={name})" if target == "python" else f"\\k<{name}>")
                     i = j + 1
                 else:
-                    raise UnsupportedRegexError(r"bare \k")
+                    raise InvalidRegexError(r"bare \k")
             elif e == "b" and in_class:
                 out.append("\\x08")  # [\b] is backspace in JS classes
             elif e == "0" and (i >= n or not pattern[i].isdigit()):
@@ -319,7 +428,7 @@ def translate(pattern: str, target: str = "python") -> str:
             if pattern.startswith("(?<", i) and i + 3 < n and pattern[i + 3] not in "=!":
                 j = pattern.find(">", i)
                 if j == -1:
-                    raise UnsupportedRegexError("unterminated (?<name>")
+                    raise InvalidRegexError("unterminated (?<name>")
                 name = pattern[i + 3:j]
                 out.append(f"(?P<{name}>" if target == "python" else f"(?<{name}>")
                 i = j + 1
@@ -330,7 +439,7 @@ def translate(pattern: str, target: str = "python") -> str:
         i += 1
 
     if in_class:
-        raise UnsupportedRegexError("unterminated character class")
+        raise InvalidRegexError("unterminated character class")
     return "".join(out)
 
 
@@ -343,7 +452,16 @@ def compile_js_regex(pattern: str):
     try:
         return re.compile(translated)
     except re.error as exc:
-        raise UnsupportedRegexError(f"untranslatable pattern {pattern!r}: {exc}") from exc
+        # Python's fixed-width lookbehind restriction rejects patterns
+        # that ARE valid ES2018 (unrestricted lookbehind) — plain
+        # Unsupported (es-valid, unevaluable).  Every other re.error
+        # on translated output (unbalanced groups, bad quantifier
+        # ranges, undefined named backrefs) mirrors an ES SyntaxError.
+        if "look-behind" in str(exc):
+            raise UnsupportedRegexError(
+                f"variable-width lookbehind in {pattern!r}: {exc}") from exc
+        raise InvalidRegexError(
+            f"invalid pattern {pattern!r}: {exc}") from exc
 
 
 def js_regex_search(pattern: str, value: str) -> bool:

@@ -146,15 +146,33 @@ def run_partitioned(spark: SparkSession, df: DataFrame, partition_col,
         raise ValueError(
             f"partition value collides with the null sentinel "
             f"{NULL_KEY!r}; rename the value or use a custom ledger key")
-    keys = [NULL_KEY if k is None else str(k) for k in raw]
+    # Filter on the RAW typed value, not its Python str() (round-7
+    # review find): Python str() and Spark CAST disagree for some
+    # types — str(True) is 'True' while CAST(true AS STRING) renders
+    # 'true', so a `cast(col as string) == str(k)` filter matches zero
+    # rows and the ledger marks the partition done having processed
+    # nothing (the same silent-skip class the NULL_KEY sentinel
+    # exists to prevent).  `pcol == F.lit(k)` compares in the column's
+    # own type (string provider keys coerce Spark-side).  Distinct raw
+    # values that stringify to the same ledger key would be
+    # indistinguishable on resume — refuse loudly.
+    by_key: Dict[str, object] = {}
+    for k in raw:
+        key = NULL_KEY if k is None else str(k)
+        if key in by_key and by_key[key] != k:
+            raise ValueError(
+                f"distinct partition values {by_key[key]!r} and {k!r} "
+                f"both stringify to ledger key {key!r}; use a custom "
+                "key scheme")
+        by_key[key] = k
     done = set(ledger.completed_keys())
     results: Dict[str, dict] = {}
-    for key in sorted(keys):
+    for key in sorted(by_key):
         if key in done:
             results[key] = {"skipped": True}
             continue
-        part = df.filter(pcol.isNull() if key == NULL_KEY
-                         else pcol.cast("string") == key)
+        k = by_key[key]
+        part = df.filter(pcol.isNull() if k is None else pcol == F.lit(k))
         metrics = work(part, key)
         ledger.mark_done(key, metrics)
         results[key] = metrics

@@ -517,6 +517,20 @@ def _value_decl(schema: Schema, sub: Any) -> Optional[Tuple[str, Optional[str]]]
     return None
 
 
+def _promote_numeric(nodes) -> list:
+    """Collapse a mixed integer/number slot collection to the wider
+    number slot — integers are exactly representable there (the gates
+    keep them within 2^53 / DECIMAL-exact).  ONE implementation shared
+    by the top-level map mode and nested map nodes so their
+    routability can never silently diverge (round-7 review)."""
+    reprs = sorted(repr(n) for n in nodes)
+    if reprs == [repr(("array", "integer")), repr(("array", "number"))]:
+        return [("array", "number")]
+    if reprs == [repr(("integer", None)), repr(("number", None))]:
+        return [("number", None)]
+    return list(nodes)
+
+
 def _build_node(schema: Schema, sub: Any, label: str,
                 reasons: List[str], depth: int) -> Optional[Tuple[str, Any]]:
     """Routing node of one property subschema, recursing into nested
@@ -578,15 +592,7 @@ def _build_node(schema: Schema, sub: Any, label: str,
                                 depth + 1)
                 if n not in nodes:          # object nodes hold dicts —
                     nodes.append(n)         # dedup by equality, not hash
-            # integers are exactly representable in the number slot
-            # (the gates keep them within 2^53), so mixed contracts
-            # route on the wider slot — mirrors root map mode
-            if sorted(map(repr, nodes)) == [repr(("integer", None)),
-                                            repr(("number", None))]:
-                nodes = [("number", None)]
-            elif sorted(map(repr, nodes)) == [repr(("array", "integer")),
-                                              repr(("array", "number"))]:
-                nodes = [("array", "number")]
+            nodes = _promote_numeric(nodes)
             if None not in nodes and len(nodes) == 1:
                 return ("map", nodes[0])
             reasons.append(
@@ -663,15 +669,9 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
         decls |= {_value_decl(schema, subs[0] if len(subs) == 1
                               else {"allOf": subs})
                   for subs in sources.values()}
-        # integers are exactly representable in the number slot (the
-        # gates keep them within 2^53 / DECIMAL-exact), so a mixed
-        # integer/number contract routes on the wider slot
-        if decls == {("integer", None), ("number", None)}:
-            decls = {("number", None)}
-        elif decls == {("array", "integer"), ("array", "number")}:
-            decls = {("array", "number")}
+        decls = _promote_numeric(decls)
         if None not in decls and len(decls) == 1:
-            plan.map_value = next(iter(decls))
+            plan.map_value = decls[0]
             return plan
         if not sources:
             # round 7: value sources beyond scalars/arrays (object or
@@ -1112,13 +1112,17 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     sentinel = F.md5(doc)
     wrapped_arr = F.concat(F.lit('['), doc, F.lit(',"'), sentinel,
                            F.lit('"]'))
-    b2a = b2.select("*", F.explode(F.array(
-        F.when(~sc, F.try_parse_json(wrapped_arr)))).alias("__jw"))
-    vw = F.col("__jw")
+    # the sentinel rides the barrier as a real attribute: referencing
+    # the raw F.md5(doc) expression again downstream would re-hash the
+    # whole document per miss row (Catalyst re-inlines, see above)
+    b2a = b2.select("*", F.explode(F.array(F.when(~sc, F.struct(
+        F.try_parse_json(wrapped_arr).alias("w"),
+        sentinel.alias("s"))))).alias("__jw"))
+    vw = F.col("__jw.w")
     complete = (
         vw.isNotNull()
         & F.try_variant_get(vw, "$[2]", "variant").isNull()
-        & (F.try_variant_get(vw, "$[1]", "string") == sentinel))
+        & (F.try_variant_get(vw, "$[1]", "string") == F.col("__jw.s")))
     v_expr = F.when(complete, F.try_variant_get(vw, "$[0]", "variant"))
     # root mode passes doc=None to the gates (the doc IS the value —
     # a per-path get_json_object buys nothing over the doc-wide

@@ -100,8 +100,13 @@ def main() -> None:
 
     def work(part_df, key: str) -> dict:
         out = f"{args.output}/days/{key}"
+        # coalesce: F.sum over an EMPTY partition slice (a key listed
+        # by a metadata provider whose rows were compacted away) is
+        # SQL NULL, and the n_invalid/n_kernel subtractions below would
+        # TypeError on None instead of recording zeros (round-7 review)
         aggs = [F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("valid").cast("long")).alias("n_valid")]
+                F.coalesce(F.sum(F.col("valid").cast("long")),
+                           F.lit(0)).alias("n_valid")]
         if args.json_col:
             # route_col: the routed/kernel split per partition lands in
             # the ledger metrics (round 7, VERDICT r6 #4) — a routing-
@@ -112,8 +117,9 @@ def main() -> None:
                                     route_col="route")
             viol = json_violation_rows(part_df, args.json_col, schema,
                                        id_cols=[args.id_col])
-            aggs.append(F.sum((F.col("route") == "columnar").cast("long"))
-                        .alias("n_routed"))
+            aggs.append(F.coalesce(
+                F.sum((F.col("route") == "columnar").cast("long")),
+                F.lit(0)).alias("n_routed"))
         else:
             valid = with_valid(part_df, schema)
             viol = violation_rows(part_df, schema, id_cols=[args.id_col])

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from jema_js_spark.kernel.regex_js import (UnsupportedRegexError,
                                            compile_js_regex,
                                            java_regex_explain)
@@ -201,3 +203,50 @@ def test_coverage_reports_reasons(spark):
     assert cov3["plane_b_checks"] == 0
     assert cov3["plane_b_reasons"] == {}
     assert cov3["pattern_fallbacks"] == 0
+
+
+def test_property_name_matching_is_exact_case():
+    """Round-7 review fix: ES property matching is case-sensitive and
+    whitespace-intolerant — \\p{letter} is a SyntaxError under the
+    reference's new RegExp(p,'u'), and the old .upper() matching
+    accepted it, splitting format:"regex" verdicts.  Pin the
+    classification tri-state."""
+    from jema_js_spark.kernel.formats import valid_regex
+    from jema_js_spark.kernel.regex_js import (InvalidRegexError,
+                                               UndecidableRegexError,
+                                               UnsupportedRegexError,
+                                               compile_js_regex,
+                                               js_regex_search)
+
+    # exact names compile and match
+    for pat in (r"^\p{Lu}$", r"^\p{Letter}$", r"\p{digit}", r"\p{cntrl}",
+                r"\p{punct}", r"\p{gc=Lu}", r"\p{General_Category=Letter}",
+                r"\p{White_Space}", r"\p{WSpace}", r"\p{ASCII}",
+                r"\p{Any}", r"\p{Assigned}", r"\p{Combining_Mark}"):
+        compile_js_regex(pat)
+    assert js_regex_search(r"^\p{Assigned}+$", "ab1")
+    assert not js_regex_search(r"^\p{ASCII}$", "é")
+    # wrong-case / unknown names are ES SyntaxErrors -> format False
+    for pat in (r"\p{letter}", r"\p{LETTER}", r"\p{Digit}", r"\p{lu}",
+                r"\p{ Letter }", r"\p{Frobnicate}", r"\p{gc=Alphabetic}"):
+        with pytest.raises(InvalidRegexError):
+            compile_js_regex(pat)
+        assert valid_regex(pat) is False
+    # ES-valid binary properties: unevaluable here, but they COMPILE
+    # in the reference -> format True, matching loud elsewhere
+    for pat in (r"\p{Alphabetic}", r"\p{ID_Start}", r"\p{Emoji}"):
+        with pytest.raises(UnsupportedRegexError):
+            compile_js_regex(pat)
+        assert valid_regex(pat) is True
+    # script properties: validity undecidable without script tables ->
+    # format refuses loudly, never guesses
+    for pat in (r"\p{Script=Greek}", r"\p{sc=Latin}", r"\p{Script=Bogus}"):
+        with pytest.raises(UndecidableRegexError):
+            valid_regex(pat)
+    # variable-width lookbehind: valid ES2018, Python can't run it
+    with pytest.raises(UnsupportedRegexError):
+        compile_js_regex(r"(?<=ab*)x")
+    assert valid_regex(r"(?<=ab*)x") is True
+    # garden-variety SyntaxErrors keep mapping to False
+    assert valid_regex(r"^(abc]") is False
+    assert valid_regex(r"a{2,1}") is False

@@ -860,6 +860,35 @@ def test_checkpoint_sentinel_collision_raises(spark):
                                 lambda part, key: {}, key_provider=kp)
 
 
+def test_checkpoint_typed_keys_filter_on_raw_value(spark):
+    """Round-7 review find: filtering with cast(col as string)==str(k)
+    silently skips types where Python str() and Spark CAST disagree —
+    str(True) is 'True' but CAST renders 'true', so a boolean
+    partition processed ZERO rows and was marked done.  The filter now
+    compares the raw typed value; stringification collisions between
+    distinct raw values refuse loudly."""
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "id long, flag boolean")
+    counts = {}
+
+    def work(part, key):
+        counts[key] = part.count()
+        return {"n": counts[key]}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ledger = CheckpointLedger(spark, f"{tmp}/ledger", run_id="b1")
+        run_partitioned(spark, df, "flag", ledger, work,
+                        key_provider=lambda: [True, False])
+    assert counts == {"True": 2, "False": 1}, counts
+
+    # distinct raw values stringifying to one ledger key: loud
+    with tempfile.TemporaryDirectory() as tmp:
+        ledger = CheckpointLedger(spark, f"{tmp}/ledger", run_id="b2")
+        with pytest.raises(ValueError, match="stringify"):
+            run_partitioned(spark, df, "flag", ledger, work,
+                            key_provider=lambda: [True, "True"])
+
+
 def test_custom_audio_decoder_accepts_1d_mono(spark):
     # round-5 review find: the per-channel refactor broke 1-D mono
     # arrays from set_decoder plugins (accepted pre-round-5)
