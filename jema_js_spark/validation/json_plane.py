@@ -463,6 +463,21 @@ def _slot_decl(schema: Schema, sub: Any,
             single.append(t)
         elif isinstance(t, list):
             union.extend(str(x) for x in t)
+        # anyOf/oneOf where EVERY branch declares a type: the value
+        # must satisfy some branch, so the branch types form a union —
+        # the nullable idiom anyOf[{type: X}, {type: "null"}] routes
+        # on X instead of the string default (slot choice is always
+        # verdict-safe; it only decides which rows get the fast plane)
+        for combo in ("anyOf", "oneOf"):
+            branches = node.get(combo)
+            if isinstance(branches, list) and branches and all(
+                    isinstance(b, dict)
+                    and isinstance(b.get("type"), (str, list))
+                    for b in branches):
+                for b in branches:
+                    bt = b["type"]
+                    union.extend([bt] if isinstance(bt, str)
+                                 else [str(x) for x in bt])
         ev = node.get("enum")
         if isinstance(ev, list):
             et = _enum_type(ev)

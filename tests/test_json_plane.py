@@ -1480,3 +1480,68 @@ def test_nested_map_fuzz_matches_kernel(spark):
     bad = [(r["doc"], r["valid"], expected[r["doc"]])
            for r in out if r["valid"] != expected[r["doc"]]]
     assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+
+
+def test_nullable_idiom_routes_on_value_type(spark):
+    """anyOf/oneOf where every branch declares a type contribute a
+    union type to the slot pick — the ubiquitous nullable idiom
+    anyOf[{type: X}, {type: "null"}] routes X-typed documents columnar
+    instead of defaulting to the string slot and sending every value
+    to the kernel.  Parity pinned; null values still take the kernel
+    (the bridge reads SQL NULL as absent)."""
+    contract = {"required": ["n"], "properties": {
+        "n": {"anyOf": [{"type": "integer", "minimum": 0},
+                        {"type": "null"}]}}}
+    plan = analyze_json_contract(contract)
+    assert plan.fields["n"] == ("integer", None), plan.fields
+    docs = ['{"n":5}', '{"n":0}', '{"n":null}', '{"n":-1}', '{"n":"x"}',
+            '{"n":1.5}', '{}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = {r["doc"]: (r["valid"], r["route"]) for r in with_valid_json(
+        df, "doc", contract, route_col="route").collect()}
+    expected = _kernel_verdicts(contract, docs)
+    for d in docs:
+        assert out[d][0] == expected[d], (d, out[d])
+    assert out['{"n":5}'] == (True, "columnar")
+    assert out['{"n":null}'][1] == "kernel"
+
+
+def test_root_and_map_fast_plans_stay_plane_a(spark):
+    """The new round-7 modes must keep the routed subset UDF-free:
+    compile the contract exactly as _routing_pieces does (root mode
+    targets the extracted value column) and assert pure Plane A, plus
+    a physical-plan check that the routed filter of a root contract
+    carries no Python stage."""
+    from jema_js_spark.compiler.compile import SchemaCompiler
+
+    cases = [
+        {"type": "array", "minItems": 1,
+         "items": {"type": "number", "minimum": 0}},        # root array
+        {"type": "integer", "minimum": 3},                  # root scalar
+        {"type": "object",
+         "additionalProperties": {"type": "object",
+                                  "required": ["x"],
+                                  "properties": {
+                                      "x": {"type": "number"}}}},
+        {"properties": {"labels": {
+            "type": "object",
+            "additionalProperties": {"type": "string"}}}},  # nested map
+    ]
+    for contract in cases:
+        plan = analyze_json_contract(contract)
+        assert plan.routable, (contract, plan.reasons)
+        st = plan.struct_type()
+        if plan.root is not None:
+            col, dt = F.lit(None).cast(st)["v"], st["v"].dataType
+        else:
+            col, dt = F.lit(None).cast(st), st
+        cov = SchemaCompiler(contract).compile_plan_for_column(
+            col, dt).coverage()
+        assert cov["plane_a_fraction"] == 1.0, (contract,
+                                                cov["plane_b_names"])
+
+    df = spark.createDataFrame([("[1.5]",)], "doc string")
+    out = with_valid_json(df, "doc", cases[0], route_col="route")
+    fast_plan = out.filter(F.col("route") == "columnar") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in fast_plan and "BatchEvalPython" not in fast_plan
