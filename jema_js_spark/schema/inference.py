@@ -155,7 +155,8 @@ def _mine_container(df: DataFrame, c: str, dtype,
     import json
 
     from jema_js_spark.compiler.compile import _TExpr
-    from jema_js_spark.validation.kernel_udf import _restore_nonfinite
+    from jema_js_spark.validation.kernel_udf import (_restore_nonfinite,
+                                                      loads_doc)
 
     # filter BEFORE the projection: filtering on F.col(c) after
     # selecting only the to_json alias worked solely via Catalyst's
@@ -169,7 +170,9 @@ def _mine_container(df: DataFrame, c: str, dtype,
     values = []
     for r in rows:
         try:
-            v = json.loads(r["doc"])
+            # loads_doc: a ~1000-deep document would RecursionError a
+            # plain json.loads and kill the DRIVER (round-7 hardening)
+            v = loads_doc(r["doc"])
         except (TypeError, ValueError):
             continue
         if fpaths:
@@ -396,7 +399,7 @@ def propose_json_contract(df: DataFrame, col: str, sample_rows: int = 2000,
     (kernel-validate all-true, pinned in tests); rows outside the
     sample may exceed mined bounds — that is the point: they surface as
     violations for contract review."""
-    import json
+    from jema_js_spark.validation.kernel_udf import loads_doc
 
     rows = (df.select(F.col(col).alias("doc"))
             .filter(F.col(col).isNotNull())
@@ -405,7 +408,7 @@ def propose_json_contract(df: DataFrame, col: str, sample_rows: int = 2000,
     values = []
     for r in rows:
         try:
-            values.append(json.loads(r["doc"]))
+            values.append(loads_doc(r["doc"]))
         except (TypeError, ValueError):
             continue
     if not values:

@@ -1312,7 +1312,8 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     def run(batches):
         import pandas as pd
 
-        from jema_js_spark.validation.kernel_udf import _get_validator
+        from jema_js_spark.validation.kernel_udf import (_get_validator,
+                                                          loads_doc)
 
         v = _get_validator(schema_json, remotes_json, format_assertion)
         cols = id_cols + ["check", "keyword", "schema_path", "data_path",
@@ -1328,7 +1329,7 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
             for row_i, doc in enumerate(doc_array):
                 ids = [a[row_i] for a in id_arrays]
                 try:
-                    value = None if doc is None else _json.loads(doc)
+                    value = loads_doc(doc)
                 except (TypeError, ValueError):
                     rows.append(ids + ["__parse__", "__parse__", "[]", "[]",
                                        "", "document is not parseable JSON"])

@@ -1545,3 +1545,38 @@ def test_root_and_map_fast_plans_stay_plane_a(spark):
     fast_plan = out.filter(F.col("route") == "columnar") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in fast_plan and "BatchEvalPython" not in fast_plan
+
+
+def test_pathological_depth_never_kills_the_job(spark):
+    """Round-7 hardening: a ~1000-deep document used to RecursionError
+    json.loads INSIDE the kernel UDF (the parse ran at Python's
+    default 1000-frame limit, outside Validator.validate's raised
+    budget, and escaped the except (TypeError, ValueError) guard) —
+    one hostile document killed the whole Spark job.  loads_doc parses
+    under the kernel budget: docs within it get REAL verdicts (a
+    15000-deep array under an integer slot is a type violation), docs
+    beyond it degrade to verdict False / a __parse__ row — never a
+    dead executor."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    contract = {"properties": {"k": {"type": "integer"}}}
+    docs = []
+    for i, depth in enumerate((1000, 15000, 100000)):
+        docs.append((i, '{"k": ' + "[" * depth + "]" * depth + "}"))
+    docs.append((3, '{"k": 1}'))
+    df = spark.createDataFrame(docs, "i long, doc string")
+    out = {r["i"]: (r["valid"], r["route"]) for r in with_valid_json(
+        df, "doc", contract, route_col="route").collect()}
+    assert out[0] == (False, "kernel")
+    assert out[1] == (False, "kernel")
+    assert out[2] == (False, "kernel")
+    assert out[3] == (True, "columnar")
+
+    kw = {}
+    for r in json_violation_rows(df, "doc", contract,
+                                 id_cols=["i"]).collect():
+        kw.setdefault(r["i"], set()).add(r["keyword"])
+    assert kw[0] == {"type"}          # parses under the budget: real
+    assert kw[1] == {"type"}          # error, byte-identical message
+    assert kw[2] == {"__parse__"}     # beyond the budget: clean row
+    assert 3 not in kw
