@@ -211,13 +211,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rplan = analyze_json_contract(root_schema)
         assert rplan.routable and rplan.root == ("array", "number"), \
             rplan.reasons
+        # round 7 session 4: a KEYS-ONLY contract — no properties, no
+        # typed values; the constraints read the KEY SET alone, so the
+        # route extracts map<string, variant> (values opaque, never
+        # touched by a Plane-A predicate).  The doc's single key IS the
+        # event type, so the dependentRequired clause fails exactly the
+        # 'error' events and the DuckDB twin restates that directly.
+        keys_schema = {"minProperties": 1,
+                       "propertyNames": {"pattern": "^[a-z]+$"},
+                       "dependentRequired": {"error": ["recovery"]}}
+        kplan = analyze_json_contract(keys_schema)
+        assert kplan.routable and kplan.map_value == ("variant", None), \
+            kplan.reasons
         udf = kernel_validate_udf(schema)
         ev = _events(spark, sf_dir).withColumn(
             "nested_doc", F.to_json(F.struct(
                 F.col("event_id").alias("id"),
                 F.struct(F.col("event_type").alias("etype"),
                          F.col("value").alias("v")).alias("meta")))) \
-            .withColumn("root_doc", F.to_json(F.array(F.col("value"))))
+            .withColumn("root_doc", F.to_json(F.array(F.col("value")))) \
+            .withColumn("keys_doc", F.to_json(
+                F.create_map(F.col("event_type"), F.col("value"))))
         routed = with_valid_json(ev, "props", schema,
                                  col_name="valid_columnar")
         routed = with_valid_json(routed, "props", map_schema,
@@ -226,9 +240,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  col_name="valid_nested")
         routed = with_valid_json(routed, "root_doc", root_schema,
                                  col_name="valid_root")
+        routed = with_valid_json(routed, "keys_doc", keys_schema,
+                                 col_name="valid_keys")
         return routed.select("event_id", udf(F.col("props")).alias("valid"),
                              "valid_columnar", "valid_map", "valid_nested",
-                             "valid_root")
+                             "valid_root", "valid_keys")
 
     def q_windowed_verdicts(spark, sf_dir):
         # the batch analog of the streaming windowed-verdict surface:
@@ -900,7 +916,12 @@ def oracle_sql() -> dict[str, str]:
                    -- JSON array, validated through the wrapped
                    -- root-value route; same bounds restated
                    coalesce(value BETWEEN 0.5 AND 150,
-                            FALSE) AS valid_root
+                            FALSE) AS valid_root,
+                   -- the keys doc is to_json(map(event_type -> value)):
+                   -- a keys-only contract (dependentRequired on the
+                   -- 'error' key, lowercase propertyNames) routed as
+                   -- map<string, variant> — verdict restated directly
+                   coalesce(event_type <> 'error', FALSE) AS valid_keys
             FROM events""",
         "text_features": f"""
             WITH t AS (

@@ -366,6 +366,25 @@ class SchemaCompiler:
         if not isinstance(node, dict):
             return []
 
+        # VARIANT NET (round 7, keys-only map routing): a variant-typed
+        # column is an OPAQUE parsed-JSON slot — the map<string,variant>
+        # mode routes contracts whose keywords never read values, so no
+        # Plane-A predicate may be compiled against one (typed casts on
+        # a variant COERCE — "5" extracts as 5 long — and every scalar
+        # handler here assumes a typed column).  Any constraining
+        # subschema that DOES reach a variant value (a dependentSchemas
+        # body with properties, a combinator branch typing the values)
+        # runs as ONE kernel check over ``to_json`` of the variant: the
+        # rendering is value-exact for everything the route admits (dup
+        # keys and ≥16-digit integer tokens are screened to the kernel
+        # by the routing gates before this plan ever runs).
+        if isinstance(texpr.dtype, T.VariantType):
+            return [self._plane_b_check(
+                dict(node), texpr, spath + ("(variant-value)",), dpath,
+                node, "variant", owner_node=node,
+                note="constraint on an opaque variant value (keys-only "
+                     "map routing) — kernel on the exact JSON rendering")]
+
         # SOUNDNESS GATE (round-2, found by the randomized hunt): the
         # kernel's evaluated set is shared per data value across ALL
         # in-place applicators — an unevaluated* sweep inside one allOf

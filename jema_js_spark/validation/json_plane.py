@@ -130,7 +130,10 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _SCALAR_SQL = {"integer": "bigint", "number": "double",
                "string": "string", "boolean": "boolean"}
 _SCALAR_SPARK = {"integer": T.LongType(), "number": T.DoubleType(),
-                 "string": T.StringType(), "boolean": T.BooleanType()}
+                 "string": T.StringType(), "boolean": T.BooleanType(),
+                 # keys-only map routing (round 7): values parse as
+                 # OPAQUE variants — never read by a Plane-A predicate
+                 "variant": T.VariantType()}
 
 # largest integer magnitude a double holds exactly
 _EXACT_LONG = 1 << 53
@@ -710,7 +713,28 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
         # on everything else.
         decl = _slot_decl(schema, root)
         if decl == "object":
-            plan.reasons.append("root has no properties — no field layout")
+            # KEYS-ONLY map routing (round 7, session 4): an
+            # object-affine root with no fixed properties and no typed
+            # dynamic values (bare ``required``, ``propertyNames``,
+            # ``dependentRequired``, ``min/maxProperties``,
+            # ``dependentSchemas``, ``{"type": "object"}`` …) never
+            # reads a value — its keywords constrain the KEY SET.  The
+            # documents route as ``map<string, variant>``: keys are
+            # real map keys, values opaque variants no Plane-A
+            # predicate touches (the compiler's variant net turns any
+            # value-reading subschema into one kernel check over the
+            # value's exact rendering).  JSON-null values parse as
+            # variant nulls — present, exactly like the kernel — so
+            # the typed-map null-value hazard doesn't exist here.
+            # unevaluated* anywhere in the subtree compiles as ONE
+            # whole-node kernel check, so routing would pay parse +
+            # gates to reach a 100% Plane-B plan — those stay kernel.
+            if SchemaCompiler(schema)._contains_unevaluated_deep(root):
+                plan.reasons.append(
+                    "root has no properties and carries unevaluated* — "
+                    "whole-plan kernel check, routing buys nothing")
+                return plan
+            plan.map_value = ("variant", None)
             return plan
         plan.root = _build_node(schema, root, "root value",
                                 plan.reasons, 1)
@@ -768,6 +792,16 @@ def _reprable(base: Column, path: str, node: Tuple[str, Any],
 
     def vg(cast: str) -> Column:
         return F.try_variant_get(base, path, cast)
+
+    if decl == "variant":
+        # keys-only map routing: the slot holds ANY JSON value as an
+        # opaque variant — presence alone is representable (a VOID tag
+        # included: JSON-null map values stay variant nulls, never SQL
+        # nulls, so the bridge hazards of typed maps don't exist).  The
+        # doc-wide integer screen still applies: a ≥16-digit token
+        # melts through try_parse_json's DOUBLE tag, and a Plane-B
+        # check reading the value would re-render the melted form.
+        return clean if clean is not None else F.lit(True)
 
     tag = F.schema_of_variant(vg("variant"))
     if decl == "integer":
@@ -1075,8 +1109,14 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
         # map to_json RENDERS null values the bridge reads as absent
         keys_ = F.map_keys(p)
         guards.append(F.size(keys_) == F.size(F.array_distinct(keys_)))
-        guards.append(~F.exists(F.map_values(p), lambda x: x.isNull()))
         decl, elem = plan.map_value
+        if decl != "variant":
+            # typed values only: variant values keep JSON nulls as
+            # variant nulls (present, kernel semantics — no bridge
+            # hazard) and big integers either render back exactly
+            # (int64/decimal) or fail the round-trip equality above
+            guards.append(~F.exists(F.map_values(p),
+                                    lambda x: x.isNull()))
         if decl == "integer":
             guards.append(F.forall(F.map_values(p),
                                    lambda x: _exact_long_range(x)))
@@ -1144,7 +1184,13 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     # screen), so every number slot under the root uses `clean`
     needs_clean = (
         (root_mode and _node_needs_doc_screen(plan.root, True))
-        or (plan.map_value is not None and "number" in plan.map_value)
+        or (plan.map_value is not None
+            and ("number" in plan.map_value
+                 # keys-only mode: a ≥16-digit integer token melts to
+                 # a DOUBLE through try_parse_json, and a Plane-B check
+                 # reading the value would judge the melted rendering —
+                 # screen those docs to the kernel on the gate path
+                 or plan.map_value[0] == "variant"))
         or (not root_mode and plan.map_value is None
             and any(_node_needs_doc_screen(n)
                     for n in plan.fields.values())))

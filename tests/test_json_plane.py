@@ -234,19 +234,21 @@ def test_fast_plane_has_no_python_stage(spark):
 def test_unroutable_contracts_fall_back_whole(spark):
     """Nested objects / arrays of objects, heuristic slots (union
     types, keyword affinity, enum types, typeless defaults),
-    scalar/array roots, and nested dynamic-key slots ALL route now
-    (round 7) — what stays unroutable: layoutless object-affine roots,
-    boolean roots, unknown type names, property names needing path
-    quoting, dynamic-key value schemas that disagree on one node,
-    recursive $refs (depth cap), nesting past _MAX_NEST, and
-    scope-sensitive $dynamicRef (the compiler hoists those to one root
-    kernel check — routing would buy nothing)."""
+    scalar/array roots, nested dynamic-key slots, and layoutless
+    object-affine roots (keys-only variant maps) ALL route now
+    (round 7) — what stays unroutable: boolean roots, unknown type
+    names, property names needing path quoting, dynamic-key value
+    schemas that disagree on one node, recursive $refs (depth cap),
+    nesting past _MAX_NEST, layoutless roots carrying unevaluated*
+    (100% Plane-B plan — routing buys nothing), and scope-sensitive
+    $dynamicRef (same hoist)."""
     deep: dict = {"type": "integer"}
     for _ in range(14):                    # > _MAX_NEST levels
         deep = {"type": "object", "properties": {"x": deep}}
     docs = ['{"a": {"b": 1}}', '{"a": null}', 'junk', '{"a": [1, {"z": 2}]}']
     contracts = [
-        {"properties": {}},                                    # no layout
+        {"minProperties": 2,             # layoutless root + unevaluated*
+         "unevaluatedProperties": False},  # = 100% Plane-B plan
         True,                                                  # boolean root
         {"properties": {"a": {"type": "frob"}}},               # unknown type
         {"properties": {"a/b": {"type": "integer"}}},          # path quoting
@@ -802,7 +804,11 @@ def test_errors_path_screen_gating_plans(spark):
     assert "Exchange" in p2 and "MapInPandas" in p2, p2
 
     # unroutable contract: whole-input shape, no screen, no shuffle
-    p3 = phys({"type": "object", "minProperties": 1})
+    # (layoutless roots route keys-only since round 7 session 4, so
+    # the specimen carries unevaluated* — a 100% Plane-B plan stays
+    # on the kernel)
+    p3 = phys({"type": "object", "minProperties": 1,
+               "unevaluatedProperties": False})
     assert "ArrowEvalPython" not in p3, p3
     assert "Exchange" not in p3 and "MapInPandas" in p3, p3
 
@@ -935,10 +941,11 @@ def test_conformance_corpus_through_route(spark):
     # round 6 (flat layouts): 31 routable schemas / 93 cases; round 7
     # (recursive layouts + heuristic slots): 90 schemas / 251 cases;
     # round 7 root-value mode (scalar/array roots through the {"v":...}
-    # wrapper, non-object data cases now admitted): 386 of this
-    # filter's deduped dict schemas — the floor pins against silent
-    # routability regressions
-    assert len(routable) >= 350, len(routable)
+    # wrapper, non-object data cases now admitted): 386; round 7
+    # keys-only variant maps (layoutless object-affine roots): 418 of
+    # this filter's 434 deduped dict schemas — the floor pins against
+    # silent routability regressions
+    assert len(routable) >= 400, len(routable)
     sample = rng.sample(routable, min(60, len(routable)))
 
     mismatches = []
@@ -1580,3 +1587,160 @@ def test_pathological_depth_never_kills_the_job(spark):
     assert kw[1] == {"type"}          # error, byte-identical message
     assert kw[2] == {"__parse__"}     # beyond the budget: clean row
     assert 3 not in kw
+
+
+KEYS_ONLY_CONTRACTS = [
+    {"required": ["a"]},
+    {"required": ["a"], "minProperties": 2},
+    {"propertyNames": {"maxLength": 3}},
+    {"propertyNames": {"pattern": "^[a-z]+$"}},
+    {"dependentRequired": {"a": ["b"]}},
+    {"maxProperties": 2},
+    {"minProperties": 1, "maxProperties": 3},
+    {"type": "object"},
+    {"additionalProperties": True, "required": ["a"]},
+    {"dependentSchemas": {"a": {"required": ["b"]}}},
+    # value-reading body → the compiler's variant net: ONE kernel
+    # check over the value's exact rendering, folded plane B
+    {"dependentSchemas": {"a": {"properties": {"b": {"type": "integer"}}}}},
+    {"oneOf": [{"required": ["a"]}, {"required": ["b"]}], "type": "object"},
+]
+
+# object-affine only through NON-conjunctive positions (not/if) — the
+# analyzer can't pick one root type, so these route via the root-slot
+# default (string docs columnar, objects to the kernel): correct, just
+# a different mode.  In the differential battery all the same.
+KEYS_ONLY_OTHER_MODE = [
+    {"not": {"required": ["zz"]}},
+    {"if": {"required": ["a"]}, "then": {"required": ["b"]}},
+]
+
+KEYS_ONLY_DOCS = [
+    '{"a":1}', '{"a":null}', '{"b":2}', '{"a":1,"b":2}', '{}',
+    '{"a":1,"a":2}',                    # dup keys: first-match vs
+    '{"a":1} junk',                     # last-wins — gates → kernel
+    '123', '"s"', 'null', '[1]', 'true',  # non-objects: vacuous pass
+    '{"abcd":1}', '{"a":1,"b":2,"c":3}',
+    '{"a":9007199254740993}',           # int64 > 2^53: exact variant
+    '{"a":12345678901234567890123456789012345678901}',  # melts → kernel
+    '{"a":{"x":[1,null]},"b":"s"}',     # nested values: opaque
+    '{"zz":null}',                      # JSON-null key presence
+    'not json', None,
+    '{"a":1.50}', '{"a":-0.0}', '{"a":1e2}',  # non-canonical → gates
+    '{"b":null,"a":1}',
+]
+
+
+def test_keys_only_variant_map_analysis():
+    """Layoutless object-affine roots (round 7 session 4) route as
+    map<string, variant>: keys are real map keys, values opaque
+    variants no Plane-A predicate reads."""
+    for contract in KEYS_ONLY_CONTRACTS:
+        plan = analyze_json_contract(contract)
+        assert plan.routable and plan.map_value == ("variant", None), \
+            (contract, plan.reasons)
+    # unevaluated* in the subtree = 100% Plane-B plan: stays kernel
+    for contract in [
+            {"minProperties": 1, "unevaluatedProperties": False},
+            {"required": ["a"], "allOf": [{"unevaluatedProperties":
+                                           {"type": "string"}}]}]:
+        plan = analyze_json_contract(contract)
+        assert not plan.routable and "unevaluated" in plan.reasons[0], \
+            (contract, plan.reasons)
+
+
+def test_keys_only_variant_map_differential(spark):
+    """Every keys-only contract × every hostile doc: the routed verdict
+    must equal the kernel's (dup keys, JSON-null values, non-objects,
+    big integers, non-canonical number forms, prefix garbage, nested
+    values — each hazard either routes faithfully or falls to the
+    kernel, never mis-judges)."""
+    df = spark.createDataFrame([(d,) for d in KEYS_ONLY_DOCS],
+                               "doc string")
+    for contract in KEYS_ONLY_CONTRACTS + KEYS_ONLY_OTHER_MODE:
+        want = _kernel_verdicts(contract, KEYS_ONLY_DOCS)
+        out = with_valid_json(df, "doc", contract,
+                              route_col="route").collect()
+        for r in out:
+            assert r["valid"] == want[r["doc"]], \
+                (contract, r["doc"], r["valid"], r["route"])
+        # the canonical conforming object must actually take the route
+        # (map-mode contracts only; the OTHER_MODE ones route strings)
+        if contract in KEYS_ONLY_CONTRACTS:
+            routed = {r["doc"]: r["route"] for r in out}
+            assert routed['{"a":1,"b":2}'] == "columnar", contract
+
+
+def test_keys_only_fast_plan_stays_plane_a(spark):
+    """Keys-only contracts with no value-reading keyword must keep the
+    routed branch UDF-free (pure Catalyst map predicates)."""
+    df = spark.createDataFrame([('{"a":1}',)], "doc string")
+    contract = {"required": ["a"], "minProperties": 1,
+                "propertyNames": {"maxLength": 8},
+                "dependentRequired": {"x": ["y"]}}
+    out = with_valid_json(df, "doc", contract, route_col="route")
+    fast = out.filter(F.col("route") == "columnar") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in fast and "BatchEvalPython" not in fast, fast
+
+
+def test_keys_only_variant_net_coverage():
+    """A value-reading subschema under a variant map compiles as ONE
+    kernel check with a published reason — the variant net, honest in
+    CompiledPlan.coverage()."""
+    from jema_js_spark.compiler.compile import SchemaCompiler
+
+    plan = analyze_json_contract(
+        {"dependentSchemas": {"a": {"properties":
+                                    {"b": {"type": "integer"}}}}})
+    st = plan.struct_type()
+    cp = SchemaCompiler(
+        {"dependentSchemas": {"a": {"properties":
+                                    {"b": {"type": "integer"}}}}}) \
+        .compile_plan_for_column(F.lit(None).cast(st), st)
+    cov = cp.coverage()
+    assert cov["plane_b_checks"] == 1
+    assert "variant" in " ".join(cov["plane_b_reasons"].values())
+    # keys-only keywords stay pure Plane A
+    plan2 = analyze_json_contract({"required": ["a"],
+                                   "propertyNames": {"maxLength": 3}})
+    st2 = plan2.struct_type()
+    cp2 = SchemaCompiler({"required": ["a"],
+                          "propertyNames": {"maxLength": 3}}) \
+        .compile_plan_for_column(F.lit(None).cast(st2), st2)
+    assert cp2.coverage()["plane_b_checks"] == 0
+
+
+def test_keys_only_violation_rows_match_kernel(spark):
+    """The errors path over a keys-only contract emits exactly the
+    kernel's iter_errors rows (the route only screens; messages stay
+    byte-identical)."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    from jema_js_spark.kernel.jstypes import js_to_string
+
+    contract = {"required": ["a"], "minProperties": 2,
+                "propertyNames": {"maxLength": 3}}
+    docs = ['{"a":1,"b":2}', '{"b":2}', '{"abcdef":1,"a":2}', '{}',
+            '123', 'junk', '{"a":null}', None]
+    df = spark.createDataFrame(list(enumerate(docs)), "i long, doc string")
+    got = sorted(tuple(r) for r in json_violation_rows(
+        df, "doc", contract, id_cols=["i"]).collect())
+    v = Schema(contract)
+    want = []
+    for i, d in enumerate(docs):
+        try:
+            value = None if d is None else json.loads(d)
+        except ValueError:
+            want.append((i, "__parse__", "__parse__", "[]", "[]", "",
+                         "document is not parseable JSON"))
+            continue
+        for err in v.errors(value):
+            spath = [str(x) for x in err.schema_stack]
+            keyword = next((x for x in reversed(spath)
+                            if not x.isdigit()), "")
+            want.append((
+                i, ".".join(spath), keyword,
+                json.dumps(err.schema_stack), json.dumps(err.data_stack),
+                js_to_string(err.schema_value), err.message))
+    assert got == sorted(want)
