@@ -123,9 +123,26 @@ from jema_js_spark.schema.frontend import Schema
 __all__ = ["analyze_json_contract", "with_valid_json",
            "json_violation_rows", "JsonColumnPlan"]
 
-# struct field names must survive the $.name variant path and struct
-# field syntax unquoted
+# struct field names addressable UNQUOTED in a $.name variant path
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _routable_name(name: str) -> bool:
+    """Field names the route can address: plain identifiers unquoted,
+    anything else through the bracket form ``$['name']`` (round 7,
+    session 4 — dashed keys like content-type are everywhere in web
+    data).  The bracket form has NO escape syntax (probed: both quote
+    styles reject backslash escapes at analysis time), so a name
+    containing a single quote, a backslash, or a control character
+    stays kernel-only."""
+    if _NAME_RE.match(name):
+        return True
+    return not any(c == "'" or c == "\\" or ord(c) < 0x20 for c in name)
+
+
+def _vpath(name: str) -> str:
+    """One child segment of a variant-extraction / JSON path."""
+    return f".{name}" if _NAME_RE.match(name) else f"['{name}']"
 
 _SCALAR_SQL = {"integer": "bigint", "number": "double",
                "string": "string", "boolean": "boolean"}
@@ -240,8 +257,12 @@ def _node_needs_doc_screen(node: Tuple[str, Any],
             return under_elem and extra == "number"
         return _node_needs_doc_screen(extra, True)
     if decl == "object":
-        return any(_node_needs_doc_screen(c, under_elem)
-                   for c in extra.values())
+        # a bracket-quoted field name has no reliable raw path either
+        # (get_json_object can't address the empty name) — its subtree
+        # uses the doc-wide screen, mirroring _reprable's descent
+        return any(_node_needs_doc_screen(
+                       c, under_elem or not _NAME_RE.match(n))
+                   for n, c in extra.items())
     if decl == "map":
         return _node_needs_doc_screen(extra, True)
     return False
@@ -621,9 +642,10 @@ def _build_node(schema: Schema, sub: Any, label: str,
         fields: Dict[str, Tuple[str, Any]] = {}
         ok = True
         for k, subs in srcs.items():
-            if not _NAME_RE.match(k):
+            if not _routable_name(k):
                 reasons.append(
-                    f"{label}.{k}: needs path quoting — kernel only")
+                    f"{label}.{k}: name not addressable in a variant "
+                    "path (quote/backslash/control char) — kernel only")
                 ok = False
                 continue
             merged = subs[0] if len(subs) == 1 else {"allOf": subs}
@@ -742,9 +764,10 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
     props = {name: subs[0] if len(subs) == 1 else {"allOf": subs}
              for name, subs in sources.items()}
     for name, sub in props.items():
-        if not _NAME_RE.match(name):
+        if not _routable_name(name):
             plan.reasons.append(
-                f"property {name!r} needs path quoting — kernel only")
+                f"property {name!r}: name not addressable in a variant "
+                "path (quote/backslash/control char) — kernel only")
             continue
         node = _build_node(schema, sub, f"property {name!r}",
                            plan.reasons, 1)
@@ -827,7 +850,13 @@ def _reprable(base: Column, path: str, node: Tuple[str, Any],
             # representable in an empty struct; any key → kernel
             ok = m.isNotNull() & (F.size(keys) == 0)
         for name, child in extra.items():
-            ok = ok & _slot_ok(base, f"{path}.{name}", child, doc, clean)
+            # bracket-addressed names: get_json_object cannot address
+            # every such path (the empty name, e.g.), so number slots
+            # below a quoted name fall back to the doc-wide screen
+            # (doc=None → clean; _node_needs_doc_screen mirrors this)
+            child_doc = doc if _NAME_RE.match(name) else None
+            ok = ok & _slot_ok(base, f"{path}{_vpath(name)}", child,
+                               child_doc, clean)
         return ok
     if decl == "map":
         # dynamic-key node: any key set; every PRESENT value must be

@@ -251,7 +251,9 @@ def test_unroutable_contracts_fall_back_whole(spark):
          "unevaluatedProperties": False},  # = 100% Plane-B plan
         True,                                                  # boolean root
         {"properties": {"a": {"type": "frob"}}},               # unknown type
-        {"properties": {"a/b": {"type": "integer"}}},          # path quoting
+        {"properties": {"q'r": {"type": "integer"}}},  # quote in name:
+        # the bracket path form has no escape syntax (a/b, dashes,
+        # spaces, the empty name all route via $['…'] since r7 s4)
         {"properties": {"a": {          # dynamic values disagreeing on
             "type": "object",           # a single routing node
             "patternProperties": {"^x": {"type": "integer"},
@@ -1744,3 +1746,53 @@ def test_keys_only_violation_rows_match_kernel(spark):
                 json.dumps(err.schema_stack), json.dumps(err.data_stack),
                 js_to_string(err.schema_value), err.message))
     assert got == sorted(want)
+
+
+def test_bracket_quoted_field_names_route(spark):
+    """Non-identifier property names — dashed keys (content-type), the
+    empty name, slashes, dots, spaces — route through the bracket path
+    form $['name'] (round 7 session 4); names containing a quote or
+    backslash stay kernel (the bracket form has no escape syntax).
+    Verdicts differential against the kernel across all of them,
+    including a number slot under a quoted name (doc-wide integer
+    screen replaces the unaddressable per-path raw screen)."""
+    from jema_js_spark.validation.json_plane import _node_needs_doc_screen
+
+    contracts = [
+        {"properties": {"a/b": {"type": "integer"}}, "required": ["a/b"]},
+        {"properties": {"": {"type": "number", "minimum": 0}}},
+        {"properties": {"content-type": {"type": "string"}},
+         "required": ["content-type"]},
+        {"properties": {"a b": {"type": "object",
+                                "properties": {"x": {"type": "integer"}}}}},
+        {"properties": {"u.v": {"type": "boolean"}}},
+    ]
+    unroutable = [
+        {"properties": {"q'r": {"type": "integer"}}},
+        {"properties": {"b\\c": {"type": "integer"}}},
+        {"properties": {"nl\nx": {"type": "integer"}}},
+    ]
+    docs = ['{"a/b":1}', '{"a/b":"s"}', '{"":3.5}', '{"":-1}',
+            '{"":99999999999999999999}',        # big-int under quoted name
+            '{"content-type":"text/html"}', '{"content-type":5}',
+            '{"a b":{"x":2}}', '{"a b":{"x":"no"}}',
+            '{"u.v":true}', '{"u.v":1}', '{}', '123', 'junk', None,
+            '{"a/b":9007199254740993}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    for c in contracts:
+        plan = analyze_json_contract(c)
+        assert plan.routable, (c, plan.reasons)
+        want = _kernel_verdicts(c, docs)
+        for r in with_valid_json(df, "doc", c, route_col="route").collect():
+            assert r["valid"] == want[r["doc"]], (c, r["doc"], r["route"])
+    for c in unroutable:
+        plan = analyze_json_contract(c)
+        assert not plan.routable, c
+        want = _kernel_verdicts(c, docs)
+        for r in with_valid_json(df, "doc", c).collect():
+            assert r["valid"] == want[r["doc"]], (c, r["doc"])
+    # the number slot under a quoted name demands the doc-wide screen
+    assert _node_needs_doc_screen(
+        ("object", {"": ("number", None)}))
+    assert not _node_needs_doc_screen(
+        ("object", {"v": ("number", None)}))
