@@ -376,8 +376,10 @@ class SchemaCompiler:
         # body with properties, a combinator branch typing the values)
         # runs as ONE kernel check over ``to_json`` of the variant: the
         # rendering is value-exact for everything the route admits (dup
-        # keys and ≥16-digit integer tokens are screened to the kernel
-        # by the routing gates before this plan ever runs).
+        # keys, ≥16-digit integer tokens, and big-exponent tokens that
+        # would overflow to a non-finite double — rendered as the
+        # STRING "Infinity" — are all screened to the kernel by the
+        # routing gates before this plan ever runs).
         if isinstance(texpr.dtype, T.VariantType):
             return [self._plane_b_check(
                 dict(node), texpr, spath + ("(variant-value)",), dpath,

@@ -167,6 +167,21 @@ _BIG_INT_SCALAR = r"^-?[0-9]{16,}$"
 _BIG_INT_IN_ARRAY = r"(^|[\[,\s])-?[0-9]{16,}([,\]\s]|$)"
 _BIG_INT_ANYWHERE = "(^|[\\[,:\\s\"])-?[0-9]{16,}([,\\]}\\s\"]|$)"
 
+# a number token with a ≥3-digit exponent may overflow to ±Infinity —
+# the variant stores the infinity but ``to_json`` renders it as the
+# STRING "Infinity"/"-Infinity", which a Plane-B check over a variant's
+# rendering would then misread (variants carry no float_paths
+# restoration, unlike typed double columns).  With mantissas already
+# capped at 15 integer digits by the big-int screen, every token with a
+# ≤2-digit exponent stays finite (< 1e115), so screening big exponents
+# alongside big integers makes the variant rendering value-exact.
+# Fired only for plans that carry variant slots (round 7 session 5 —
+# fixes a live keys-only verdict bug: {"k":1e999} vs a value-reading
+# dependentSchemas body judged the string "Infinity").
+_BIG_EXP_ANYWHERE = r"[0-9][eE][+-]?[0-9]{3,}"
+_BIG_INT_OR_EXP_ANYWHERE = (
+    "(" + _BIG_INT_ANYWHERE + ")|(" + _BIG_EXP_ANYWHERE + ")")
+
 # DECIMAL(p,s) admitted while the integer part fits 15 digits exactly
 _DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"
 
@@ -243,6 +258,19 @@ def _node_has_map(node: Tuple[str, Any]) -> bool:
     return False
 
 
+def _node_has_variant(node: Tuple[str, Any]) -> bool:
+    decl, extra = node
+    if decl == "variant":
+        return True
+    if decl == "array":
+        return not isinstance(extra, str) and _node_has_variant(extra)
+    if decl == "object":
+        return any(_node_has_variant(c) for c in extra.values())
+    if decl == "map":
+        return _node_has_variant(extra)
+    return False
+
+
 def _node_needs_doc_screen(node: Tuple[str, Any],
                            under_elem: bool = False) -> bool:
     """True when a ``number`` slot sits below an array-of-node element
@@ -252,6 +280,12 @@ def _node_needs_doc_screen(node: Tuple[str, Any],
     decl, extra = node
     if decl == "number":
         return under_elem
+    if decl == "variant":
+        # opaque slots need the doc-wide screen in EVERY position: big
+        # integer tokens melt through the variant parse and big
+        # exponents overflow to Infinity, which the variant rendering
+        # turns into a string (see _BIG_EXP_ANYWHERE)
+        return True
     if decl == "array":
         if isinstance(extra, str):
             return under_elem and extra == "number"
@@ -821,9 +855,11 @@ def _reprable(base: Column, path: str, node: Tuple[str, Any],
         # opaque variant — presence alone is representable (a VOID tag
         # included: JSON-null map values stay variant nulls, never SQL
         # nulls, so the bridge hazards of typed maps don't exist).  The
-        # doc-wide integer screen still applies: a ≥16-digit token
-        # melts through try_parse_json's DOUBLE tag, and a Plane-B
-        # check reading the value would re-render the melted form.
+        # doc-wide screen still applies: a ≥16-digit token melts
+        # through try_parse_json's DOUBLE tag, a big-exponent token
+        # overflows to Infinity (rendered back as a STRING), and a
+        # Plane-B check reading the value would judge the unfaithful
+        # rendering (`clean` carries both regexes for variant plans).
         return clean if clean is not None else F.lit(True)
 
     tag = F.schema_of_variant(vg("variant"))
@@ -1224,9 +1260,21 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
             and any(_node_needs_doc_screen(n)
                     for n in plan.fields.values())))
     if needs_clean:
+        # plans carrying variant slots also screen big exponents: a
+        # non-finite double inside an opaque value renders as the
+        # string "Infinity" wherever a Plane-B check reads it (variants
+        # have no float_paths restoration) — one merged regex, one scan
+        has_variant = (
+            (plan.map_value is not None and plan.map_value[0] == "variant")
+            or (root_mode and _node_has_variant(plan.root))
+            or (not root_mode and plan.map_value is None
+                and any(_node_has_variant(n)
+                        for n in plan.fields.values())))
+        screen_re = _BIG_INT_OR_EXP_ANYWHERE if has_variant \
+            else _BIG_INT_ANYWHERE
         b3 = b2a.select("*", F.explode(F.array(F.when(~sc, F.struct(
             v_expr.alias("v"),
-            (~doc.rlike(_BIG_INT_ANYWHERE)).alias("clean"),
+            (~doc.rlike(screen_re)).alias("clean"),
         )))).alias("__jv"))
         v = F.col("__jv.v")
         clean = F.col("__jv.clean")

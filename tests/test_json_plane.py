@@ -1606,6 +1606,13 @@ KEYS_ONLY_CONTRACTS = [
     # check over the value's exact rendering, folded plane B
     {"dependentSchemas": {"a": {"properties": {"b": {"type": "integer"}}}}},
     {"oneOf": [{"required": ["a"]}, {"required": ["b"]}], "type": "object"},
+    # value-reading const over a doc whose 1e999 value overflows to
+    # Infinity: the variant RENDERS it as the string "Infinity", so
+    # the gate must screen big exponents to the kernel (round 7
+    # session 5 — this contract × the 1e999 docs below was a LIVE
+    # verdict mismatch: rendering judged equal to the const)
+    {"type": "object",
+     "dependentSchemas": {"a": {"properties": {"a": {"const": "Infinity"}}}}},
 ]
 
 # object-affine only through NON-conjunctive positions (not/if) — the
@@ -1630,6 +1637,10 @@ KEYS_ONLY_DOCS = [
     'not json', None,
     '{"a":1.50}', '{"a":-0.0}', '{"a":1e2}',  # non-canonical → gates
     '{"b":null,"a":1}',
+    '{"a":1e999}', '{"a":-1e999}',      # overflow → Infinity: the
+    '{"a":9.9e308}', '{"a":1e308}',     # rendering would be a STRING —
+    '{"a":"Infinity"}',                 # big-exponent screen → kernel
+    '{"a":1.5e-99}',                    # small exponent: stays routed
 ]
 
 
