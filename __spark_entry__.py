@@ -223,6 +223,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kplan = analyze_json_contract(keys_schema)
         assert kplan.routable and kplan.map_value == ("variant", None), \
             kplan.reasons
+        # round 7 session 5: a UNION-TYPED slot ({"type": ["integer",
+        # "string"]}) stores the value as an opaque VARIANT and the
+        # compiler judges it by schema_of_variant tags — pure Plane A,
+        # every member routed (a typed slot would route only the first
+        # member's documents).  Docs cycle through integer / string /
+        # fraction / boolean / missing by event_id % 5; the DuckDB twin
+        # restates the verdict over that residue directly.
+        union_schema = {"type": "object", "required": ["uid"],
+                        "properties": {"uid": {"type": ["integer",
+                                               "string"]}}}
+        uplan = analyze_json_contract(union_schema)
+        assert uplan.routable and uplan.fields == \
+            {"uid": ("variant", None)}, uplan.reasons
+        # ... and MIXED-TYPE patternProperties — dynamic-key value
+        # schemas that disagree on a routing node but are all
+        # tag-affine — route as map<string, variant> with per-entry
+        # tag predicates inside the map lambdas.
+        mixed_schema = {"type": "object", "minProperties": 1,
+                        "patternProperties": {"^x-": {"type": "string"},
+                                              "id$": {"type": "integer"}}}
+        mplan = analyze_json_contract(mixed_schema)
+        assert mplan.routable and mplan.map_value == ("variant", None), \
+            mplan.reasons
         udf = kernel_validate_udf(schema)
         ev = _events(spark, sf_dir).withColumn(
             "nested_doc", F.to_json(F.struct(
@@ -231,7 +254,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("value").alias("v")).alias("meta")))) \
             .withColumn("root_doc", F.to_json(F.array(F.col("value")))) \
             .withColumn("keys_doc", F.to_json(
-                F.create_map(F.col("event_type"), F.col("value"))))
+                F.create_map(F.col("event_type"), F.col("value")))) \
+            .withColumn("union_doc", F.concat(
+                F.lit('{"uid":'),
+                F.when(F.col("event_id") % 5 == 0,
+                       F.col("event_id").cast("string"))
+                 .when(F.col("event_id") % 5 == 1,
+                       F.concat(F.lit('"e'), F.col("event_id").cast("string"),
+                                F.lit('"')))
+                 .when(F.col("event_id") % 5 == 2,
+                       F.concat(F.col("event_id").cast("string"),
+                                F.lit(".5")))
+                 .otherwise(F.lit("true")),
+                F.when(F.col("event_id") % 5 == 4,
+                       F.lit(',"extra":1')).otherwise(F.lit("")),
+                F.lit("}"))) \
+            .withColumn("mixed_doc", F.concat(
+                F.when(F.col("event_id") % 4 == 0,
+                       F.concat(F.lit('{"x-a":"v'),
+                                F.col("event_id").cast("string"),
+                                F.lit('"}')))
+                 .when(F.col("event_id") % 4 == 1,
+                       F.concat(F.lit('{"myid":'),
+                                F.col("event_id").cast("string"),
+                                F.lit("}")))
+                 .when(F.col("event_id") % 4 == 2,
+                       F.concat(F.lit('{"x-a":'),
+                                F.col("event_id").cast("string"),
+                                F.lit("}")))
+                 .otherwise(F.lit('{"myid":"s"}'))))
         routed = with_valid_json(ev, "props", schema,
                                  col_name="valid_columnar")
         routed = with_valid_json(routed, "props", map_schema,
@@ -242,9 +293,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  col_name="valid_root")
         routed = with_valid_json(routed, "keys_doc", keys_schema,
                                  col_name="valid_keys")
+        routed = with_valid_json(routed, "union_doc", union_schema,
+                                 col_name="valid_union")
+        routed = with_valid_json(routed, "mixed_doc", mixed_schema,
+                                 col_name="valid_mixed")
         return routed.select("event_id", udf(F.col("props")).alias("valid"),
                              "valid_columnar", "valid_map", "valid_nested",
-                             "valid_root", "valid_keys")
+                             "valid_root", "valid_keys", "valid_union",
+                             "valid_mixed")
 
     def q_windowed_verdicts(spark, sf_dir):
         # the batch analog of the streaming windowed-verdict surface:
@@ -921,7 +977,17 @@ def oracle_sql() -> dict[str, str]:
                    -- a keys-only contract (dependentRequired on the
                    -- 'error' key, lowercase propertyNames) routed as
                    -- map<string, variant> — verdict restated directly
-                   coalesce(event_type <> 'error', FALSE) AS valid_keys
+                   coalesce(event_type <> 'error', FALSE) AS valid_keys,
+                   -- the union doc cycles integer / string / fraction /
+                   -- boolean / boolean+extra by event_id % 5 against a
+                   -- {"type": ["integer","string"]} VARIANT slot —
+                   -- only the first two residues conform
+                   (event_id % 5) IN (0, 1) AS valid_union,
+                   -- the mixed doc cycles x-string / id-integer /
+                   -- x-integer / id-string by event_id % 4 against
+                   -- mixed-type patternProperties routed as
+                   -- map<string, variant> tag predicates
+                   (event_id % 4) IN (0, 1) AS valid_mixed
             FROM events""",
         "text_features": f"""
             WITH t AS (

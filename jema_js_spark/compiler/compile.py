@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jema_js_spark.kernel.jstypes import js_to_string
+from jema_js_spark.kernel.kernel import _VOCABULARY as _KERNEL_VOCABULARY
 from jema_js_spark.kernel.regex_js import (
     UnsupportedRegexError,
     compile_js_regex,
@@ -280,6 +281,213 @@ def _finite(col: Column) -> Column:
     return (~F.isnan(col)) & (col != F.lit(_DOUBLE_INF)) & (col != F.lit(-_DOUBLE_INF))
 
 
+# -- variant tag checks (round 7 session 5) ----------------------------------
+#
+# ``schema_of_variant`` tag literals (probed on Spark 4.1): scalars
+# STRING / BOOLEAN / VOID / BIGINT / DOUBLE / DECIMAL(p,s) — the decimal
+# scale is NORMALIZED ("5.00" tags DECIMAL(1,0)) — containers
+# OBJECT<...> / ARRAY<...>.  A JSON ``type`` check needs only the tag
+# (plus the double extraction for integer-valuedness and the finite
+# guard), so TYPE-AFFINE subschemas over opaque variant values compile
+# to pure Catalyst tag predicates instead of the whole-node kernel net:
+# mixed-type patternProperties and union-typed property slots route
+# Plane A.
+#
+# EXACTNESS ARGUMENT (the predicates sit under not/oneOf, so they must
+# be exact, never merely conservative): every tag decision equals the
+# kernel's ``get_type(json.loads(token))`` —
+#  * STRING / BOOLEAN / VOID / OBJECT< / ARRAY< tags are structural;
+#  * BIGINT and DECIMAL tokens are numbers to both engines, and
+#    integer-valuedness survives the double extraction because
+#    integral decimals stay integral under IEEE rounding while
+#    fractional/exponent tokens round through the SAME
+#    correctly-rounded double on both engines (Jackson and CPython),
+#    so ``x % 1 == 0`` equals ``float(token).is_integer()``;
+#  * tokens overflowing to ±Infinity tag DOUBLE but the kernel types
+#    them 'not supported' (schema.js:680) — the ``_finite`` guard
+#    excludes them from number AND integer (JSON cannot produce NaN).
+
+_VARIANT_TAG_SUPPORTED = frozenset(
+    {"type", "allOf", "anyOf", "oneOf", "not", "if"})
+# inert beside a variant value: resolution-only vocabulary entries and
+# the if-consumed branches ('then'/'else' without 'if' are no-ops in
+# the kernel's dispatch too)
+_VARIANT_TAG_INERT = frozenset(
+    {"then", "else", "$schema", "$vocabulary", "$id", "$anchor",
+     "$dynamicAnchor", "$defs"})
+
+
+def _variant_kw_class(kw: str, format_assertion: bool) -> str:
+    """'supported' | 'inert' | 'kernel' — ONE classification shared by
+    the compile path and the session-free affinity probe
+    (:func:`variant_tag_affine`), so analysis-time routing decisions
+    can never diverge from what actually compiles."""
+    if kw in _VARIANT_TAG_SUPPORTED:
+        return "supported"
+    if kw in _VARIANT_TAG_INERT:
+        return "inert"
+    if kw == "format" and not format_assertion:
+        return "inert"          # annotation-only by default
+    if kw not in _KERNEL_VOCABULARY:
+        return "inert"          # the kernel ignores unknown keywords
+    return "kernel"
+
+
+def variant_tag_affine(sub: Any, format_assertion: bool = False) -> bool:
+    """True when ``sub`` constrains a value ONLY through type-affine
+    keywords — i.e. :func:`_compile_variant_node` will compile it pure
+    Plane A.  A structural walk with no Column construction, callable
+    at analysis time without an active Spark session (json_plane
+    routing decisions)."""
+    if isinstance(sub, bool) or not isinstance(sub, dict):
+        return True
+    for kw, sval in sub.items():
+        cls = _variant_kw_class(kw, format_assertion)
+        if cls == "kernel":
+            return False
+        if cls != "supported" or kw == "type":
+            continue
+        if kw in ("allOf", "anyOf", "oneOf"):
+            # a malformed (non-list) combinator replays on the kernel
+            if not isinstance(sval, list):
+                return False
+            if not all(variant_tag_affine(b, format_assertion)
+                       for b in sval):
+                return False
+        elif kw == "not":
+            if not variant_tag_affine(sval, format_assertion):
+                return False
+        else:                   # if/then/else — one ternary
+            if not all(variant_tag_affine(b, format_assertion)
+                       for b in (sval, sub.get("then", True),
+                                 sub.get("else", True))):
+                return False
+    return True
+
+
+def _variant_type_member(t: Any, tag: Column, dbl: Column) -> Column:
+    if t == "string":
+        return tag == "STRING"
+    if t == "boolean":
+        return tag == "BOOLEAN"
+    if t == "null":
+        return tag == "VOID"
+    if t == "object":
+        return tag.startswith("OBJECT<")
+    if t == "array":
+        return tag.startswith("ARRAY<")
+    if t == "number":
+        return ((tag == "BIGINT") | tag.startswith("DECIMAL(")
+                | ((tag == "DOUBLE") & _finite(dbl)))
+    if t == "integer":
+        return (tag == "BIGINT") | (
+            (tag.startswith("DECIMAL(") | ((tag == "DOUBLE") & _finite(dbl)))
+            & (dbl % F.lit(1.0) == F.lit(0.0)))
+    # an unknown type string matches no value (schema.js: typeOf never
+    # equals it) — typo'd dialects fail closed, exactly like the kernel
+    return F.lit(False)
+
+
+def _variant_sub_pred(sub: Any, tag: Column, dbl: Column,
+                      format_assertion: bool) -> Column:
+    """Verdict of one subschema against a PRESENT variant value."""
+    if sub is False:
+        return F.lit(False)
+    if sub is True or not isinstance(sub, dict):
+        return F.lit(True)      # non-dict schema nodes are vacuous
+    preds = [_variant_kw_pred(kw, sval, sub, tag, dbl, format_assertion)
+             for kw, sval in sub.items()]
+    return _and_all([p for p in preds if p is not None])
+
+
+def _variant_kw_pred(kw: str, sval: Any, node: dict, tag: Column,
+                     dbl: Column, format_assertion: bool
+                     ) -> Optional[Column]:
+    """Predicate of ONE keyword over a present variant value — None
+    for inert keywords, ColumnarUnsupported for anything that must
+    read the value."""
+    cls = _variant_kw_class(kw, format_assertion)
+    if cls == "inert":
+        return None
+    if cls == "kernel":
+        raise ColumnarUnsupported(
+            f"keyword {kw} reads an opaque variant value")
+    if kw == "type":
+        members = sval if isinstance(sval, list) else [sval]
+        return _or_all([_variant_type_member(t, tag, dbl)
+                        for t in members])
+    if kw in ("allOf", "anyOf", "oneOf"):
+        if not isinstance(sval, list):
+            raise ColumnarUnsupported(
+                f"malformed {kw} on a variant value — kernel replays it")
+        branches = [_variant_sub_pred(b, tag, dbl, format_assertion)
+                    for b in sval]
+        if kw == "allOf":
+            return _and_all(branches)
+        if kw == "anyOf":
+            return _or_all(branches)
+        n: Column = F.lit(0)
+        for b in branches:
+            n = n + F.coalesce(b, F.lit(False)).cast("int")
+        return n == F.lit(1)
+    if kw == "not":
+        return ~F.coalesce(
+            _variant_sub_pred(sval, tag, dbl, format_assertion),
+            F.lit(False))
+    # if/then/else — evaluated as one ternary at the 'if' keyword
+    cond = F.coalesce(_variant_sub_pred(sval, tag, dbl, format_assertion),
+                      F.lit(False))
+    return F.when(cond, _variant_sub_pred(node.get("then", True),
+                                          tag, dbl, format_assertion)) \
+        .otherwise(_variant_sub_pred(node.get("else", True),
+                                     tag, dbl, format_assertion))
+
+
+def _print_variant(col: Column, tag: Column) -> Column:
+    """Offending-value print form for a variant slot, mirroring
+    ``_print_col``'s policy: containers (and JSON null — JS ``typeof
+    null`` is 'object') print bare, scalars print quoted.  Numbers
+    render via ``to_json`` — the same '100.0'-style double form typed
+    double columns already print through CAST, a bounded and
+    consistent divergence from the JS shortest form."""
+    return F.when(
+        col.isNotNull(),
+        F.when(tag.startswith("ARRAY<"), F.lit("array"))
+         .when(tag.startswith("OBJECT<") | (tag == "VOID"), F.lit("object"))
+         .when(tag == "STRING",
+               F.concat(F.lit('"'),
+                        F.try_variant_get(col, "$", "string"), F.lit('"')))
+         .otherwise(F.concat(F.lit('"'), F.to_json(col), F.lit('"'))))
+
+
+def _compile_variant_node(c: "SchemaCompiler", node: dict, texpr: "_TExpr",
+                          spath: Tuple, dpath: Tuple) -> List["CheckSpec"]:
+    """Plane-A tag checks for a tag-affine subschema over an opaque
+    variant value, or ColumnarUnsupported (the caller then emits the
+    whole-node kernel net).  One CheckSpec per constraining keyword,
+    mirroring the typed compiler's shape.  An absent value (SQL NULL —
+    absent key under the bridge) passes vacuously; a present JSON null
+    is a VOID-tagged variant and is judged — exactly the kernel's view
+    of dynamic-key values."""
+    col = texpr.col
+    tag = F.schema_of_variant(col)
+    dbl = F.try_variant_get(col, "$", "double")
+    is_null = col.isNull()
+    checks: List[CheckSpec] = []
+    for kw, sval in node.items():
+        pred = _variant_kw_pred(kw, sval, node, tag, dbl,
+                                c.format_assertion)
+        if pred is None:
+            continue
+        sp = spath + (kw,)
+        checks.append(CheckSpec(
+            name=".".join(map(str, sp)) or "$", keyword=kw,
+            schema_path=sp, data_path=dpath, schema_value=sval,
+            predicate=is_null | F.coalesce(pred, F.lit(False)),
+            plane="A", value_col=_print_variant(col, tag)))
+    return checks
+
+
 _TWO_53 = float(1 << 53)
 
 
@@ -381,6 +589,15 @@ class SchemaCompiler:
         # STRING "Infinity" — are all screened to the kernel by the
         # routing gates before this plan ever runs).
         if isinstance(texpr.dtype, T.VariantType):
+            # round 7 session 5: TAG-AFFINE nodes (type checks and
+            # combinators of type checks) compile to pure Catalyst
+            # predicates over schema_of_variant tags — no kernel, no
+            # rendering; everything else falls to the net below.
+            try:
+                return _compile_variant_node(self, node, texpr,
+                                             spath, dpath)
+            except ColumnarUnsupported:
+                pass
             return [self._plane_b_check(
                 dict(node), texpr, spath + ("(variant-value)",), dpath,
                 node, "variant", owner_node=node,

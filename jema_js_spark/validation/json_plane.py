@@ -45,6 +45,13 @@ This module routes each row at runtime, entirely JVM-side:
    a non-object root, so the route parses ``{"v": <doc>}`` and
    validates the single extracted slot; the round-trip proof compares
    against the same wrapped string, so no document text can spoof it).
+   Slots with no single storable type — union-typed properties
+   (``{"type": ["integer", "string"]}``), mixed-type
+   patternProperties, keys-only layoutless roots — store the value as
+   an OPAQUE VARIANT when every constraint on it is TAG-AFFINE (type
+   checks and combinators of type checks): the compiler judges those
+   by ``schema_of_variant`` tags, still pure Plane A
+   (compile.py ``_compile_variant_node``, round 7 session 5).
 4. Every other row (malformed JSON, duplicate keys — ``try_parse_json``
    nulls both — non-objects, extra keys, JSON-null-valued fields,
    wrong-typed fields, numeric-exactness hazards) takes the kernel UDF,
@@ -117,7 +124,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jema_js_spark.compiler.compile import (CompiledPlan, SchemaCompiler,
-                                            _dynamic_scope_hazard)
+                                            _dynamic_scope_hazard,
+                                            variant_tag_affine)
 from jema_js_spark.schema.frontend import Schema
 
 __all__ = ["analyze_json_contract", "with_valid_json",
@@ -483,24 +491,13 @@ def _enum_type(values: list) -> Optional[str]:
     return kinds.pop() if len(kinds) == 1 else None
 
 
-def _slot_decl(schema: Schema, sub: Any,
-               seen: Optional[set] = None) -> Optional[str]:
-    """The slot type for one subschema — round 7's generalization of
-    :func:`_declared_type`.  Resolution order, all signals gathered
-    from conjunctive positions only (the node, allOf branches, $ref
-    targets — never anyOf/oneOf/not/if, which don't force a type):
-
-    1. an explicit single ``type`` (the round-6 rule, unchanged);
-    2. a ``type`` union list → its first supported non-"null" member
-       (the other members' values simply take the kernel plane);
-    3. the common scalar type of ``enum``/``const`` values;
-    4. keyword affinity — the class of type-specific keywords the
-       subschema uses (pick priority ``_AFFINITY`` when mixed);
-    5. otherwise None (callers may default — see ``_build_node``).
-
-    A conjunctive ``false`` schema short-circuits to "boolean": no
-    value can satisfy it, so the slot is arbitrary and the compiled
-    false-check judges whatever routes."""
+def _slot_signals(schema: Schema, sub: Any,
+                  seen: Optional[set] = None) -> tuple:
+    """The raw type signals one subschema emits from conjunctive
+    positions — ``(single, union, enum_t, classes, has_false)`` —
+    shared by :func:`_slot_decl` (typed-slot pick) and
+    :func:`_union_members` (variant-slot pick, round 7 session 5) so
+    the two can never read the schema differently."""
     if seen is None:
         seen = set()
     single: List[str] = []
@@ -554,7 +551,30 @@ def _slot_decl(schema: Schema, sub: Any,
             walk(schema.registry.ref_targets.get(id(node)))
 
     walk(sub)
-    if has_false[0]:
+    return single, union, enum_t, classes, has_false[0]
+
+
+def _slot_decl(schema: Schema, sub: Any,
+               seen: Optional[set] = None) -> Optional[str]:
+    """The slot type for one subschema — round 7's generalization of
+    :func:`_declared_type`.  Resolution order, all signals gathered
+    from conjunctive positions only (the node, allOf branches, $ref
+    targets — never anyOf/oneOf/not/if, which don't force a type):
+
+    1. an explicit single ``type`` (the round-6 rule, unchanged);
+    2. a ``type`` union list → its first supported non-"null" member
+       (the other members' values simply take the kernel plane);
+    3. the common scalar type of ``enum``/``const`` values;
+    4. keyword affinity — the class of type-specific keywords the
+       subschema uses (pick priority ``_AFFINITY`` when mixed);
+    5. otherwise None (callers may default — see ``_build_node``).
+
+    A conjunctive ``false`` schema short-circuits to "boolean": no
+    value can satisfy it, so the slot is arbitrary and the compiled
+    false-check judges whatever routes."""
+    single, union, enum_t, classes, has_false = \
+        _slot_signals(schema, sub, seen)
+    if has_false:
         return "boolean"
     if single:
         return single[0]
@@ -567,6 +587,22 @@ def _slot_decl(schema: Schema, sub: Any,
         if name in classes:
             return name
     return None
+
+
+def _union_members(schema: Schema, sub: Any) -> set:
+    """The distinct non-null routable types a slot's UNION signals
+    (type lists + all-branches-typed anyOf/oneOf) when no conjunctive
+    single type pins it — {} otherwise.  ``integer`` collapses into a
+    ``number`` member (a number slot already holds both exactly), so
+    two members here mean two genuinely different storage shapes and a
+    typed slot could route only the first one's documents."""
+    single, union, _enum_t, _classes, has_false = _slot_signals(schema, sub)
+    if single or has_false:
+        return set()
+    members = {t for t in union if t != "null" and t in _SLOT_TYPES}
+    if {"integer", "number"} <= members:
+        members.discard("integer")
+    return members
 
 
 def _value_decl(schema: Schema, sub: Any) -> Optional[Tuple[str, Optional[str]]]:
@@ -627,6 +663,17 @@ def _build_node(schema: Schema, sub: Any, label: str,
         # — sound per _AFFINITY's fail-closed argument; only the route
         # rate for non-string values is affected
         decl = "string"
+    if len(_union_members(schema, sub)) >= 2 and variant_tag_affine(sub):
+        # round 7 session 5: a slot typed as a genuine UNION (type
+        # lists, all-branches-typed anyOf/oneOf) whose constraints are
+        # all TAG-AFFINE stores the value as an OPAQUE variant — the
+        # compiler's tag predicates judge every member Plane A
+        # (_compile_variant_node), where a typed slot would route only
+        # the first member's documents and send the rest to the
+        # kernel.  Value-reading keywords (bounds, lengths, enum, …)
+        # keep the typed slot: they compile Plane A there but would
+        # force the whole variant node onto the kernel.
+        return ("variant", None)
     if decl in _SCALAR_SQL:
         return (decl, None)
     if decl == "array":
@@ -668,6 +715,20 @@ def _build_node(schema: Schema, sub: Any, label: str,
             nodes = _promote_numeric(nodes)
             if None not in nodes and len(nodes) == 1:
                 return ("map", nodes[0])
+            merged_srcs = [subs[0] if len(subs) == 1 else {"allOf": subs}
+                           for subs in srcs.values()]
+            if (all(variant_tag_affine(s) for s in dyn + merged_srcs)
+                    and not SchemaCompiler(schema)
+                    ._contains_unevaluated_deep(sub)):
+                # round 7 session 5: heterogeneous dynamic values whose
+                # subschemas are all TAG-AFFINE route as a
+                # map<string, variant> node — the compiler turns each
+                # value subschema into Catalyst tag predicates, so
+                # mixed-type patternProperties leave the kernel plane.
+                # unevaluated* at the object node itself would compile
+                # the whole node as one kernel check over the bridged
+                # map — routing would buy nothing, keep the kernel.
+                return ("map", ("variant", None))
             reasons.append(
                 f"{label}: dynamic-key value schemas disagree on a "
                 "single routing node — kernel only"
@@ -690,6 +751,13 @@ def _build_node(schema: Schema, sub: Any, label: str,
             else:
                 fields[k] = child
         return ("object", fields) if ok else None
+    if variant_tag_affine(sub):
+        # no typed slot exists for this declaration (an unknown type
+        # string like "frob", say) but every constraint is a tag
+        # check — store the value opaquely and let the compiled tag
+        # predicates judge it (an unknown type matches nothing, on
+        # both planes)
+        return ("variant", None)
     reasons.append(
         f"{label}: no single scalar/array type (got {decl!r})")
     return None
@@ -746,6 +814,22 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
         decls = _promote_numeric(decls)
         if None not in decls and len(decls) == 1:
             plan.map_value = decls[0]
+            return plan
+        # round 7 session 5: no single typed value node, but every
+        # value source — dynamic AND fixed — is TAG-AFFINE (type
+        # checks and combinators of type checks): route as
+        # map<string, variant> and let the compiler's tag predicates
+        # judge each value Plane A.  Mixed-type patternProperties
+        # ({"^x-": string, "id$": integer}) leave the kernel plane
+        # this way.  unevaluated* keeps the kernel (whole-plan check,
+        # routing buys nothing — the keys-only rule).
+        if (all(variant_tag_affine(s) for s in dyn)
+                and all(variant_tag_affine(
+                        subs[0] if len(subs) == 1 else {"allOf": subs})
+                        for subs in sources.values())
+                and not SchemaCompiler(schema)
+                ._contains_unevaluated_deep(root)):
+            plan.map_value = ("variant", None)
             return plan
         if not sources:
             # round 7: value sources beyond scalars/arrays (object or

@@ -234,14 +234,16 @@ def test_fast_plane_has_no_python_stage(spark):
 def test_unroutable_contracts_fall_back_whole(spark):
     """Nested objects / arrays of objects, heuristic slots (union
     types, keyword affinity, enum types, typeless defaults),
-    scalar/array roots, nested dynamic-key slots, and layoutless
-    object-affine roots (keys-only variant maps) ALL route now
-    (round 7) — what stays unroutable: boolean roots, unknown type
-    names, property names needing path quoting, dynamic-key value
-    schemas that disagree on one node, recursive $refs (depth cap),
-    nesting past _MAX_NEST, layoutless roots carrying unevaluated*
-    (100% Plane-B plan — routing buys nothing), and scope-sensitive
-    $dynamicRef (same hoist)."""
+    scalar/array roots, nested dynamic-key slots, layoutless
+    object-affine roots (keys-only variant maps), unknown type names,
+    and tag-affine heterogeneity (union-typed slots, mixed-type
+    patternProperties — variant slots, round 7 session 5) ALL route
+    now — what stays unroutable: boolean roots, property names with
+    quote/backslash/control chars, dynamic-key value schemas that
+    disagree through VALUE-READING keywords, recursive $refs (depth
+    cap), nesting past _MAX_NEST, layoutless roots carrying
+    unevaluated* (100% Plane-B plan — routing buys nothing), and
+    scope-sensitive $dynamicRef (same hoist)."""
     deep: dict = {"type": "integer"}
     for _ in range(14):                    # > _MAX_NEST levels
         deep = {"type": "object", "properties": {"x": deep}}
@@ -250,14 +252,15 @@ def test_unroutable_contracts_fall_back_whole(spark):
         {"minProperties": 2,             # layoutless root + unevaluated*
          "unevaluatedProperties": False},  # = 100% Plane-B plan
         True,                                                  # boolean root
-        {"properties": {"a": {"type": "frob"}}},               # unknown type
         {"properties": {"q'r": {"type": "integer"}}},  # quote in name:
         # the bracket path form has no escape syntax (a/b, dashes,
         # spaces, the empty name all route via $['…'] since r7 s4)
-        {"properties": {"a": {          # dynamic values disagreeing on
-            "type": "object",           # a single routing node
-            "patternProperties": {"^x": {"type": "integer"},
-                                  "^y": {"type": "boolean"}}}}},
+        {"properties": {"a": {          # dynamic values disagreeing
+            "type": "object",           # through VALUE-READING keywords
+            "patternProperties": {"^x": {"type": "integer",
+                                         "minimum": 0},
+                                  "^y": {"type": "string",
+                                         "minLength": 2}}}}},
         {"$defs": {"n": {"type": "object",                     # recursive
                           "properties": {"next": {"$ref": "#/$defs/n"}}}},
          "properties": {"a": {"$ref": "#/$defs/n"}}},
@@ -688,10 +691,12 @@ def test_formatting_perturbation_fuzz(spark):
 
 def test_mixed_value_types_fall_through_to_struct_mode(spark):
     """When dynamic-key value schemas disagree with the fixed
-    properties' types, map mode is impossible — the contract falls
-    back to struct mode (fixed keys route, extra keys go kernel) with
-    kernel-exact verdicts; with no fixed properties at all it stays
-    whole on the kernel with a published reason."""
+    properties' types through VALUE-READING keywords, map mode is
+    impossible — the contract falls back to struct mode (fixed keys
+    route, extra keys go kernel) with kernel-exact verdicts.  Purely
+    TAG-AFFINE disagreement instead routes as a variant map (round 7
+    session 5); only value-reading heterogeneity with no fixed
+    properties stays whole on the kernel with a published reason."""
     mixed = {"type": "object",
              "properties": {"id": {"type": "string", "minLength": 2}},
              "additionalProperties": {"type": "integer", "minimum": 0}}
@@ -703,7 +708,14 @@ def test_mixed_value_types_fall_through_to_struct_mode(spark):
                 "patternProperties": {"^a": {"type": "integer"},
                                        "^b": {"type": "string"}}}
     plan2 = analyze_json_contract(no_fixed)
-    assert not plan2.routable and plan2.reasons, plan2
+    assert plan2.routable and plan2.map_value == ("variant", None), plan2
+
+    no_fixed_reading = {"type": "object",
+                        "patternProperties": {
+                            "^a": {"type": "integer", "minimum": 0},
+                            "^b": {"type": "string"}}}
+    plan3 = analyze_json_contract(no_fixed_reading)
+    assert not plan3.routable and plan3.reasons, plan3
 
     docs = ['{"id":"ab"}', '{"id":"a"}', '{"id":"ab","z":3}',
             '{"id":"ab","z":-1}', '{"z":5}', '{"id":7}', 'junk',
@@ -1700,20 +1712,28 @@ def test_keys_only_fast_plan_stays_plane_a(spark):
 def test_keys_only_variant_net_coverage():
     """A value-reading subschema under a variant map compiles as ONE
     kernel check with a published reason — the variant net, honest in
-    CompiledPlan.coverage()."""
+    CompiledPlan.coverage().  (Since round 7 session 5 a body that is
+    merely TYPE-reading compiles to Plane-A tag predicates instead —
+    the net is only for genuinely value-reading keywords, so the pin
+    uses ``minimum``.)"""
     from jema_js_spark.compiler.compile import SchemaCompiler
 
-    plan = analyze_json_contract(
-        {"dependentSchemas": {"a": {"properties":
-                                    {"b": {"type": "integer"}}}}})
+    reading = {"dependentSchemas": {"a": {"properties":
+                                          {"b": {"minimum": 3}}}}}
+    plan = analyze_json_contract(reading)
     st = plan.struct_type()
-    cp = SchemaCompiler(
-        {"dependentSchemas": {"a": {"properties":
-                                    {"b": {"type": "integer"}}}}}) \
-        .compile_plan_for_column(F.lit(None).cast(st), st)
+    cp = SchemaCompiler(reading).compile_plan_for_column(
+        F.lit(None).cast(st), st)
     cov = cp.coverage()
     assert cov["plane_b_checks"] == 1
     assert "variant" in " ".join(cov["plane_b_reasons"].values())
+    # ... while the former specimen (a type-only body) is now pure A
+    tag_only = {"dependentSchemas": {"a": {"properties":
+                                           {"b": {"type": "integer"}}}}}
+    plan_t = analyze_json_contract(tag_only)
+    cp_t = SchemaCompiler(tag_only).compile_plan_for_column(
+        F.lit(None).cast(plan_t.struct_type()), plan_t.struct_type())
+    assert cp_t.coverage()["plane_b_checks"] == 0
     # keys-only keywords stay pure Plane A
     plan2 = analyze_json_contract({"required": ["a"],
                                    "propertyNames": {"maxLength": 3}})
@@ -1807,3 +1827,273 @@ def test_bracket_quoted_field_names_route(spark):
         ("object", {"": ("number", None)}))
     assert not _node_needs_doc_screen(
         ("object", {"v": ("number", None)}))
+
+
+# --- variant tag checks (round 7 session 5): type-affine subschemas
+# over opaque variant values compile to Plane-A schema_of_variant tag
+# predicates, unlocking mixed-type patternProperties and union-typed
+# property slots -------------------------------------------------------------
+
+VARIANT_TAG_SUBS = [
+    {"type": "string"}, {"type": "integer"}, {"type": "number"},
+    {"type": "boolean"}, {"type": "null"}, {"type": "object"},
+    {"type": "array"}, {"type": ["string", "integer"]},
+    {"type": ["number", "null"]}, {"type": "frob"},      # unknown: nothing
+    {"anyOf": [{"type": "string"}, {"type": "boolean"}]},
+    {"oneOf": [{"type": "number"}, {"type": "integer"}]},  # ints match BOTH
+    {"not": {"type": "object"}},
+    {"if": {"type": "string"}, "then": {"type": "string"},
+     "else": {"type": "integer"}},
+    {"if": {"type": "string"}},                      # bare if: no constraint
+    {"allOf": [{"type": ["integer", "string"]}, {"not": {"type": "string"}}]},
+    True, False, {}, {"title": "x", "type": "integer"},
+    {"anyOf": []}, {"allOf": []}, {"oneOf": []},     # empty combinators
+]
+
+# every tag shape + every numeric edge the tags must decide exactly:
+# scale-normalized decimals, double rounding, big ints (exact BIGINT /
+# DECIMAL(38,0) / melted DOUBLE), overflow to Infinity (matches NO
+# type, like the kernel's non-finite guard)
+VARIANT_TAG_VALUES = [
+    '"s"', '5', '5.0', '5.00', '1.5', '-0.0', 'true', 'false', 'null',
+    '[1,2]', '[]', '{}', '{"a":1}', '1e2', '1.5e1', '0.5', '-2.0',
+    '9007199254740993', '99999999999999999999999999999999999999',
+    '999999999999999999999999999999999999999',
+    '5.000000000000000000001', '1e999', '-1e999', '"Infinity"',
+    '1.5e-99', '123456789012345678.5', '-7', '0.1',
+]
+
+
+def test_variant_tag_checks_match_kernel(spark):
+    """Compiler-level differential: every tag-affine subschema over a
+    raw variant column judges every hostile value exactly like the
+    kernel, with every emitted check on Plane A — and the session-free
+    affinity probe agrees with what actually compiled (the two share
+    _variant_kw_class, pinned here end-to-end)."""
+    from pyspark.sql import types as T
+    from jema_js_spark.compiler.compile import (
+        SchemaCompiler, _TExpr, _and_all, variant_tag_affine)
+
+    df = spark.createDataFrame([(v,) for v in VARIANT_TAG_VALUES],
+                               "doc string")
+    texpr = _TExpr(F.try_parse_json(F.col("doc")), T.VariantType())
+    for sub in VARIANT_TAG_SUBS:
+        assert variant_tag_affine(sub), sub
+        c = SchemaCompiler(Schema({"type": "object"}))
+        specs = c._compile_node(sub, texpr, (), (), frozenset())
+        assert all(s.plane == "A" for s in specs), (sub, specs)
+        pred = _and_all([s.predicate for s in specs])
+        out = df.select("doc", F.coalesce(pred, F.lit(False)).alias("ok"))
+        v = Validator(sub)
+        for r in out.collect():
+            want = v.validate(json.loads(r["doc"]))
+            assert bool(r["ok"]) == want, (sub, r["doc"], r["ok"], want)
+    # value-reading subschemas refuse the tag path (probe == compile)
+    for sub in [{"minLength": 3}, {"enum": [1]}, {"const": None},
+                {"minimum": 0}, {"properties": {"a": True}},
+                {"required": ["a"]}, {"items": {"type": "integer"}},
+                {"anyOf": [{"type": "string"}, {"minimum": 3}]},
+                {"not": {"enum": ["x"]}}, {"$ref": "#/$defs/x"},
+                {"unevaluatedProperties": False}, {"anyOf": 5},
+                {"if": {"type": "string"}, "then": {"minLength": 1}}]:
+        assert not variant_tag_affine(sub), sub
+        c = SchemaCompiler(Schema({"type": "object"}))
+        specs = c._compile_node(sub, texpr, (), (), frozenset())
+        assert any(s.plane == "B" for s in specs), sub
+
+
+VARIANT_SLOT_CONTRACTS = [
+    # mixed-type patternProperties — the heterogeneous dynamic-value
+    # class that previously published a disagreement and stayed kernel
+    {"patternProperties": {"^x-": {"type": "string"},
+                           "id$": {"type": "integer"}}},
+    {"patternProperties": {"f.*": True, "b.*": False}},
+    {"patternProperties": {"[0-9]{2,}": {"type": "boolean"},
+                           "X_": {"type": "string"}}},
+    # union-typed property slots (typed slots would route only the
+    # first member's documents)
+    {"properties": {"id": {"type": ["integer", "string"]}},
+     "required": ["id"]},
+    {"properties": {"a": {"type": "frob"}}},         # unknown type name
+    {"properties": {"v": {"anyOf": [{"type": "string"},
+                                    {"type": "array"}]}}},
+    # mixed dynamic + fixed tag-affine properties share the map
+    {"properties": {"a": {"type": "boolean"}},
+     "patternProperties": {"^x": {"type": "integer"},
+                           "y$": {"type": "string"}},
+     "required": ["a"], "minProperties": 2},
+    # nested object holding a mixed dynamic-key slot
+    {"properties": {"meta": {"type": "object",
+        "patternProperties": {"^n": {"type": "number"},
+                              "^s": {"type": "string"}}}},
+     "required": ["meta"]},
+    # union slot inside an array of objects
+    {"properties": {"xs": {"type": "array", "items": {
+        "type": "object",
+        "properties": {"v": {"type": ["boolean", "string"]}},
+        "required": ["v"]}}}},
+]
+
+VARIANT_SLOT_DOCS = [
+    '{"x-a":"v","aid":3}', '{"x-a":5}', '{"aid":"no"}', '{}',
+    '{"foo":1,"bar":2}', '{"bar":2}', '{"foo":"z"}',
+    '{"12":true,"X_y":"s"}', '{"12":"no"}',
+    '{"id":7}', '{"id":"seven"}', '{"id":7.5}', '{"id":null}',
+    '{"id":7.0}', '{"id":7.00}',
+    '{"a":1}', '{"a":"s"}', '{"a":true}', '{"a":[1]}', '{"a":{}}',
+    '{"a":null}',
+    '{"v":"s"}', '{"v":[1,2]}', '{"v":5}',
+    '{"a":true,"x1":2}', '{"a":true,"y":3}', '{"a":1,"x1":2}',
+    '{"meta":{"n1":1.5,"s1":"x"}}', '{"meta":{"n1":"bad"}}', '{"meta":3}',
+    '{"xs":[{"v":true},{"v":"s"}]}', '{"xs":[{"v":5}]}', '{"xs":[{}]}',
+    '{"id":9007199254740993}', '{"id":1e999}', '{"id":-1e999}',
+    '{"a":1,"a":2}',                               # dup keys → kernel
+    '123', '"s"', 'null', 'true', '[1]', 'junk', None,
+    '{"x-a":"v"} trailing',                        # completeness proof
+    '{"id":99999999999999999999999999999999999999999}',
+]
+
+
+def test_variant_slot_routing_differential(spark):
+    """End-to-end: contracts with tag-affine heterogeneity route
+    (variant map values / variant struct fields) and every verdict
+    matches the kernel across the hostile battery; the canonical
+    conforming docs actually take the columnar route."""
+    df = spark.createDataFrame([(d,) for d in VARIANT_SLOT_DOCS],
+                               "doc string")
+    for contract in VARIANT_SLOT_CONTRACTS:
+        plan = analyze_json_contract(contract)
+        assert plan.routable, (contract, plan.reasons)
+        want = _kernel_verdicts(contract, VARIANT_SLOT_DOCS)
+        out = with_valid_json(df, "doc", contract,
+                              route_col="route").collect()
+        assert len(out) == len(VARIANT_SLOT_DOCS)
+        for r in out:
+            assert r["valid"] == want[r["doc"]], \
+                (contract, r["doc"], r["valid"], r["route"])
+        routed = {r["doc"] for r in out if r["route"] == "columnar"}
+        assert '{}' not in routed or plan.map_value or plan.fields
+    # the masked shape must agree row-for-row too (tag checks are the
+    # fast plan on BOTH shapes; the kernel sees only masked residue)
+    for contract in (VARIANT_SLOT_CONTRACTS[0], VARIANT_SLOT_CONTRACTS[3]):
+        want = _kernel_verdicts(contract, VARIANT_SLOT_DOCS)
+        for r in with_valid_json(df, "doc", contract,
+                                 plan_shape="masked").collect():
+            assert r["valid"] == want[r["doc"]], ("masked", contract,
+                                                  r["doc"])
+    # analysis shapes: mixed dynamic values land on the variant map,
+    # union slots on variant fields
+    assert analyze_json_contract(
+        VARIANT_SLOT_CONTRACTS[0]).map_value == ("variant", None)
+    assert analyze_json_contract(
+        VARIANT_SLOT_CONTRACTS[3]).fields == {"id": ("variant", None)}
+    nested = analyze_json_contract(VARIANT_SLOT_CONTRACTS[7])
+    assert nested.fields == {"meta": ("map", ("variant", None))}
+    # dynamic-value heterogeneity through VALUE-READING keywords still
+    # stays kernel; a union-typed slot WITH a value-reading keyword
+    # keeps the round-6 typed slot (first member routes, rest kernel)
+    assert not analyze_json_contract(
+        {"patternProperties": {"^x": {"type": "integer", "minimum": 0},
+                               "^y": {"type": "string"}}}).routable
+    assert analyze_json_contract(
+        {"properties": {"id": {"type": ["integer", "string"],
+                               "minLength": 3}}}
+    ).fields == {"id": ("integer", None)}
+
+
+def test_variant_slot_fast_plan_stays_plane_a(spark):
+    """A mixed-type patternProperties contract and a union-typed slot
+    contract both compile 100% Plane A (coverage honest) and keep the
+    routed branch UDF-free."""
+    for contract in [VARIANT_SLOT_CONTRACTS[0], VARIANT_SLOT_CONTRACTS[3],
+                     VARIANT_SLOT_CONTRACTS[6]]:
+        plan = analyze_json_contract(contract)
+        from jema_js_spark.compiler.compile import SchemaCompiler
+        compiled = SchemaCompiler(Schema(contract)).compile_plan_for_column(
+            F.col("p"), plan.struct_type())
+        cov = compiled.coverage()
+        assert cov["plane_a_fraction"] == 1.0, (contract,
+                                                cov["plane_b_names"])
+        df = spark.createDataFrame([('{"x-a":"v"}',)], "doc string")
+        out = with_valid_json(df, "doc", contract, route_col="route")
+        fast = out.filter(F.col("route") == "columnar") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in fast and "BatchEvalPython" not in fast, \
+            (contract, fast)
+
+
+def test_variant_tag_fuzz_matches_kernel(spark):
+    """Randomized (seeded) tag-affine subschemas × randomized JSON
+    values, compiler-level: every predicate the variant tag path emits
+    must equal the kernel verdict.  The generator nests combinators
+    (anyOf/oneOf/allOf/not/if) over random type sets to depth 3 —
+    composition is where exactness bugs would hide (every member
+    predicate sits under potential negation)."""
+    import random
+    from pyspark.sql import types as T
+    from jema_js_spark.compiler.compile import (
+        SchemaCompiler, _TExpr, _and_all, variant_tag_affine)
+
+    rng = random.Random(0x7A6)
+    types_pool = ["string", "integer", "number", "boolean", "null",
+                  "object", "array", "frob"]
+
+    def gen_sub(depth):
+        roll = rng.random()
+        if depth >= 3 or roll < 0.35:
+            ts = rng.sample(types_pool, rng.randint(1, 3))
+            return {"type": ts[0] if len(ts) == 1 else ts}
+        if roll < 0.5:
+            return {"anyOf": [gen_sub(depth + 1)
+                              for _ in range(rng.randint(1, 3))]}
+        if roll < 0.62:
+            return {"oneOf": [gen_sub(depth + 1)
+                              for _ in range(rng.randint(1, 3))]}
+        if roll < 0.74:
+            return {"allOf": [gen_sub(depth + 1)
+                              for _ in range(rng.randint(1, 2))]}
+        if roll < 0.86:
+            return {"not": gen_sub(depth + 1)}
+        return {"if": gen_sub(depth + 1), "then": gen_sub(depth + 1),
+                "else": gen_sub(depth + 1)}
+
+    def gen_value():
+        roll = rng.random()
+        if roll < 0.15:
+            return str(rng.randint(-10**rng.randint(1, 25),
+                                   10**rng.randint(1, 25)))
+        if roll < 0.3:
+            return f"{rng.uniform(-1e3, 1e3):.{rng.randint(0, 18)}f}"
+        if roll < 0.4:
+            return (f"{rng.randint(1, 99)}."
+                    f"{rng.randint(0, 9)}e{rng.choice([1, -5, 99, 308, 999])}")
+        if roll < 0.5:
+            return json.dumps(rng.choice(["", "s", "Infinity", "5", "1e3"]))
+        if roll < 0.6:
+            return rng.choice(["true", "false", "null"])
+        if roll < 0.7:
+            return json.dumps([rng.randint(0, 5)] * rng.randint(0, 3))
+        if roll < 0.8:
+            return json.dumps({"k": rng.randint(0, 5)})
+        return rng.choice(["5.0", "5.00", "-0.0", "0.5", "1e2",
+                           "9007199254740993", "123456789012345678.5"])
+
+    subs = [gen_sub(0) for _ in range(40)]
+    vals = sorted({gen_value() for _ in range(60)})
+    df = spark.createDataFrame([(v,) for v in vals], "doc string")
+    texpr = _TExpr(F.try_parse_json(F.col("doc")), T.VariantType())
+    cols, kernels = [], []
+    for i, sub in enumerate(subs):
+        assert variant_tag_affine(sub), sub
+        specs = SchemaCompiler(Schema({"type": "object"})) \
+            ._compile_node(sub, texpr, (), (), frozenset())
+        assert all(s.plane == "A" for s in specs), sub
+        cols.append(F.coalesce(_and_all([s.predicate for s in specs]),
+                               F.lit(False)).alias(f"p{i}"))
+        kernels.append(Validator(sub))
+    out = df.select("doc", *cols).collect()
+    for r in out:
+        value = json.loads(r["doc"])
+        for i, v in enumerate(kernels):
+            assert bool(r[f"p{i}"]) == v.validate(value), \
+                (subs[i], r["doc"])
