@@ -308,7 +308,7 @@ def _finite(col: Column) -> Column:
 #    excludes them from number AND integer (JSON cannot produce NaN).
 
 _VARIANT_TAG_SUPPORTED = frozenset(
-    {"type", "allOf", "anyOf", "oneOf", "not", "if"})
+    {"type", "allOf", "anyOf", "oneOf", "not", "if", "const", "enum"})
 # inert beside a variant value: resolution-only vocabulary entries and
 # the if-consumed branches ('then'/'else' without 'if' are no-ops in
 # the kernel's dispatch too)
@@ -333,6 +333,22 @@ def _variant_kw_class(kw: str, format_assertion: bool) -> str:
     return "kernel"
 
 
+def _affine_scalar(v: Any) -> bool:
+    """enum/const members decidable EXACTLY from a variant: null (VOID
+    tag), booleans and strings (tag + lossless extraction).  Numbers
+    are excluded — the kernel compares them with Python's exact
+    int/float ``==`` (deep_equal), which a double extraction cannot
+    reproduce for >2^53 integer tokens; containers need deep_equal.
+    Strings containing lone surrogates are excluded too: Python keeps
+    them while the JVM parse substitutes replacement characters (and
+    ``F.lit`` cannot even encode them), so those members compare on
+    the kernel."""
+    if v is None or isinstance(v, bool):
+        return True
+    return isinstance(v, str) and not any(
+        0xD800 <= ord(ch) <= 0xDFFF for ch in v)
+
+
 def variant_tag_affine(sub: Any, format_assertion: bool = False) -> bool:
     """True when ``sub`` constrains a value ONLY through type-affine
     keywords — i.e. :func:`_compile_variant_node` will compile it pure
@@ -347,7 +363,14 @@ def variant_tag_affine(sub: Any, format_assertion: bool = False) -> bool:
             return False
         if cls != "supported" or kw == "type":
             continue
-        if kw in ("allOf", "anyOf", "oneOf"):
+        if kw == "const":
+            if not _affine_scalar(sval):
+                return False
+        elif kw == "enum":
+            if not (isinstance(sval, list)
+                    and all(_affine_scalar(v) for v in sval)):
+                return False
+        elif kw in ("allOf", "anyOf", "oneOf"):
             # a malformed (non-list) combinator replays on the kernel
             if not isinstance(sval, list):
                 return False
@@ -388,20 +411,40 @@ def _variant_type_member(t: Any, tag: Column, dbl: Column) -> Column:
     return F.lit(False)
 
 
-def _variant_sub_pred(sub: Any, tag: Column, dbl: Column,
+def _variant_scalar_eq(value: Any, col: Column, tag: Column) -> Column:
+    """Exact equality of a present variant value against an affine
+    scalar enum/const member: the tag rules out cross-type equality
+    (JS === is type-strict) and the matching-tag extraction is
+    lossless for null/boolean/string."""
+    if not _affine_scalar(value):
+        # numbers/containers need deep_equal; lone-surrogate strings
+        # would not even survive F.lit's UTF-8 encoding
+        raise ColumnarUnsupported(
+            "enum/const member needs deep_equal — kernel")
+    if value is None:
+        return tag == "VOID"
+    if isinstance(value, bool):
+        b = F.try_variant_get(col, "$", "boolean")
+        return (tag == "BOOLEAN") & (b if value else ~b)
+    return (tag == "STRING") & (
+        F.try_variant_get(col, "$", "string") == F.lit(value))
+
+
+def _variant_sub_pred(sub: Any, col: Column, tag: Column, dbl: Column,
                       format_assertion: bool) -> Column:
     """Verdict of one subschema against a PRESENT variant value."""
     if sub is False:
         return F.lit(False)
     if sub is True or not isinstance(sub, dict):
         return F.lit(True)      # non-dict schema nodes are vacuous
-    preds = [_variant_kw_pred(kw, sval, sub, tag, dbl, format_assertion)
+    preds = [_variant_kw_pred(kw, sval, sub, col, tag, dbl,
+                              format_assertion)
              for kw, sval in sub.items()]
     return _and_all([p for p in preds if p is not None])
 
 
-def _variant_kw_pred(kw: str, sval: Any, node: dict, tag: Column,
-                     dbl: Column, format_assertion: bool
+def _variant_kw_pred(kw: str, sval: Any, node: dict, col: Column,
+                     tag: Column, dbl: Column, format_assertion: bool
                      ) -> Optional[Column]:
     """Predicate of ONE keyword over a present variant value — None
     for inert keywords, ColumnarUnsupported for anything that must
@@ -416,11 +459,18 @@ def _variant_kw_pred(kw: str, sval: Any, node: dict, tag: Column,
         members = sval if isinstance(sval, list) else [sval]
         return _or_all([_variant_type_member(t, tag, dbl)
                         for t in members])
+    if kw == "const":
+        return _variant_scalar_eq(sval, col, tag)
+    if kw == "enum":
+        if not isinstance(sval, list):
+            raise ColumnarUnsupported(
+                "malformed enum on a variant value — kernel replays it")
+        return _or_all([_variant_scalar_eq(v, col, tag) for v in sval])
     if kw in ("allOf", "anyOf", "oneOf"):
         if not isinstance(sval, list):
             raise ColumnarUnsupported(
                 f"malformed {kw} on a variant value — kernel replays it")
-        branches = [_variant_sub_pred(b, tag, dbl, format_assertion)
+        branches = [_variant_sub_pred(b, col, tag, dbl, format_assertion)
                     for b in sval]
         if kw == "allOf":
             return _and_all(branches)
@@ -432,14 +482,15 @@ def _variant_kw_pred(kw: str, sval: Any, node: dict, tag: Column,
         return n == F.lit(1)
     if kw == "not":
         return ~F.coalesce(
-            _variant_sub_pred(sval, tag, dbl, format_assertion),
+            _variant_sub_pred(sval, col, tag, dbl, format_assertion),
             F.lit(False))
     # if/then/else — evaluated as one ternary at the 'if' keyword
-    cond = F.coalesce(_variant_sub_pred(sval, tag, dbl, format_assertion),
-                      F.lit(False))
-    return F.when(cond, _variant_sub_pred(node.get("then", True),
+    cond = F.coalesce(
+        _variant_sub_pred(sval, col, tag, dbl, format_assertion),
+        F.lit(False))
+    return F.when(cond, _variant_sub_pred(node.get("then", True), col,
                                           tag, dbl, format_assertion)) \
-        .otherwise(_variant_sub_pred(node.get("else", True),
+        .otherwise(_variant_sub_pred(node.get("else", True), col,
                                      tag, dbl, format_assertion))
 
 
@@ -475,7 +526,7 @@ def _compile_variant_node(c: "SchemaCompiler", node: dict, texpr: "_TExpr",
     is_null = col.isNull()
     checks: List[CheckSpec] = []
     for kw, sval in node.items():
-        pred = _variant_kw_pred(kw, sval, node, tag, dbl,
+        pred = _variant_kw_pred(kw, sval, node, col, tag, dbl,
                                 c.format_assertion)
         if pred is None:
             continue

@@ -713,21 +713,27 @@ def _build_node(schema: Schema, sub: Any, label: str,
                 if n not in nodes:          # object nodes hold dicts —
                     nodes.append(n)         # dedup by equality, not hash
             nodes = _promote_numeric(nodes)
-            if None not in nodes and len(nodes) == 1:
-                return ("map", nodes[0])
+            # round 7 session 5: all-TAG-AFFINE value sources route as
+            # map<string, variant> (per-entry Catalyst tag predicates)
+            # when the typed nodes disagree — mixed-type
+            # patternProperties — or agree only by collapsing a union
+            # type to its first member.  unevaluated* at the object
+            # node itself would compile the whole node as one kernel
+            # check over the bridged map — routing buys nothing there,
+            # keep the kernel (mirrors the top-level map mode).
             merged_srcs = [subs[0] if len(subs) == 1 else {"allOf": subs}
                            for subs in srcs.values()]
-            if (all(variant_tag_affine(s) for s in dyn + merged_srcs)
-                    and not SchemaCompiler(schema)
-                    ._contains_unevaluated_deep(sub)):
-                # round 7 session 5: heterogeneous dynamic values whose
-                # subschemas are all TAG-AFFINE route as a
-                # map<string, variant> node — the compiler turns each
-                # value subschema into Catalyst tag predicates, so
-                # mixed-type patternProperties leave the kernel plane.
-                # unevaluated* at the object node itself would compile
-                # the whole node as one kernel check over the bridged
-                # map — routing would buy nothing, keep the kernel.
+            all_affine = (
+                all(variant_tag_affine(s) for s in dyn + merged_srcs)
+                and not SchemaCompiler(schema)
+                ._contains_unevaluated_deep(sub))
+            if None not in nodes and len(nodes) == 1:
+                if all_affine and any(
+                        len(_union_members(schema, s)) >= 2
+                        for s in dyn + merged_srcs):
+                    return ("map", ("variant", None))
+                return ("map", nodes[0])
+            if all_affine:
                 return ("map", ("variant", None))
             reasons.append(
                 f"{label}: dynamic-key value schemas disagree on a "
@@ -812,23 +818,30 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
                               else {"allOf": subs})
                   for subs in sources.values()}
         decls = _promote_numeric(decls)
+        # round 7 session 5: when every value source — dynamic AND
+        # fixed — is TAG-AFFINE (type checks, combinators of type
+        # checks, null/bool/string enum members), a map<string,
+        # variant> routes ALL the values through the compiler's tag
+        # predicates, still pure Plane A.  Used when the typed decls
+        # disagree (mixed-type patternProperties — previously kernel)
+        # AND when they "agree" only by collapsing a union type to its
+        # first member (a typed slot would route just that member's
+        # documents).  unevaluated* keeps the kernel (whole-plan
+        # check, routing buys nothing — the keys-only rule).
+        merged_fixed = [subs[0] if len(subs) == 1 else {"allOf": subs}
+                        for subs in sources.values()]
+        all_affine = (
+            all(variant_tag_affine(s) for s in dyn + merged_fixed)
+            and not SchemaCompiler(schema)
+            ._contains_unevaluated_deep(root))
         if None not in decls and len(decls) == 1:
-            plan.map_value = decls[0]
+            if all_affine and any(len(_union_members(schema, s)) >= 2
+                                  for s in dyn + merged_fixed):
+                plan.map_value = ("variant", None)
+            else:
+                plan.map_value = decls[0]
             return plan
-        # round 7 session 5: no single typed value node, but every
-        # value source — dynamic AND fixed — is TAG-AFFINE (type
-        # checks and combinators of type checks): route as
-        # map<string, variant> and let the compiler's tag predicates
-        # judge each value Plane A.  Mixed-type patternProperties
-        # ({"^x-": string, "id$": integer}) leave the kernel plane
-        # this way.  unevaluated* keeps the kernel (whole-plan check,
-        # routing buys nothing — the keys-only rule).
-        if (all(variant_tag_affine(s) for s in dyn)
-                and all(variant_tag_affine(
-                        subs[0] if len(subs) == 1 else {"allOf": subs})
-                        for subs in sources.values())
-                and not SchemaCompiler(schema)
-                ._contains_unevaluated_deep(root)):
+        if all_affine:
             plan.map_value = ("variant", None)
             return plan
         if not sources:

@@ -1848,6 +1848,15 @@ VARIANT_TAG_SUBS = [
     {"allOf": [{"type": ["integer", "string"]}, {"not": {"type": "string"}}]},
     True, False, {}, {"title": "x", "type": "integer"},
     {"anyOf": []}, {"allOf": []}, {"oneOf": []},     # empty combinators
+    # affine enum/const members: null (VOID), booleans and strings
+    # (tag + lossless extraction); JS === is type-strict so "5"
+    # never equals 5 and true never equals 1
+    {"const": None}, {"const": True}, {"const": False},
+    {"const": "s"}, {"const": "Infinity"}, {"const": ""},
+    {"enum": []}, {"enum": [None, True, "s"]},
+    {"enum": ["5", "1e2", "true"]},                  # strings, not numbers
+    {"not": {"const": "s"}},
+    {"anyOf": [{"const": None}, {"type": "number"}]},
 ]
 
 # every tag shape + every numeric edge the tags must decide exactly:
@@ -1888,12 +1897,17 @@ def test_variant_tag_checks_match_kernel(spark):
         for r in out.collect():
             want = v.validate(json.loads(r["doc"]))
             assert bool(r["ok"]) == want, (sub, r["doc"], r["ok"], want)
-    # value-reading subschemas refuse the tag path (probe == compile)
-    for sub in [{"minLength": 3}, {"enum": [1]}, {"const": None},
+    # value-reading subschemas refuse the tag path (probe == compile):
+    # NUMERIC enum/const members need the kernel's exact deep_equal
+    # (>2^53 int tokens), containers need deep recursion, and lone
+    # surrogates don't survive the JVM parse
+    for sub in [{"minLength": 3}, {"enum": [1]}, {"const": 5},
+                {"const": 5.0}, {"enum": ["a", 2]}, {"const": [1]},
+                {"const": {"a": 1}}, {"const": "bad\ud800"},
                 {"minimum": 0}, {"properties": {"a": True}},
                 {"required": ["a"]}, {"items": {"type": "integer"}},
                 {"anyOf": [{"type": "string"}, {"minimum": 3}]},
-                {"not": {"enum": ["x"]}}, {"$ref": "#/$defs/x"},
+                {"not": {"enum": [1.5]}}, {"$ref": "#/$defs/x"},
                 {"unevaluatedProperties": False}, {"anyOf": 5},
                 {"if": {"type": "string"}, "then": {"minLength": 1}}]:
         assert not variant_tag_affine(sub), sub
@@ -1932,6 +1946,13 @@ VARIANT_SLOT_CONTRACTS = [
         "type": "object",
         "properties": {"v": {"type": ["boolean", "string"]}},
         "required": ["v"]}}}},
+    # string-const DISCRIMINATOR beside a typed dynamic value (enum/
+    # const of null/bool/string members are tag-affine too)
+    {"patternProperties": {"^t": {"const": "click"},
+                           "^n": {"type": "integer"}}},
+    # union-typed dynamic values "agree" only on the collapsed first
+    # member — the variant map routes BOTH member types
+    {"additionalProperties": {"type": ["integer", "string"]}},
 ]
 
 VARIANT_SLOT_DOCS = [
@@ -1946,6 +1967,9 @@ VARIANT_SLOT_DOCS = [
     '{"a":true,"x1":2}', '{"a":true,"y":3}', '{"a":1,"x1":2}',
     '{"meta":{"n1":1.5,"s1":"x"}}', '{"meta":{"n1":"bad"}}', '{"meta":3}',
     '{"xs":[{"v":true},{"v":"s"}]}', '{"xs":[{"v":5}]}', '{"xs":[{}]}',
+    '{"t1":"click"}', '{"t1":"view"}', '{"n1":5,"t2":"click"}',
+    '{"t1":null}', '{"t1":true}', '{"n1":"no"}',
+    '{"k1":3,"k2":"s"}', '{"k1":3.5}', '{"k1":null}',
     '{"id":9007199254740993}', '{"id":1e999}', '{"id":-1e999}',
     '{"a":1,"a":2}',                               # dup keys → kernel
     '123', '"s"', 'null', 'true', '[1]', 'junk', None,
@@ -1989,6 +2013,16 @@ def test_variant_slot_routing_differential(spark):
         VARIANT_SLOT_CONTRACTS[3]).fields == {"id": ("variant", None)}
     nested = analyze_json_contract(VARIANT_SLOT_CONTRACTS[7])
     assert nested.fields == {"meta": ("map", ("variant", None))}
+    # const-discriminator maps and union-agreed maps pick the variant
+    assert analyze_json_contract(
+        VARIANT_SLOT_CONTRACTS[9]).map_value == ("variant", None)
+    assert analyze_json_contract(
+        VARIANT_SLOT_CONTRACTS[10]).map_value == ("variant", None)
+    # a single-typed dynamic value keeps the TYPED map (richer slots
+    # for any future value-reading sibling; nothing to gain opaquely)
+    assert analyze_json_contract(
+        {"additionalProperties": {"type": "integer"}}
+    ).map_value == ("integer", None)
     # dynamic-value heterogeneity through VALUE-READING keywords still
     # stays kernel; a union-typed slot WITH a value-reading keyword
     # keeps the round-6 typed slot (first member routes, rest kernel)
@@ -2038,11 +2072,18 @@ def test_variant_tag_fuzz_matches_kernel(spark):
     types_pool = ["string", "integer", "number", "boolean", "null",
                   "object", "array", "frob"]
 
+    scalars_pool = [None, True, False, "", "s", "click", "5", "1e3",
+                    "Infinity", "true"]
+
     def gen_sub(depth):
         roll = rng.random()
-        if depth >= 3 or roll < 0.35:
+        if depth >= 3 or roll < 0.25:
             ts = rng.sample(types_pool, rng.randint(1, 3))
             return {"type": ts[0] if len(ts) == 1 else ts}
+        if roll < 0.35:
+            if rng.random() < 0.5:
+                return {"const": rng.choice(scalars_pool)}
+            return {"enum": rng.sample(scalars_pool, rng.randint(1, 4))}
         if roll < 0.5:
             return {"anyOf": [gen_sub(depth + 1)
                               for _ in range(rng.randint(1, 3))]}
