@@ -619,9 +619,14 @@ class SchemaCompiler:
         if node is True:
             return []
         if node is False:
+            # variants print by tag ('array'/'object'/quoted scalar —
+            # _print_col's CAST would render raw JSON), round-7 review
+            vcol = _print_variant(texpr.col, F.schema_of_variant(texpr.col)) \
+                if isinstance(texpr.dtype, T.VariantType) \
+                else _print_col(texpr)
             return [CheckSpec("/".join(map(str, spath)) or "$", "false-schema",
                               spath, dpath, False, F.lit(False), "A",
-                              value_col=_print_col(texpr))]
+                              value_col=vcol)]
         if not isinstance(node, dict):
             return []
 

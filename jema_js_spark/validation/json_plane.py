@@ -175,18 +175,25 @@ _BIG_INT_SCALAR = r"^-?[0-9]{16,}$"
 _BIG_INT_IN_ARRAY = r"(^|[\[,\s])-?[0-9]{16,}([,\]\s]|$)"
 _BIG_INT_ANYWHERE = "(^|[\\[,:\\s\"])-?[0-9]{16,}([,\\]}\\s\"]|$)"
 
-# a number token with a ≥3-digit exponent may overflow to ±Infinity —
-# the variant stores the infinity but ``to_json`` renders it as the
-# STRING "Infinity"/"-Infinity", which a Plane-B check over a variant's
+# a number token may overflow to ±Infinity — the variant stores the
+# infinity but ``to_json`` renders it as the STRING
+# "Infinity"/"-Infinity", which a Plane-B check over a variant's
 # rendering would then misread (variants carry no float_paths
-# restoration, unlike typed double columns).  With mantissas already
-# capped at 15 integer digits by the big-int screen, every token with a
-# ≤2-digit exponent stays finite (< 1e115), so screening big exponents
-# alongside big integers makes the variant rendering value-exact.
+# restoration, unlike typed double columns).  Completeness of the
+# screen (round-7 review fix — the big-int screen does NOT bound
+# mantissas here: its digit run must end at a delimiter, so
+# '<310 nines>.5' matches neither):
+#   |token| ≈ 10^(integer_digits + exponent), and the double max is
+#   1.79e308, so overflow requires integer_digits + exponent ≥ 309.
+#   Tokens with a ≥3-digit exponent are screened outright; with the
+#   exponent thus ≤ 99, overflow needs ≥ 210 integer digits — any
+#   210-digit run (in any context, fraction included: over-screening
+#   only costs route rate) is screened too.  Negative exponents only
+#   underflow, and underflow rounds identically on both engines.
 # Fired only for plans that carry variant slots (round 7 session 5 —
 # fixes a live keys-only verdict bug: {"k":1e999} vs a value-reading
 # dependentSchemas body judged the string "Infinity").
-_BIG_EXP_ANYWHERE = r"[0-9][eE][+-]?[0-9]{3,}"
+_BIG_EXP_ANYWHERE = r"[0-9][eE][+-]?[0-9]{3,}|[0-9]{210}"
 _BIG_INT_OR_EXP_ANYWHERE = (
     "(" + _BIG_INT_ANYWHERE + ")|(" + _BIG_EXP_ANYWHERE + ")")
 
@@ -640,13 +647,44 @@ def _promote_numeric(nodes) -> list:
     return list(nodes)
 
 
+def _dyn_map_node(schema: Schema, node: Any, dyn: list, merged: list,
+                  typed: Optional[Tuple[str, Any]],
+                  fa: bool) -> Optional[Tuple[str, Any]]:
+    """ONE value-node decision for a dynamic-key slot, shared by the
+    top-level map mode and nested map nodes (mirroring the
+    _promote_numeric extraction: the two must never silently diverge —
+    round-7 review).  ``typed`` is the agreed typed value node, or
+    None when the sources disagree.  Returns the value node to use, or
+    None (stay kernel / publish the disagreement):
+
+    - sources that are all TAG-AFFINE under the session's
+      format_assertion route as opaque variants — even over an
+      agreeing typed node when any source is union-typed (the typed
+      slot would route only the collapsed first member's documents);
+    - unevaluated* anywhere under ``node`` keeps the kernel: the
+      whole node compiles as one kernel check, routing buys nothing."""
+    all_affine = (all(variant_tag_affine(s, fa) for s in dyn + merged)
+                  and not SchemaCompiler(schema)
+                  ._contains_unevaluated_deep(node))
+    if typed is not None:
+        if all_affine and any(len(_union_members(schema, s)) >= 2
+                              for s in dyn + merged):
+            return ("variant", None)
+        return typed
+    return ("variant", None) if all_affine else None
+
+
 def _build_node(schema: Schema, sub: Any, label: str,
-                reasons: List[str], depth: int) -> Optional[Tuple[str, Any]]:
+                reasons: List[str], depth: int,
+                fa: bool = False) -> Optional[Tuple[str, Any]]:
     """Routing node of one property subschema, recursing into nested
     objects (fixed-key ``properties`` at any depth) and arrays of
     objects — or None with a published reason.  Depth counts EVERY
     recursion step, so a recursive $ref chain hits ``_MAX_NEST`` and
-    publishes a reason instead of unfolding forever."""
+    publishes a reason instead of unfolding forever.  ``fa`` is the
+    session's format_assertion: tag-affinity classes ``format`` as
+    inert only when assertion is off, and the probe must match what
+    the compiler will do (round-7 review)."""
     if depth > _MAX_NEST:
         reasons.append(
             f"{label}: nesting beyond {_MAX_NEST} levels (or a recursive "
@@ -663,7 +701,7 @@ def _build_node(schema: Schema, sub: Any, label: str,
         # — sound per _AFFINITY's fail-closed argument; only the route
         # rate for non-string values is affected
         decl = "string"
-    if len(_union_members(schema, sub)) >= 2 and variant_tag_affine(sub):
+    if len(_union_members(schema, sub)) >= 2 and variant_tag_affine(sub, fa):
         # round 7 session 5: a slot typed as a genuine UNION (type
         # lists, all-branches-typed anyOf/oneOf) whose constraints are
         # all TAG-AFFINE stores the value as an OPAQUE variant — the
@@ -688,7 +726,7 @@ def _build_node(schema: Schema, sub: Any, label: str,
             return ("array", elem)
         if elem in ("object", "array"):
             child = _build_node(schema, items, f"{label} items",
-                                reasons, depth + 1)
+                                reasons, depth + 1, fa)
             return None if child is None else ("array", child)
         reasons.append(
             f"{label}: array items need a single scalar/object/array "
@@ -706,35 +744,20 @@ def _build_node(schema: Schema, sub: Any, label: str,
             # heterogeneous contracts publish a reason and stay kernel.
             probe: List[str] = []
             nodes: List[Any] = []
-            for s in dyn + [subs[0] if len(subs) == 1 else {"allOf": subs}
-                            for subs in srcs.values()]:
+            merged_srcs = [subs[0] if len(subs) == 1 else {"allOf": subs}
+                           for subs in srcs.values()]
+            for s in dyn + merged_srcs:
                 n = _build_node(schema, s, f"{label} values", probe,
-                                depth + 1)
+                                depth + 1, fa)
                 if n not in nodes:          # object nodes hold dicts —
                     nodes.append(n)         # dedup by equality, not hash
             nodes = _promote_numeric(nodes)
-            # round 7 session 5: all-TAG-AFFINE value sources route as
-            # map<string, variant> (per-entry Catalyst tag predicates)
-            # when the typed nodes disagree — mixed-type
-            # patternProperties — or agree only by collapsing a union
-            # type to its first member.  unevaluated* at the object
-            # node itself would compile the whole node as one kernel
-            # check over the bridged map — routing buys nothing there,
-            # keep the kernel (mirrors the top-level map mode).
-            merged_srcs = [subs[0] if len(subs) == 1 else {"allOf": subs}
-                           for subs in srcs.values()]
-            all_affine = (
-                all(variant_tag_affine(s) for s in dyn + merged_srcs)
-                and not SchemaCompiler(schema)
-                ._contains_unevaluated_deep(sub))
-            if None not in nodes and len(nodes) == 1:
-                if all_affine and any(
-                        len(_union_members(schema, s)) >= 2
-                        for s in dyn + merged_srcs):
-                    return ("map", ("variant", None))
-                return ("map", nodes[0])
-            if all_affine:
-                return ("map", ("variant", None))
+            typed = nodes[0] if None not in nodes and len(nodes) == 1 \
+                else None
+            value_node = _dyn_map_node(schema, sub, dyn, merged_srcs,
+                                       typed, fa)
+            if value_node is not None:
+                return ("map", value_node)
             reasons.append(
                 f"{label}: dynamic-key value schemas disagree on a "
                 "single routing node — kernel only"
@@ -751,13 +774,13 @@ def _build_node(schema: Schema, sub: Any, label: str,
                 continue
             merged = subs[0] if len(subs) == 1 else {"allOf": subs}
             child = _build_node(schema, merged, f"{label}.{k}",
-                                reasons, depth + 1)
+                                reasons, depth + 1, fa)
             if child is None:
                 ok = False
             else:
                 fields[k] = child
         return ("object", fields) if ok else None
-    if variant_tag_affine(sub):
+    if variant_tag_affine(sub, fa):
         # no typed slot exists for this declaration (an unknown type
         # string like "frob", say) but every constraint is a tag
         # check — store the value opaquely and let the compiled tag
@@ -769,7 +792,8 @@ def _build_node(schema: Schema, sub: Any, label: str,
     return None
 
 
-def analyze_json_contract(schema: Any) -> JsonColumnPlan:
+def analyze_json_contract(schema: Any,
+                          format_assertion: bool = False) -> JsonColumnPlan:
     """Decide whether a contract's conforming documents are exactly
     representable as a typed struct — round 7: RECURSIVELY, nested
     objects become nested ``StructType`` fields, arrays of objects
@@ -786,7 +810,13 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
     pipeline owner can see why a contract is stuck on the slow plane.
     Layouts are drawn from every conjunctive position (root keywords,
     allOf branches, $ref targets) — the ``allOf``-composed
-    strict-contract idiom routes like a flat one."""
+    strict-contract idiom routes like a flat one.
+
+    ``format_assertion`` must match the validation call's setting: the
+    variant-slot choices probe tag-affinity, which classes ``format``
+    as inert only while it is annotation-only (round-7 review — a
+    mismatch would route contracts whose compiled plans then carry the
+    very kernel checks routing was meant to avoid)."""
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     plan = JsonColumnPlan(schema=schema)
@@ -818,31 +848,19 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
                               else {"allOf": subs})
                   for subs in sources.values()}
         decls = _promote_numeric(decls)
-        # round 7 session 5: when every value source — dynamic AND
-        # fixed — is TAG-AFFINE (type checks, combinators of type
-        # checks, null/bool/string enum members), a map<string,
-        # variant> routes ALL the values through the compiler's tag
-        # predicates, still pure Plane A.  Used when the typed decls
-        # disagree (mixed-type patternProperties — previously kernel)
-        # AND when they "agree" only by collapsing a union type to its
-        # first member (a typed slot would route just that member's
-        # documents).  unevaluated* keeps the kernel (whole-plan
-        # check, routing buys nothing — the keys-only rule).
+        # round 7 session 5: _dyn_map_node (ONE decision, shared with
+        # nested map nodes) may swap the typed value slot for an
+        # opaque variant — when the sources disagree only through
+        # tag-affine keywords (mixed-type patternProperties), or
+        # "agree" only by collapsing a union type to its first member.
         merged_fixed = [subs[0] if len(subs) == 1 else {"allOf": subs}
                         for subs in sources.values()]
-        all_affine = (
-            all(variant_tag_affine(s) for s in dyn + merged_fixed)
-            and not SchemaCompiler(schema)
-            ._contains_unevaluated_deep(root))
-        if None not in decls and len(decls) == 1:
-            if all_affine and any(len(_union_members(schema, s)) >= 2
-                                  for s in dyn + merged_fixed):
-                plan.map_value = ("variant", None)
-            else:
-                plan.map_value = decls[0]
-            return plan
-        if all_affine:
-            plan.map_value = ("variant", None)
+        typed = decls[0] if None not in decls and len(decls) == 1 \
+            else None
+        value_node = _dyn_map_node(schema, root, dyn, merged_fixed,
+                                   typed, format_assertion)
+        if value_node is not None:
+            plan.map_value = value_node
             return plan
         if not sources:
             # round 7: value sources beyond scalars/arrays (object or
@@ -851,7 +869,7 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
             # ("map", <node>) when every source agrees on one node,
             # else publishes the disagreement
             plan.root = _build_node(schema, root, "root value",
-                                    plan.reasons, 1)
+                                    plan.reasons, 1, format_assertion)
             return plan
         # fall through: fixed-property struct mode still routes the
         # fixed-key documents; extra keys go to the kernel
@@ -890,7 +908,7 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
             plan.map_value = ("variant", None)
             return plan
         plan.root = _build_node(schema, root, "root value",
-                                plan.reasons, 1)
+                                plan.reasons, 1, format_assertion)
         return plan
     props = {name: subs[0] if len(subs) == 1 else {"allOf": subs}
              for name, subs in sources.items()}
@@ -901,7 +919,7 @@ def analyze_json_contract(schema: Any) -> JsonColumnPlan:
                 "path (quote/backslash/control char) — kernel only")
             continue
         node = _build_node(schema, sub, f"property {name!r}",
-                           plan.reasons, 1)
+                           plan.reasons, 1, format_assertion)
         if node is not None:
             plan.fields[name] = node
     return plan
@@ -1133,22 +1151,36 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
     the source once (half the scan IO on an uncached source) at the
     cost of an all-rows Arrow projection, and never used automatically
     when the compiled plan carries Plane-B checks (they would run per
-    row).
+    row); ``"kernel"`` = no routing at all, every row on the kernel
+    UDF.  The route's win scales with the KERNEL's per-doc cost, not
+    the route's (the routed plane is parse-bound at roughly constant
+    docs/s): on the representative contract ($ref, uniqueItems,
+    contains, unevaluated sweeps) the route measures 2.7-4.3× over the
+    kernel, but a TRIVIAL contract (a handful of type/bound checks)
+    runs the kernel's C-scanner-plus-short-circuit path at 0.3-1M
+    docs/s, where the route's parse + round-trip re-render nets out
+    0.7-0.9× (measured round 7, 100-byte and 1KB docs, local[32]).
+    Pipelines validating very light contracts over small documents
+    should opt out with ``plan_shape="kernel"``.
 
     Verdict-equivalent to ``kernel_validate_udf(schema)(json_col)`` on
     every row (differentially pinned in tests/test_json_plane.py)."""
     from jema_js_spark.validation.kernel_udf import kernel_validate_udf
 
-    if plan_shape not in ("auto", "masked", "union"):
+    if plan_shape not in ("auto", "masked", "union", "kernel"):
         raise ValueError(f"unknown plan_shape {plan_shape!r}")
     if not isinstance(schema, Schema):
         schema = Schema(schema)
-    plan = analyze_json_contract(schema)
+    # the kernel opt-out exists for hot paths: skip the routing
+    # analysis too, not just the routed plan
+    plan = None if plan_shape == "kernel" \
+        else analyze_json_contract(schema,
+                                   format_assertion=format_assertion)
 
     kernel_pred = kernel_validate_udf(
         schema.schema, remotes=remotes, format_assertion=format_assertion)
 
-    if not plan.routable:
+    if plan is None or not plan.routable:
         out = df.withColumn(col_name, F.coalesce(
             kernel_pred(F.col(json_col)), F.lit(False)))
         if route_col:
@@ -1476,7 +1508,7 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     base = df.select(*id_cols, json_col)
     if not isinstance(schema, Schema):
         schema = Schema(schema)
-    plan = analyze_json_contract(schema)
+    plan = analyze_json_contract(schema, format_assertion=format_assertion)
     screened = False
     if plan.routable:
         b3, route, compiled, work = _routing_pieces(

@@ -1625,6 +1625,15 @@ KEYS_ONLY_CONTRACTS = [
     # verdict mismatch: rendering judged equal to the const)
     {"type": "object",
      "dependentSchemas": {"a": {"properties": {"a": {"const": "Infinity"}}}}},
+    # ... and a GENUINELY value-reading body (maxLength — const of a
+    # string is tag-affine since session 5 and never reaches the
+    # variant net), so the screen regression stays visible: the net
+    # would judge len("Infinity") while the kernel sees a non-finite
+    # number (vacuously valid).  The huge-mantissa docs below
+    # ('<310 nines>.5', '<310 nines>e1') pin the review-found gap —
+    # they overflow with NO 3-digit exponent.
+    {"type": "object",
+     "dependentSchemas": {"a": {"properties": {"a": {"maxLength": 3}}}}},
 ]
 
 # object-affine only through NON-conjunctive positions (not/if) — the
@@ -1653,6 +1662,14 @@ KEYS_ONLY_DOCS = [
     '{"a":9.9e308}', '{"a":1e308}',     # rendering would be a STRING —
     '{"a":"Infinity"}',                 # big-exponent screen → kernel
     '{"a":1.5e-99}',                    # small exponent: stays routed
+    # overflow with NO big exponent (round-7 review gap): a huge
+    # mantissa run followed by '.' or 'e' evades the big-int screen's
+    # delimiter classes — the 210-digit-run screen catches it
+    '{"a":' + "9" * 310 + '.5}',
+    '{"a":' + "9" * 310 + 'e1}',
+    '{"a":' + "9" * 308 + 'e99}',       # digits+exp ≥ 309: overflow
+    '{"a":1.' + "9" * 250 + 'e99}',     # big FRACTION run: finite,
+                                        # over-screened to the kernel
 ]
 
 
@@ -2138,3 +2155,49 @@ def test_variant_tag_fuzz_matches_kernel(spark):
         for i, v in enumerate(kernels):
             assert bool(r[f"p{i}"]) == v.validate(value), \
                 (subs[i], r["doc"])
+
+
+def test_plan_shape_kernel_opt_out(spark):
+    """plan_shape="kernel" bypasses routing entirely — the documented
+    opt-out for very light contracts over small documents, where the
+    kernel's C-scanner path outruns the route's parse + re-render
+    (round-7 measurement in the with_valid_json docstring)."""
+    contract = {"type": "object",
+                "properties": {"k": {"type": "integer"}}}
+    docs = ['{"k":1}', '{"k":"s"}', 'junk', None]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    out = with_valid_json(df, "doc", contract, route_col="route",
+                          plan_shape="kernel").collect()
+    want = _kernel_verdicts(contract, docs)
+    for r in out:
+        assert r["route"] == "kernel"
+        assert r["valid"] == want[r["doc"]], r
+    phys = with_valid_json(df, "doc", contract, plan_shape="kernel") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FromJson" not in phys and "from_json" not in phys, phys
+
+
+def test_variant_affinity_respects_format_assertion(spark):
+    """format is inert for tag-affinity only while it is
+    annotation-only: under format_assertion the analysis must NOT
+    route a variant map whose compiled entries would each carry the
+    kernel net (round-7 review — the probe and the compiler share the
+    classification, and the with_valid_json call threads its
+    format_assertion into the analysis)."""
+    contract = {"patternProperties": {"^a": {"type": "string",
+                                             "format": "email"},
+                                      "^b": {"type": "integer"}}}
+    assert analyze_json_contract(contract).map_value == ("variant", None)
+    off = analyze_json_contract(contract, format_assertion=False)
+    on = analyze_json_contract(contract, format_assertion=True)
+    assert off.routable and not on.routable, (off, on.reasons)
+    docs = ['{"a1":"x@y.zz"}', '{"a1":"not-an-email"}', '{"b1":5}',
+            '{"a1":5}', '{}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    for fa in (False, True):
+        v = Validator(Schema(contract), format_assertion=fa)
+        want = {d: v.validate(json.loads(d)) for d in docs}
+        out = with_valid_json(df, "doc", contract,
+                              format_assertion=fa).collect()
+        for r in out:
+            assert r["valid"] == want[r["doc"]], (fa, r["doc"])
