@@ -2202,3 +2202,52 @@ def test_variant_affinity_respects_format_assertion(spark):
                               format_assertion=fa).collect()
         for r in out:
             assert r["valid"] == want[r["doc"]], (fa, r["doc"])
+
+
+def test_variant_slot_violation_rows_match_kernel(spark):
+    """The errors path over contracts with VARIANT slots (union-typed
+    field, mixed-type patternProperties, string-const discriminator,
+    false-schema pattern value) emits exactly the kernel's iter_errors
+    rows — the tag checks only SCREEN; flagged rows' messages come
+    from the kernel, byte-identical (including the false-schema rows
+    whose offending-value prefix prints by tag, round-7 review)."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+    from jema_js_spark.kernel.jstypes import js_to_string
+
+    contracts = [
+        {"type": "object", "required": ["id"],
+         "properties": {"id": {"type": ["integer", "string"]}}},
+        {"patternProperties": {"^x-": {"type": "string"},
+                               "id$": {"type": "integer"},
+                               "^t": {"const": "click"},
+                               "^no": False}},
+    ]
+    docs = ['{"id":7}', '{"id":"s"}', '{"id":7.5}', '{"id":null}', '{}',
+            '{"x-a":"v","bid":3}', '{"x-a":5,"bid":"s"}',
+            '{"t1":"click"}', '{"t1":"view"}', '{"no1":{"z":1}}',
+            '{"no1":null}', '{"no1":[1]}', '{"no1":"s"}',
+            '123', 'junk', None, '{"id":1e999}']
+    for contract in contracts:
+        assert analyze_json_contract(contract).routable
+        df = spark.createDataFrame(list(enumerate(docs)),
+                                   "i long, doc string")
+        got = sorted(tuple(r) for r in json_violation_rows(
+            df, "doc", contract, id_cols=["i"]).collect())
+        v = Schema(contract)
+        want = []
+        for i, d in enumerate(docs):
+            try:
+                value = None if d is None else json.loads(d)
+            except ValueError:
+                want.append((i, "__parse__", "__parse__", "[]", "[]", "",
+                             "document is not parseable JSON"))
+                continue
+            for err in v.errors(value):
+                spath = [str(x) for x in err.schema_stack]
+                keyword = next((x for x in reversed(spath)
+                                if not x.isdigit()), "")
+                want.append((
+                    i, ".".join(spath), keyword,
+                    json.dumps(err.schema_stack), json.dumps(err.data_stack),
+                    js_to_string(err.schema_value), err.message))
+        assert got == sorted(want), contract
