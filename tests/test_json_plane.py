@@ -2251,3 +2251,41 @@ def test_variant_slot_violation_rows_match_kernel(spark):
                     json.dumps(err.schema_stack), json.dumps(err.data_stack),
                     js_to_string(err.schema_value), err.message))
         assert got == sorted(want), contract
+
+
+def test_unicode_and_escape_forms_route_kernel_exact(spark):
+    """Escaped (\\uXXXX) and literal forms of the same key/value,
+    astral-plane strings (surrogate pairs), unicode property names and
+    key regexes, NUL inside strings and KEYS: escaped forms miss the
+    round-trip shortcut (from_json decodes them) and re-enter through
+    the gates; every verdict must equal the kernel's either way."""
+    contracts = [
+        {"type": "object", "required": ["k"],
+         "properties": {"k": {"type": ["integer", "string"]}}},
+        {"patternProperties": {"^x": {"type": "string"},
+                               "é$": {"type": "integer"}}},
+        {"properties": {"k": {"const": "日本語"}}},
+        {"properties": {"k": {"enum": ["𝄞", "é", ""]}}},
+        {"properties": {"日本": {"type": "boolean"}}},
+        {"additionalProperties": {"type": ["string", "boolean"]}},
+        {"minProperties": 1, "propertyNames": {"maxLength": 2}},
+    ]
+    docs = [
+        '{"k":"\\u65e5\\u672c\\u8a9e"}', '{"k":"日本語"}',
+        '{"k":"\\ud834\\udd1e"}', '{"k":"𝄞"}',
+        '{"k":"é"}', '{"k":"\\u00e9"}', '{"k":""}',
+        '{"k":"a\\"b"}', '{"k":"a\\\\b"}', '{"k":"a\\nb"}', '{"k":"\\t"}',
+        '{"日本":true}', '{"日本":1}', '{"\\u65e5\\u672c":true}',
+        '{"xé":5}', '{"xé":"s"}', '{"aé":7}', '{"é":1}',
+        '{"𝄞𝄞":1}', '{"𝄞":2}', '{"ab":3}', '{"abc":4}',
+        '{"k":true}', '{"k":false}', '{"k":5}',
+        '{"x1":"s","x2":true}', '{"x1":5}',
+        '{"k":"\\u0000"}', '{"a\\u0000b":1}',
+        '{}', 'null', '"é"', '"\\u00e9"', None, 'junk',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    for c in contracts:
+        assert analyze_json_contract(c).routable, c
+        want = _kernel_verdicts(c, docs)
+        for r in with_valid_json(df, "doc", c, route_col="route").collect():
+            assert r["valid"] == want[r["doc"]], (c, r["doc"], r["route"])
