@@ -197,6 +197,22 @@ _BIG_EXP_ANYWHERE = r"[0-9][eE][+-]?[0-9]{3,}|[0-9]{210}"
 _BIG_INT_OR_EXP_ANYWHERE = (
     "(" + _BIG_INT_ANYWHERE + ")|(" + _BIG_EXP_ANYWHERE + ")")
 
+# a surrogate \uXXXX escape token (either half, D800-DFFF).  The JVM
+# parse REPLACES a lone surrogate with '?' while json.loads keeps it,
+# so any content-sensitive check (const/enum equality, pattern,
+# propertyNames — typed string slots and variant values alike) would
+# judge the replaced form (round-7 review: route said const "?" matched
+# a doc holding "\\ud800").  Raw documents are UTF-8 Spark strings and
+# cannot hold a LITERAL lone surrogate, so the escape token is the only
+# vector; such docs can never hit the round-trip shortcut (the
+# re-rendering decodes or replaces the escape), so screening the GATE
+# path alone is complete.  Valid astral PAIRS written as escapes are
+# over-screened to the kernel — route-rate only (web JSON overwhelmingly
+# carries literal UTF-8).  A doc with an escaped backslash + 'ud8xx'
+# text also matches, but it round-trips exactly and never reaches the
+# gates.
+_SURROGATE_ESC_ANYWHERE = r"\\u[dD][89a-fA-F]"
+
 # DECIMAL(p,s) admitted while the integer part fits 15 digits exactly
 _DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"
 
@@ -663,15 +679,20 @@ def _dyn_map_node(schema: Schema, node: Any, dyn: list, merged: list,
       slot would route only the collapsed first member's documents);
     - unevaluated* anywhere under ``node`` keeps the kernel: the
       whole node compiles as one kernel check, routing buys nothing."""
-    all_affine = (all(variant_tag_affine(s, fa) for s in dyn + merged)
-                  and not SchemaCompiler(schema)
-                  ._contains_unevaluated_deep(node))
+    def all_affine() -> bool:
+        # lazy: the common single-typed path decides without paying
+        # the affinity walks + SchemaCompiler construction (round-7
+        # review)
+        return (all(variant_tag_affine(s, fa) for s in dyn + merged)
+                and not SchemaCompiler(schema)
+                ._contains_unevaluated_deep(node))
+
     if typed is not None:
-        if all_affine and any(len(_union_members(schema, s)) >= 2
-                              for s in dyn + merged):
+        if any(len(_union_members(schema, s)) >= 2
+               for s in dyn + merged) and all_affine():
             return ("variant", None)
         return typed
-    return ("variant", None) if all_affine else None
+    return ("variant", None) if all_affine() else None
 
 
 def _build_node(schema: Schema, sub: Any, label: str,
@@ -843,18 +864,15 @@ def analyze_json_contract(schema: Any,
         # values all fit the map's value slot; documents that don't fit
         # (heterogeneous values under a permissive additionalProperties)
         # simply fall to the kernel, never mis-judge
-        decls = {_value_decl(schema, sub) for sub in dyn}
-        decls |= {_value_decl(schema, subs[0] if len(subs) == 1
-                              else {"allOf": subs})
-                  for subs in sources.values()}
+        merged_fixed = [subs[0] if len(subs) == 1 else {"allOf": subs}
+                        for subs in sources.values()]
+        decls = {_value_decl(schema, sub) for sub in dyn + merged_fixed}
         decls = _promote_numeric(decls)
         # round 7 session 5: _dyn_map_node (ONE decision, shared with
         # nested map nodes) may swap the typed value slot for an
         # opaque variant — when the sources disagree only through
         # tag-affine keywords (mixed-type patternProperties), or
         # "agree" only by collapsing a union type to its first member.
-        merged_fixed = [subs[0] if len(subs) == 1 else {"allOf": subs}
-                        for subs in sources.values()]
         typed = decls[0] if None not in decls and len(decls) == 1 \
             else None
         value_node = _dyn_map_node(schema, root, dyn, merged_fixed,
@@ -1444,6 +1462,10 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
             v.isNotNull(),     # parses COMPLETELY; no duplicate keys
             _reprable(v, "$", ("object", plan.fields), doc, clean),
         ]
+    # every routing mode: documents carrying surrogate escape tokens
+    # take the kernel — the JVM parse replaces lone surrogates while
+    # the kernel keeps them (see _SURROGATE_ESC_ANYWHERE)
+    gates.append(~doc.rlike(_SURROGATE_ESC_ANYWHERE))
     full_gates = functools.reduce(lambda a, b: a & b, gates)
     # shortcut hits skip the gate chain entirely; on misses every input
     # (sc, v) is a generated attribute, so re-evaluating `route` per

@@ -2289,3 +2289,45 @@ def test_unicode_and_escape_forms_route_kernel_exact(spark):
         want = _kernel_verdicts(c, docs)
         for r in with_valid_json(df, "doc", c, route_col="route").collect():
             assert r["valid"] == want[r["doc"]], (c, r["doc"], r["route"])
+
+
+def test_lone_surrogate_escapes_route_to_kernel(spark):
+    """A \\uD800-\\uDFFF escape in a DOCUMENT is kept by json.loads but
+    REPLACED with '?' by the JVM parse, so any content-sensitive check
+    would judge the replaced form — const "?" matched a doc holding
+    "\\ud800" (round-7 review, CONFIRMED; typed string slots from
+    round 6 had the same exposure through const/pattern).  Such docs
+    can never round-trip (the re-rendering decodes or replaces the
+    escape), and the gate path now screens the escape token to the
+    kernel on every routing mode.  Valid astral PAIRS written as
+    escapes are over-screened — verdicts stay exact either way."""
+    contracts = [
+        # variant slot + const (the review's live repro shape)
+        {"properties": {"a": {"type": ["string", "boolean"],
+                              "const": "?"}}},
+        # typed string slot + const/pattern (round-6 machinery)
+        {"properties": {"a": {"const": "?"}}},
+        {"properties": {"a": {"type": "string", "pattern": "^.$"}}},
+        {"properties": {"a": {"type": "string", "minLength": 1}}},
+        # keys-only net: the value rendering reaches the kernel check
+        {"type": "object",
+         "dependentSchemas": {"a": {"properties": {"a": {"const": "?"}}}}},
+        # propertyNames reads KEY content
+        {"propertyNames": {"pattern": "^[?x]+$"}, "minProperties": 1},
+    ]
+    docs = ['{"a":"\\ud800"}', '{"a":"?"}', '{"a":"x\\udc00y"}',
+            '{"a":"\\uD83F"}', '{"a":"\\ud834\\udd1e"}',  # valid pair
+            '{"a":"\\\\ud800"}',        # escaped backslash + text: a
+                                        # REAL backslash-u-d800 string,
+                                        # faithful and shortcut-exact
+            '{"\\ud800":1}', '{"x":"\\udfff"}', '{"a":"𝄞"}', '{}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    for c in contracts:
+        assert analyze_json_contract(c).routable, c
+        want = _kernel_verdicts(c, docs)
+        for r in with_valid_json(df, "doc", c, route_col="route").collect():
+            assert r["valid"] == want[r["doc"]], (c, r["doc"], r["route"])
+        # the faithful backslash-text doc must still route columnar
+        routes = {r["doc"]: r["route"] for r in with_valid_json(
+            df, "doc", c, route_col="route").collect()}
+        assert routes['{"a":"\\\\ud800"}'] == "columnar", c
