@@ -270,6 +270,50 @@ def main() -> None:
     }
     pdocs.unpersist()
 
+    # 12d. route_auto_trivial (round 8, VERDICT r7 #1): the
+    # auto-vs-kernel pair on the LIGHTEST contract class — the round-7
+    # suspected loss case.  Auto (which routes it — no expected_docs
+    # hint) must hold ≥ parity with the forced kernel plane, else the
+    # default plan choice is the measured-slower one.  Same interleaved
+    # MIN-of-3 protocol as 12c; 1M canonical docs (the calibrated
+    # large-batch regime).
+    from jema_js_spark.bench_contracts import (TRIVIAL_CONTRACT,
+                                               trivial_json_docs)
+    tdocs = trivial_json_docs(
+        spark, N_KERNEL_DOCS, num_partitions=CPUS * 3).cache()
+    tdocs.count()
+    triv_udf = kernel_validate_udf(TRIVIAL_CONTRACT)
+    triv_load_before = os.getloadavg()
+
+    def triv_kernel():
+        return tdocs.select(triv_udf(F.col("doc")).alias("v")).agg(
+            F.sum(F.col("v").cast("long"))).collect()[0][0]
+
+    def triv_auto():
+        out = with_valid_json(tdocs, "doc", TRIVIAL_CONTRACT)
+        return out.agg(F.sum(F.col("valid").cast("long"))).collect()[0][0]
+
+    tk, ta = [], []
+    triv_kernel(); triv_auto()             # warm both sides once
+    for _ in range(3):
+        t0 = time.perf_counter()
+        kv = triv_kernel()
+        tk.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        av = triv_auto()
+        ta.append(time.perf_counter() - t0)
+        assert kv == av                    # cross-plane verdict parity
+    extras["route_auto_trivial"] = round(min(tk) / min(ta), 2)
+    extras["route_auto_trivial_pair"] = {
+        "n_docs": N_KERNEL_DOCS,
+        "kernel_sec": round(min(tk), 3),
+        "auto_sec": round(min(ta), 3),
+        "timing": "interleaved_min_of_3",
+        "loadavg_before": [round(x, 2) for x in triv_load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    tdocs.unpersist()
+
     # plane-coverage pin (VERDICT r3 #6): a silent regression of
     # flagship-contract keywords from Plane A (Catalyst) to Plane B
     # (kernel UDF) must show up in BENCH_r*.json diffs
@@ -291,6 +335,8 @@ def main() -> None:
         "json_route_rate": extras["json_route_rate"],
         "route_vs_kernel": extras["route_vs_kernel"],
         "route_pair": extras["route_pair"],
+        "route_auto_trivial": extras["route_auto_trivial"],
+        "route_auto_trivial_pair": extras["route_auto_trivial_pair"],
         "n_kernel_docs": N_KERNEL_DOCS,
         "plane_a_pct": round(cov["plane_a_fraction"] * 100, 1),
         # protocol (round 6): each entry is MIN of 3 timed fresh-plan

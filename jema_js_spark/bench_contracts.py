@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["REPRESENTATIVE_KERNEL_CONTRACT", "representative_json_docs",
-           "representative_doc", "mixed_json_docs", "MIXED_COLUMNAR_RATE"]
+           "representative_doc", "mixed_json_docs", "MIXED_COLUMNAR_RATE",
+           "TRIVIAL_CONTRACT", "trivial_json_docs"]
 
 REPRESENTATIVE_KERNEL_CONTRACT = {
     "type": "object", "required": ["k", "name", "xs"],
@@ -94,6 +95,30 @@ def mixed_json_docs(spark: SparkSession, n: int,
         .when(slot == 8, wrong_type)
         .when(slot == 7, spaced)
         .otherwise(canonical).alias("doc"))
+
+
+# The round-7 suspected-loss anchor (round 8, VERDICT r7 #1): the
+# LIGHTEST realistic contract class — a couple of type/bound checks —
+# where the kernel's C-scanner + boolean-mode path is at its absolute
+# best.  The auto-vs-kernel bench pair runs THIS contract so the
+# "auto must never pick the measured-slower plane" criterion is
+# checked where the route's margin is thinnest (measured 1.48× route
+# win at 1M docs, round-8 calibration).
+TRIVIAL_CONTRACT = {
+    "type": "object", "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0},
+                   "name": {"type": "string", "maxLength": 64}},
+}
+
+
+def trivial_json_docs(spark: SparkSession, n: int,
+                      num_partitions: int = 32) -> DataFrame:
+    """``n`` deterministic canonical documents for TRIVIAL_CONTRACT."""
+    return spark.range(n, numPartitions=num_partitions).select(
+        F.to_json(F.struct(
+            (F.col("id") % 100).alias("k"),
+            F.concat(F.lit("user"), F.col("id")).alias("name"),
+        )).alias("doc"))
 
 
 def representative_doc(i: int) -> dict:

@@ -1960,10 +1960,19 @@ def _h_ref(c, kw, sval, node, texpr, jt, is_null, add, descend, checks,
     target = c.schema.registry.ref_targets.get(id(node))
     if target is None:
         raise ColumnarUnsupported(f"unresolved $ref {sval}")
-    if id(node) in refs:
+    # cycle key = (node, column dtype): a RECURSIVE ref re-enters this
+    # node once per unrolled struct level with a strictly narrower
+    # dtype (round-8 bounded unroll, json_plane._build_node) and
+    # terminates at the VariantType leaf, where the variant net above
+    # compiles the remaining subtree as one kernel check — so the
+    # unrolled levels stay Plane A.  Re-entry with the SAME dtype is a
+    # genuine cycle over one column (e.g. {"allOf": [{"$ref": "#"}]})
+    # and still bubbles to Plane B.
+    key = (id(node), texpr.dtype)
+    if key in refs:
         raise ColumnarUnsupported(f"cyclic $ref {sval}")
     checks.extend(c._compile_node(target, texpr, spath + ("$ref",), dpath,
-                                  refs | {id(node)}))
+                                  refs | {key}))
 
 
 def _h_dynamic_ref(c, kw, sval, node, texpr, jt, is_null, add, descend,

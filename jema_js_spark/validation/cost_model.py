@@ -1,0 +1,296 @@
+"""Route-vs-kernel plan choice for JSON validation (round 8, VERDICT
+r7 #1).
+
+The routed JSON plane is PARSE-bound: one ``from_json`` + a
+``to_json`` round-trip proof per document, at roughly constant docs/s
+regardless of the contract.  The kernel plane is CONTRACT-bound: its
+per-document cost is ``json.loads`` (C scanner) plus a Python keyword
+walk whose size tracks the schema, under ``_boolean_mode``
+short-circuiting (the reference's own perf stance — lazy first-error,
+``schema.js:59-61``).
+
+The round-8 calibration (tools/calibrate_route_cost.py — graded
+contracts over 1M canonical docs, interleaved kernel/route pairs,
+MIN-of-3, local[32], quiet box) OVERTURNED the round-7 premise that
+trivial contracts lose on the route.  Measured route-over-kernel at
+1M docs: trivial 2-property 1.48×, five properties 1.51×, ten 1.13×,
+array+enum 1.66×, nested-object 1.43×, unevaluated* 1.66×, $ref-chain
+1.66×, representative Plane-B contract 2.13×, 1KB docs 2.21× — the
+route WINS on every graded contract whose documents take the
+round-trip shortcut.  The round-7 "0.7-0.9× trivial loss" decomposes
+into the two regimes the routed plan actually has:
+
+1. **Small batches** (fixed-floor regime): the routed plan carries
+   more stages (parse barrier, shortcut, residue rebalance + a Python
+   wave even on empty residue), so below ~10^5 docs per job its
+   fixed floors dominate and the kernel's single stage wins — the
+   round-8 probe measured the representative contract at 0.81× at
+   30k docs and par at 100k (and the round-6 bench pair 0.74× at
+   100k under loadavg 16-25), while the same contract wins 1.9-2.1×
+   at 1M+.  Notably the floor does NOT scale with contract weight:
+   an all-conforming trivial corpus wins from <30k (empty residue —
+   the route pays one parse), while the mixed representative corpus
+   (80% routable) pays BOTH planes' floors plus the residue shuffle.
+   Batch size and residue rate are not statically derivable from the
+   contract, so the decision takes an ``expected_docs`` hint
+   (streaming microbatches and small lookups pass it; the 100-TB
+   default is the large-batch regime) against ONE calibrated cutoff.
+2. **Shortcut-miss-heavy data**: documents that systematically fail
+   the ``to_json`` round-trip equality pay parse + re-render + a
+   second (variant) parse per row — measured 0.68× when EVERY doc
+   misses (a ``number``-typed slot fed integer-form tokens: the
+   double renders back ``5.0`` vs the doc's ``5``).  This is a DATA
+   property, not a schema property; :func:`plan_choice` surfaces the
+   static risk marker (``shortcut_sensitive`` — number slots in the
+   layout) and the ledger/route_col metrics expose the live rate.
+
+The static score below approximates the kernel's per-document Python
+work: every keyword the kernel would evaluate adds a weight,
+subschemas in per-element positions (``items``, ``contains``, dynamic
+values) are multiplied by an expected fan-out, and the
+kernel-expensive classes ($ref chains, unevaluated*, uniqueItems,
+deep enum, Python-regex patterns) carry heavy weights.  Scores are
+comparable across contracts, not absolute microseconds.  The score
+does NOT gate the plane decision — round 8 measured the route
+winning on the full score range at production batches, and the
+small-batch floor tracking residue rate rather than contract weight
+— it is published as evidence: it predicts the route's large-batch
+win MAGNITUDE (trivial score 2.85 → 1.48×; representative score
+34.5 → 2.13×), i.e. how much a pipeline loses by opting out.
+
+``plan_shape="union"/"masked"`` remain the explicit force-route
+opt-ins, ``plan_shape="kernel"`` the force-kernel opt-out; only
+``"auto"`` consults this model.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from jema_js_spark.schema.frontend import Schema
+
+__all__ = ["kernel_cost_score", "plan_choice", "SMALL_BATCH_DOCS"]
+
+# Batch size below which an ``expected_docs`` hint sends a routable
+# contract to the kernel: the routed plan's fixed floors (extra
+# stages + the residue shuffle + the per-wave Python handshake) are
+# not amortized.  Calibrated round 8 (tools/calibrate_route_cost.py +
+# the batch-size probes recorded in BENCH/BASELINE.md): the
+# representative mixed corpus crosses at ~100k docs on local[32]
+# (0.81× at 30k, 1.01× at 100k, 1.45× at 300k); an all-conforming
+# corpus wins from <30k; under heavy ambient load (round-6 pair,
+# loadavg 16-25) the 100k level measured 0.74×.  100k splits the
+# measured bracket: below it no measured case wins by more than the
+# trivial corpus' 1.26×, above it every case is a route win or wash.
+SMALL_BATCH_DOCS = 100_000
+
+# Expected per-element fan-out for subschemas the kernel applies to
+# EVERY member of a container (array items, contains, dynamic-key
+# values).  Statically unknowable; 3 matches the calibration corpus
+# and only scales weights that are already per-element.
+_ELEM_FANOUT = 3.0
+
+# Cost a recursive $ref adds (per-document recursive descent, depth
+# unknown): large enough that any recursive contract routes whenever
+# it becomes routable (round-8 bounded unroll) — the kernel pays the
+# full walk per doc, the route proves shallow docs columnar.
+_RECURSIVE_REF_COST = 30.0
+
+# keyword → flat weight (roughly: Python dict-lookup + check units the
+# kernel spends per document on a PRESENT value; containers/combinator
+# children are added recursively on top)
+_FLAT_W = {
+    "type": 0.3,
+    "minimum": 0.2, "maximum": 0.2,
+    "exclusiveMinimum": 0.2, "exclusiveMaximum": 0.2,
+    "multipleOf": 0.5,               # JS float-mod semantics
+    "minLength": 0.4, "maxLength": 0.4,
+    "minItems": 0.2, "maxItems": 0.2,
+    "minProperties": 0.4, "maxProperties": 0.4,
+    "minContains": 0.2, "maxContains": 0.2,
+    # Python regex per string value — the kernel compiles once but
+    # matches per doc; the route runs these as JVM rlike
+    "pattern": 2.5,
+    "uniqueItems": 5.0,              # pairwise deep_equal
+    "$dynamicRef": 20.0,             # dynamic-scope resolution per doc
+}
+
+
+def _member_cost(m: Any) -> float:
+    """enum/const member comparison cost: scalars are one ``==``;
+    composites run ``deep_equal`` recursively."""
+    if isinstance(m, (dict, list)):
+        try:
+            import json as _json
+            return 1.0 + len(_json.dumps(m)) / 40.0
+        except (TypeError, ValueError):
+            return 2.0
+    return 0.15
+
+
+def kernel_cost_score(schema: Any, format_assertion: bool = False) -> float:
+    """Static per-document kernel-cost estimate for a contract.
+
+    Follows ``$ref`` through the resolved registry (each target counted
+    at every reference site — the kernel re-walks it per site), charges
+    ``_RECURSIVE_REF_COST`` once per cycle edge, and multiplies
+    per-element subschemas by ``_ELEM_FANOUT``.  Unknown/annotation
+    keywords cost nothing (the kernel skips them in one dict lookup)."""
+    if not isinstance(schema, Schema):
+        schema = Schema(schema)
+
+    def walk(node: Any, path: frozenset) -> float:
+        if isinstance(node, bool) or node is None:
+            return 0.1
+        if not isinstance(node, dict):
+            return 0.1
+        if id(node) in path:
+            return _RECURSIVE_REF_COST
+        path = path | {id(node)}
+        s = 0.2                        # per-node dispatch overhead
+        for kw, v in node.items():
+            if kw in _FLAT_W:
+                s += _FLAT_W[kw]
+            elif kw == "required":
+                s += 0.3 + 0.05 * len(v) if isinstance(v, list) else 0.3
+            elif kw == "const":
+                s += 0.4 + _member_cost(v)
+            elif kw == "enum" and isinstance(v, list):
+                # kernel scans members until a match: charge half the
+                # list (average hit) — deep members dominate regardless
+                s += 0.4 + 0.5 * sum(_member_cost(m) for m in v)
+            elif kw == "format":
+                if format_assertion:
+                    s += 2.5
+            elif kw == "properties" and isinstance(v, dict):
+                s += 0.2 * len(v) + sum(walk(c, path) for c in v.values())
+            elif kw == "patternProperties" and isinstance(v, dict):
+                # regex per (pattern × present key) + value walk
+                s += sum(2.5 + _ELEM_FANOUT * walk(c, path)
+                         for c in v.values())
+            elif kw == "additionalProperties":
+                s += 0.5 + _ELEM_FANOUT * walk(v, path)
+            elif kw == "propertyNames":
+                s += 0.5 + _ELEM_FANOUT * walk(v, path)
+            elif kw == "items":
+                s += 0.5 + _ELEM_FANOUT * walk(v, path)
+            elif kw == "prefixItems" and isinstance(v, list):
+                s += sum(walk(c, path) for c in v)
+            elif kw == "contains":
+                s += 1.0 + _ELEM_FANOUT * walk(v, path)
+            elif kw in ("allOf", "anyOf", "oneOf") and isinstance(v, list):
+                # anyOf short-circuits on success but the static bound
+                # is all branches; oneOf always evaluates all
+                s += 0.3 * len(v) + sum(walk(c, path) for c in v)
+            elif kw == "not":
+                s += 0.5 + walk(v, path)
+            elif kw in ("if", "then", "else"):
+                s += 0.3 + walk(v, path)
+            elif kw == "dependentRequired" and isinstance(v, dict):
+                s += 0.3 + 0.2 * len(v)
+            elif kw in ("dependentSchemas", "dependencies") \
+                    and isinstance(v, dict):
+                for c in v.values():
+                    s += 0.3 + (0.2 if isinstance(c, list)
+                                else walk(c, path))
+            elif kw in ("unevaluatedProperties", "unevaluatedItems"):
+                # evaluated-set tracking across the whole in-place
+                # chain + per-member residue walk
+                s += 6.0 + _ELEM_FANOUT * walk(v, path)
+            elif kw in ("$ref", "$dynamicRef"):
+                target = schema.registry.ref_targets.get(id(node))
+                if target is not None:
+                    s += 1.0 + walk(target, path)
+                elif kw == "$ref":
+                    s += 5.0           # unresolved statically: assume work
+            # $defs/annotations/unknown keywords: one dict-skip, free
+        return s
+
+    return round(walk(schema.schema, frozenset()), 2)
+
+
+def plan_choice(schema: Any, format_assertion: bool = False,
+                expected_docs: Optional[int] = None) -> Dict[str, Any]:
+    """The auto plane decision for one contract, with the evidence —
+    the observability surface VERDICT r7 #1 asked for.  Returns::
+
+        {"shape": "route" | "kernel",
+         "routable": bool,
+         "why": str,                  # human-readable decision reason
+         "cost_score": float,         # kernel_cost_score(contract) —
+                                      # predicts the route's win size
+         "small_batch_cutoff": int,   # docs below which an
+                                      # expected_docs hint picks kernel
+         "shortcut_sensitive": bool,  # number slots in the layout —
+                                      # integer-form tokens in the data
+                                      # would miss the round-trip proof
+         "unroutable_reasons": [...]} # analysis reasons when unroutable
+
+    Two regimes (measured round 8, see the module docstring): with no
+    ``expected_docs`` hint the decision assumes the large-batch
+    production regime, where the route wins on every calibrated
+    contract class — routable contracts route.  With a hint below
+    ``SMALL_BATCH_DOCS`` the kernel's single-stage plan wins and auto
+    picks it.  ``with_valid_json(plan_shape="auto",
+    expected_docs=...)`` applies exactly this decision; calling it
+    ahead of a deploy shows which plane a contract will run on and
+    how far from the boundary it sits."""
+    from jema_js_spark.validation.json_plane import analyze_json_contract
+
+    if not isinstance(schema, Schema):
+        schema = Schema(schema)
+    plan = analyze_json_contract(schema, format_assertion=format_assertion)
+    score = kernel_cost_score(schema, format_assertion=format_assertion)
+    sensitive = _has_number_slot(plan)
+    base = {"cost_score": score,
+            "small_batch_cutoff": SMALL_BATCH_DOCS,
+            "shortcut_sensitive": sensitive}
+    if not plan.routable:
+        return {"shape": "kernel", "routable": False,
+                "why": "contract not routable: "
+                       + "; ".join(plan.reasons),
+                "unroutable_reasons": list(plan.reasons), **base}
+    if expected_docs is not None and expected_docs < SMALL_BATCH_DOCS:
+        return {"shape": "kernel", "routable": True,
+                "why": f"expected batch {expected_docs} docs below the "
+                       f"small-batch cutoff {SMALL_BATCH_DOCS} — the "
+                       "routed plan's fixed floors (extra stages + "
+                       "residue shuffle + Python wave) beat its "
+                       "per-doc win at this size (measured round 8)",
+                "unroutable_reasons": [], **base}
+    return {"shape": "route", "routable": True,
+            "why": f"large-batch regime (score {score}): the routed "
+                   "plane wins on every calibrated contract class at "
+                   "≥300k docs (1.13-2.2× measured round 8; 2.7-4.3× "
+                   "on kernel-heavy contracts)"
+                   + (" — NOTE: number-typed slots make the round-trip "
+                      "shortcut sensitive to integer-form tokens in "
+                      "the data (measured 0.68× when every doc "
+                      "misses); watch route_col/ledger metrics"
+                      if sensitive else ""),
+            "unroutable_reasons": [], **base}
+
+
+def _has_number_slot(plan) -> bool:
+    """Static shortcut-sensitivity marker: a ``number``-typed slot
+    anywhere in the layout re-renders integer-form tokens as ``x.0``,
+    so such documents always miss the round-trip proof and take the
+    (correct but slow) gate path."""
+    def node_has(n) -> bool:
+        decl, extra = n
+        if decl == "number":
+            return True
+        if decl == "array":
+            return extra == "number" if isinstance(extra, str) \
+                else node_has(extra)
+        if decl == "object":
+            return any(node_has(c) for c in extra.values())
+        if decl == "map":
+            return node_has(extra)
+        return False
+
+    if plan.map_value is not None:
+        return node_has(plan.map_value)
+    if plan.root is not None:
+        return node_has(plan.root)
+    return any(node_has(n) for n in plan.fields.values())

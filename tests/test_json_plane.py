@@ -236,17 +236,15 @@ def test_unroutable_contracts_fall_back_whole(spark):
     types, keyword affinity, enum types, typeless defaults),
     scalar/array roots, nested dynamic-key slots, layoutless
     object-affine roots (keys-only variant maps), unknown type names,
-    and tag-affine heterogeneity (union-typed slots, mixed-type
-    patternProperties — variant slots, round 7 session 5) ALL route
-    now — what stays unroutable: boolean roots, property names with
-    quote/backslash/control chars, dynamic-key value schemas that
-    disagree through VALUE-READING keywords, recursive $refs (depth
-    cap), nesting past _MAX_NEST, layoutless roots carrying
-    unevaluated* (100% Plane-B plan — routing buys nothing), and
-    scope-sensitive $dynamicRef (same hoist)."""
-    deep: dict = {"type": "integer"}
-    for _ in range(14):                    # > _MAX_NEST levels
-        deep = {"type": "object", "properties": {"x": deep}}
+    tag-affine heterogeneity (union-typed slots, mixed-type
+    patternProperties — variant slots, round 7 session 5), and — round
+    8 — recursive $refs / past-_MAX_NEST nesting (bounded unroll,
+    variant-leaf tails) ALL route now — what stays unroutable: boolean
+    roots, property names with quote/backslash/control chars,
+    dynamic-key value schemas that disagree through VALUE-READING
+    keywords, layoutless roots carrying unevaluated* (100% Plane-B
+    plan — routing buys nothing), and scope-sensitive $dynamicRef
+    (same hoist)."""
     docs = ['{"a": {"b": 1}}', '{"a": null}', 'junk', '{"a": [1, {"z": 2}]}']
     contracts = [
         {"minProperties": 2,             # layoutless root + unevaluated*
@@ -261,10 +259,6 @@ def test_unroutable_contracts_fall_back_whole(spark):
                                          "minimum": 0},
                                   "^y": {"type": "string",
                                          "minLength": 2}}}}},
-        {"$defs": {"n": {"type": "object",                     # recursive
-                          "properties": {"next": {"$ref": "#/$defs/n"}}}},
-         "properties": {"a": {"$ref": "#/$defs/n"}}},
-        {"properties": {"a": deep}},                           # too deep
         {"$id": "http://example.com/unroutable-dyn/outer.json",
          "$defs": {                        # scope-sensitive $dynamicRef
              "strict": {"$dynamicAnchor": "T", "type": "integer"},
@@ -942,8 +936,6 @@ def test_conformance_corpus_through_route(spark):
             continue
         by_schema[key].append(c)
 
-    import random
-    rng = random.Random(424)
     routable = []
     for key, cs in by_schema.items():
         contract = cs[0].schema
@@ -957,31 +949,50 @@ def test_conformance_corpus_through_route(spark):
     # round 7 root-value mode (scalar/array roots through the {"v":...}
     # wrapper, non-object data cases now admitted): 386; round 7
     # keys-only variant maps (layoutless object-affine roots): 418;
-    # round 7 session 5 (bracket-quoted names, variant tag slots):
-    # 423 of this filter's 434 deduped dict schemas — the floor pins
-    # against silent routability regressions
-    assert len(routable) >= 420, len(routable)
-    sample = rng.sample(routable, min(60, len(routable)))
+    # round 7 session 5 (bracket-quoted names, variant tag slots): 423;
+    # round 8 (recursive $ref bounded unroll, VERDICT r7 #4): 429 of
+    # this filter's 434 deduped dict schemas — the 5 holdouts are all
+    # deliberate stay-kernel classes (scope-sensitive $dynamicRef ×3,
+    # unevaluated*-carrying layoutless roots ×2: 100% Plane-B plans
+    # where routing buys nothing).  The floor pins against silent
+    # routability regressions.
+    assert len(routable) >= 429, len(routable)
 
+    # Round 8 (VERDICT r7 #2): EVERY routable corpus schema, every
+    # case — the fixed 60-schema sample left ~363 schemas' routed
+    # verdicts to the targeted batteries, and the last two verdict
+    # bugs lived exactly in routing-mode interactions.  Batched 16
+    # schemas per job as stacked plan_shape="masked" columns: masked
+    # references its input ONCE per stack (linear plan growth), while
+    # stacked union shapes re-reference the child plan twice per level
+    # (exponential — the json_props_kernel caveat, VERDICT r7).  Every
+    # schema judges every batch row; only its own rows' verdicts are
+    # asserted.  Measured: 27 jobs, 1587 cases, ~2.5 min at local[4].
     mismatches = []
-    for contract, cs in sample:
-        docs, want = [], {}
-        for i, c in enumerate(cs):
-            try:
-                d = json.dumps(c.data)
-            except (TypeError, ValueError):
-                continue
-            docs.append((i, d))
-            want[i] = expected_for(c)
-        if not docs:
+    BATCH = 16
+    for start in range(0, len(routable), BATCH):
+        batch = routable[start:start + BATCH]
+        rows, want = [], {}
+        for si, (contract, cs) in enumerate(batch):
+            for i, c in enumerate(cs):
+                try:
+                    d = json.dumps(c.data)
+                except (TypeError, ValueError):
+                    continue
+                rows.append((si, i, d))
+                want[(si, i)] = expected_for(c)
+        if not rows:
             continue
-        df = spark.createDataFrame(docs, "i long, doc string")
-        out = with_valid_json(df, "doc", contract,
-                              remotes=REMOTES).collect()
-        for r in out:
-            if r["valid"] != want[r["i"]]:
+        df = spark.createDataFrame(rows, "sid int, i int, doc string")
+        for si, (contract, cs) in enumerate(batch):
+            df = with_valid_json(df, "doc", contract, col_name=f"v{si}",
+                                 remotes=REMOTES, plan_shape="masked")
+        for r in df.collect():
+            if r[f"v{r['sid']}"] != want[(r["sid"], r["i"])]:
+                contract, cs = batch[r["sid"]]
                 mismatches.append((contract, cs[r["i"]].desc,
-                                   r["valid"], want[r["i"]]))
+                                   r[f"v{r['sid']}"],
+                                   want[(r["sid"], r["i"])]))
     assert not mismatches, \
         f"{len(mismatches)} mismatches; first: {mismatches[:2]}"
 
@@ -2331,3 +2342,138 @@ def test_lone_surrogate_escapes_route_to_kernel(spark):
         routes = {r["doc"]: r["route"] for r in with_valid_json(
             df, "doc", c, route_col="route").collect()}
         assert routes['{"a":"\\\\ud800"}'] == "columnar", c
+
+
+# --- round 8: recursive $ref routing via bounded unroll ----------------------
+
+RECURSIVE_LL = {"type": "object", "required": ["v"],
+                "properties": {"v": {"type": "integer", "minimum": 0},
+                               "next": {"$ref": "#"}}}
+
+
+def _ll_chain(depth: int, bad_at: int = -1) -> dict:
+    d: dict = {"v": 1}
+    cur = d
+    for i in range(depth):
+        nxt = {"v": -1 if bad_at == i + 1 else 1}
+        cur["next"] = nxt
+        cur = nxt
+    return d
+
+
+def test_recursive_ref_contract_routes(spark):
+    """Round 8 (VERDICT r7 #4): a self-recursive $ref contract routes
+    via bounded unroll — _MAX_NEST unrolled Plane-A levels, then a
+    variant leaf whose (recursive) subschema runs as ONE kernel check
+    over the tail's exact rendering.  Parity with the kernel at every
+    depth around the horizon, on hostile roots, and on tail-local
+    violations BELOW the horizon (the kernel-net path must actually
+    judge, not pass)."""
+    from jema_js_spark.validation.json_plane import _MAX_NEST
+
+    plan = analyze_json_contract(RECURSIVE_LL)
+    assert plan.routable, plan.reasons
+
+    def depth_of(node, d=0):
+        decl, extra = node
+        if decl == "object":
+            return max([depth_of(c, d + 1) for c in extra.values()]
+                       + [d + 1])
+        return d
+
+    assert depth_of(("object", plan.fields)) == _MAX_NEST + 1
+    docs = []
+    for depth in (0, 1, _MAX_NEST - 1, _MAX_NEST, _MAX_NEST + 1,
+                  _MAX_NEST + 6):
+        docs.append(json.dumps(_ll_chain(depth)))
+        docs.append(json.dumps(_ll_chain(depth, bad_at=depth)))
+    docs += [json.dumps(_ll_chain(3)) + " junk",
+             '{"v": 1, "next": {"v": "s"}}',
+             '{"v": 1, "next": null}',
+             '{"v": 1, "next": 5}',
+             '{"v": %d}' % 2**60,
+             '{"v": 1, "next": {"v": 1, "next": {}}}',
+             'null', '{}', 'not json']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    rows = with_valid_json(df, "doc", RECURSIVE_LL,
+                           route_col="route").collect()
+    expected = _kernel_verdicts(RECURSIVE_LL, docs)
+    bad = [(r["doc"][:60], r["valid"], expected[r["doc"]])
+           for r in rows if r["valid"] != expected[r["doc"]]]
+    assert not bad, bad[:3]
+    by_doc = {r["doc"]: r["route"] for r in rows}
+    # the common case — shallow chains — routes columnar…
+    assert by_doc[json.dumps(_ll_chain(1))] == "columnar"
+    # …and so do PAST-horizon chains (variant tail, kernel-net check)
+    assert by_doc[json.dumps(_ll_chain(_MAX_NEST + 6))] == "columnar"
+    assert by_doc["not json"] == "kernel"
+
+
+def test_recursive_unroll_plane_a_share():
+    """The unrolled levels compile Plane A (the (node, dtype) cycle
+    key in _h_ref) — only the horizon leaf's kernel net is Plane B, so
+    shallow documents never touch Python."""
+    from jema_js_spark.compiler.compile import SchemaCompiler
+    from jema_js_spark.schema.frontend import Schema
+
+    plan = analyze_json_contract(RECURSIVE_LL)
+    st = plan.struct_type()
+    cp = SchemaCompiler(Schema(RECURSIVE_LL)).compile_plan_for_column(
+        F.from_json(F.lit("{}"), st), st)
+    cov = cp.coverage()
+    assert cov["plane_a_fraction"] > 0.9, cov
+    assert any("variant" in (n or "") for n in cov["plane_b_names"]), cov
+
+
+def test_branching_recursion_bounded_by_slot_budget():
+    """A binary-tree recursive contract would unroll 2^_MAX_NEST
+    leaves; the per-contract slot budget truncates the walk to variant
+    leaves instead — the struct stays compile-sized and the contract
+    still routes."""
+    from jema_js_spark.validation.json_plane import _MAX_UNROLL_SLOTS
+
+    tree = {"type": "object",
+            "properties": {"l": {"$ref": "#"}, "r": {"$ref": "#"},
+                           "v": {"type": "integer"}}}
+    plan = analyze_json_contract(tree)
+    assert plan.routable, plan.reasons
+
+    def count(node):
+        decl, extra = node
+        if decl == "object":
+            return 1 + sum(count(c) for c in extra.values())
+        if decl == "array" and not isinstance(extra, str):
+            return 1 + count(extra)
+        if decl == "map":
+            return 1 + count(extra)
+        return 1
+
+    n = count(("object", plan.fields))
+    assert n <= _MAX_UNROLL_SLOTS + 64, n     # budget + in-flight nodes
+    assert len(plan.struct_type().simpleString()) < 20_000
+
+
+def test_branching_recursion_verdict_parity(spark):
+    """Budget-truncated tree contract: parity with the kernel on
+    balanced trees that cross the truncated leaves."""
+    tree = {"type": "object", "required": ["v"],
+            "properties": {"l": {"$ref": "#"}, "r": {"$ref": "#"},
+                           "v": {"type": "integer", "minimum": 0}}}
+
+    def full_tree(depth, bad=False):
+        if depth == 0:
+            return {"v": -1 if bad else 0}
+        return {"v": depth,
+                "l": full_tree(depth - 1),
+                "r": full_tree(depth - 1, bad)}
+
+    docs = [json.dumps(full_tree(d)) for d in (0, 2, 5, 9)]
+    docs += [json.dumps(full_tree(d, bad=True)) for d in (2, 5, 9)]
+    docs += ['{"v": 1, "l": {"v": 1}, "r": 7}', 'junk', '{}']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    rows = with_valid_json(df, "doc", tree, route_col="route").collect()
+    expected = _kernel_verdicts(tree, docs)
+    bad = [(r["doc"][:60], r["valid"], expected[r["doc"]])
+           for r in rows if r["valid"] != expected[r["doc"]]]
+    assert not bad, bad[:3]
+    assert {r["route"] for r in rows} == {"columnar", "kernel"}
