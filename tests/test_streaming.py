@@ -266,3 +266,87 @@ def test_streaming_residue_partition_floor(spark):
     assert "Repartition " not in banalyzed, banalyzed
     assert "rebalance" in banalyzed.lower() or "RebalancePartitions" \
         in banalyzed, banalyzed
+
+
+def test_windowed_json_verdicts_route_counts(spark):
+    """Round 8 (VERDICT r7 #5): streaming route-rate observability —
+    every window row carries n_routed/n_kernel so a routing-gate
+    regression (verdicts right, throughput collapsed onto the kernel)
+    is visible per microbatch window, matching the batch ledger
+    metrics."""
+    from jema_js_spark.streaming.validate_stream import (
+        windowed_json_verdicts)
+
+    contract = {"type": "object", "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 0,
+                                     "maximum": 80}}}
+    # slots: %11 → malformed (kernel, invalid), %7 → wrong type
+    # (kernel, invalid), rest canonical (columnar; k>80 → invalid)
+    doc = (F.when(F.col("value") % 11 == 0, F.lit("not json"))
+           .when(F.col("value") % 7 == 0,
+                 F.concat(F.lit('{"k": "s'), F.col("value"), F.lit('"}')))
+           .otherwise(F.concat(F.lit('{"k": '),
+                               F.pmod(F.col("value"), F.lit(100)),
+                               F.lit("}"))))
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "500").load()
+              .withColumn("doc", doc).select("timestamp", "value", "doc"))
+    verd = windowed_json_verdicts(stream, "doc", contract,
+                                  ts_col="timestamp",
+                                  window="5 seconds",
+                                  watermark="30 seconds")
+    q = (verd.writeStream.format("memory").queryName("jwv_stream")
+         .outputMode("complete").start())
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        got = spark.sql(
+            "SELECT coalesce(sum(n_rows), 0) FROM jwv_stream").collect()
+        if got[0][0] >= 200:
+            break
+        time.sleep(0.5)
+    _drain(q)
+    rows = spark.sql("SELECT * FROM jwv_stream").collect()
+    assert rows and sum(r["n_rows"] for r in rows) >= 200
+    tot = sum(r["n_rows"] for r in rows)
+    routed = sum(r["n_routed"] for r in rows)
+    kernel = sum(r["n_kernel"] for r in rows)
+    assert routed + kernel == tot
+    assert routed > 0 and kernel > 0          # both planes visible
+    # the designed kernel share is 1/11 + 1/7 - overlap(1/77) ≈ 22%:
+    # route_rate must sit near it, far from the 0.0 a gate regression
+    # would print
+    assert 0.5 < routed / tot < 0.95
+    for r in rows:
+        assert r["n_rows"] == r["n_routed"] + r["n_kernel"]
+        assert abs(r["route_rate"] - r["n_routed"] / r["n_rows"]) < 1e-9
+
+
+def test_windowed_json_verdicts_small_batch_hint(spark):
+    """An expected_docs hint below the small-batch cutoff puts the
+    whole stream on the kernel plane (microbatches ARE the small-batch
+    regime) — n_routed is honestly 0 and verdicts are unchanged."""
+    from jema_js_spark.streaming.validate_stream import (
+        windowed_json_verdicts)
+
+    contract = {"type": "object", "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 0}}}
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "200").load()
+              .withColumn("doc", F.concat(F.lit('{"k": '),
+                                          F.pmod(F.col("value"), F.lit(5)),
+                                          F.lit("}")))
+              .select("timestamp", "doc"))
+    verd = windowed_json_verdicts(stream, "doc", contract,
+                                  ts_col="timestamp",
+                                  window="5 seconds",
+                                  watermark="30 seconds",
+                                  expected_docs=1_000)
+    q = (verd.writeStream.format("memory").queryName("jwv_k_stream")
+         .outputMode("complete").start())
+    time.sleep(4)
+    _drain(q)
+    rows = spark.sql("SELECT * FROM jwv_k_stream").collect()
+    assert rows and sum(r["n_rows"] for r in rows) > 0
+    assert all(r["n_routed"] == 0 for r in rows)
+    assert all(r["n_kernel"] == r["n_rows"] for r in rows)
+    assert all(r["n_invalid"] == 0 for r in rows)
