@@ -250,3 +250,53 @@ def test_property_name_matching_is_exact_case():
     # garden-variety SyntaxErrors keep mapping to False
     assert valid_regex(r"^(abc]") is False
     assert valid_regex(r"a{2,1}") is False
+
+
+def test_routable_corpus_plans_have_zero_pattern_fallbacks(spark):
+    """Round 8 (VERDICT r7 #6): the corpus-pattern audit above proves
+    every corpus regex is rlike-safe IN ISOLATION; this pins the same
+    fact on the COMPILED ROUTED PLANS — as tasks r7#2/r8#4 pull more
+    corpus schemas onto the route (full-corpus parity, recursive
+    unroll), none may silently grow the single-column pandas-UDF
+    (js_rlike) share.  Every routable schema's plan must report
+    pattern_fallbacks == 0; Plane-B checks for other reasons (variant
+    nets, unevaluated gates) are fine and already published."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from jema_js_spark.compiler.compile import SchemaCompiler
+    from jema_js_spark.schema.frontend import Schema
+    from jema_js_spark.validation.json_plane import analyze_json_contract
+    from tests.suite_cases import CASES
+
+    seen, offenders, n_plans = set(), [], 0
+    for case in CASES:
+        if not isinstance(case.schema, dict):
+            continue
+        try:
+            key = _json.dumps(case.schema, sort_keys=True)
+        except (TypeError, ValueError):
+            continue
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            schema = Schema(case.schema)     # mirrors the corpus route
+            plan = analyze_json_contract(schema)   # test's filter exactly
+        except Exception:
+            continue
+        if not plan.routable:
+            continue
+        st = plan.struct_type()
+        root_mode = plan.root is not None
+        col = F.from_json(F.lit("{}"), st)
+        cp = SchemaCompiler(schema).compile_plan_for_column(
+            col["v"] if root_mode else col,
+            st["v"].dataType if root_mode else st)
+        n_plans += 1
+        cov = cp.coverage()
+        if cov["pattern_fallbacks"]:
+            offenders.append((key[:80], cov["plane_b_reasons"]))
+    assert n_plans >= 429, n_plans          # the routability floor
+    assert not offenders, offenders[:3]
