@@ -317,6 +317,84 @@ def main() -> None:
     def thr(n, sec):
         return n / sec
 
+    # round 8: render the auto-plan-choice calibration evidence from
+    # the artifact tools/calibrate_route_cost.py writes — ONE source
+    # for the numbers (tests/test_bench_evidence.py pins the shipped
+    # cost_model knob to the same artifact)
+    cal_md = ""
+    try:
+        with open("BENCH/route_cost_calibration.json") as f:
+            cal = json.load(f)
+        rows = "\n".join(
+            f"| {r['case']} | {r['score']} | {r['kernel_sec']} | "
+            f"{r['route_sec']} | {r['route_vs_kernel']}× |"
+            for r in cal["contracts"])
+        brows = "\n".join(
+            f"| {r['case']} | {r['n']:,} | {r['kernel_sec']} | "
+            f"{r['route_sec']} | {r['route_vs_kernel']}× |"
+            for r in cal["batch_sweep"])
+        cal_md = f"""
+## Route-vs-kernel calibration (round 8: the auto plan choice)
+
+Graded contracts over {cal['contract_sweep_docs']:,} canonical docs,
+interleaved kernel/route pairs, MIN-of-3 per side, verdict parity
+asserted (tools/calibrate_route_cost.py; loadavg_after
+{cal['loadavg_after']}):
+
+| contract | cost score | kernel sec | route sec | route-over-kernel |
+|---|---|---|---|---|
+{rows}
+
+The route wins on EVERY contract grade at production batch sizes —
+the round-7 "trivial contracts lose 0.7-0.9×" premise decomposed into
+(a) small batches and (b) shortcut-miss-heavy data (a number-typed
+slot fed integer-form tokens re-renders `5` as `5.0`, so every doc
+pays the gate path — the pattern3 row).  `with_valid_json`'s auto
+default therefore ROUTES every routable contract; the cost score is
+published as the win-size predictor, not a gate.
+
+Batch-size sweep (same protocol; trivial = all-conforming corpus,
+representative-mixed = the 80%-routable mixed stream with a real
+kernel residue):
+
+| case | docs | kernel sec | route sec | route-over-kernel |
+|---|---|---|---|---|
+{brows}
+
+The small-batch kernel-wins regime tracks the RESIDUE rate, not the
+contract weight — hence ONE calibrated cutoff:
+`cost_model.SMALL_BATCH_DOCS = {cal['small_batch_docs_knob']:,}`.
+Callers with genuinely small jobs (streaming microbatches, lookups)
+pass `expected_docs` and auto picks the kernel below the cutoff;
+without a hint auto assumes the 100-TB large-batch regime.
+"""
+        if cal.get("shape_decomposition"):
+            srows = "\n".join(
+                f"| {r['stream']} | {r['kernel_sec']} | {r['masked_sec']} "
+                f"({r['masked_vs_kernel']}×) | {r['union_sec']} "
+                f"({r['union_vs_kernel']}×) |"
+                for r in cal["shape_decomposition"])
+            cal_md += f"""
+Shape decomposition per stream class (representative contract,
+{cal['contract_sweep_docs']:,} docs; ×-ratios are vs the pure kernel
+plane, >1 = shape wins):
+
+| stream | kernel sec | masked sec | union sec |
+|---|---|---|---|
+{srows}
+
+The union shape's residue path costs 4-5× the pure kernel per row
+(the wasted parse + gate evaluation + the full-residue rebalance
+shuffle), so union LOSES on any residue-heavy or mixed stream while
+masked stays robust — the round-8 default flip: `plan_shape="auto"`
+resolves to masked; union is the opt-in for ~100%-canonical corpora
+(zero Python on healthy partitions, ~1.1× on all-canonical).  The
+route verdict is also materialized as a generated attribute so the
+gate tree evaluates once per row, not once per consumer.
+"""
+    except FileNotFoundError:
+        pass
+
     md = f"""# BENCH / BASELINE — measured numbers
 
 Machine: 32 logical cores, shared DRAM (single box — the in-sandbox
@@ -399,7 +477,7 @@ a cold object store the gap below is a LOWER bound):
 
 union/masked: **{masked_vs_union:.2f}** (>1 = masked faster on this
 source).  {shape_note}
-
+{cal_md}
 ## Machine controls
 
 Bare-multiprocessing kernel validation (no Spark), 8→32 procs:
@@ -496,11 +574,24 @@ are the measured engine baselines for future rounds.
   (VERDICT r5 #3) pin the routed fraction of a deterministic
   80%-conforming stream so a routing-gate regression shows in BENCH
   diffs even though verdicts stay correct.
+- r7 closed the routing matrix (nested structs/maps, scalar/array
+  roots, keys-only variant maps, tag-affine variant slots — 423/434
+  corpus schemas routable) and moved the bench's `route_vs_kernel`
+  pair to 4M docs where the floors amortize (2.2-2.7× across rounds).
+- r8 (VERDICT r7 #1): `with_valid_json` gained the cost-modelled auto
+  choice — see the round-8 calibration section above.  BENCH_r8 adds
+  `route_auto_trivial` (auto vs forced-kernel on the lightest
+  contract, interleaved MIN-of-3 at 1M docs): auto must hold ≥ parity
+  or the default plan is the measured-slower one.  This file is now
+  regenerated by bench_scaling.py together with its machine-readable
+  twin BENCH/scaling_latest.json; tests/test_bench_evidence.py fails
+  if the twin's headline numbers and this file disagree (the
+  stale-evidence failure mode of VERDICT r7 #3/#7).
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
-    print(json.dumps({
+    summary = {
         # headline N→4N number (the ≥0.8 criterion): 2→8 threads
         "kernel_efficiency": round(k_eff_sub, 3),
         "kernel_efficiency_8to32": round(k_eff, 3),
@@ -516,7 +607,16 @@ are the measured engine baselines for future rounds.
         "pages_per_sec_32": round(thr(col[32]["rows"], col[32]["sec"])),
         "kernel_docs_per_sec_32": round(k_thr[32]),
         "route_docs_per_sec_32": round(r_thr[32]),
-    }))
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    # machine-readable twin, written in the same run as the md —
+    # tests/test_bench_evidence.py asserts the two agree, so a future
+    # round that measures without regenerating the published file (the
+    # VERDICT r7 #3 failure mode) fails CI instead of shipping stale
+    # evidence
+    with open("BENCH/scaling_latest.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -1216,13 +1216,21 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
     doc misses; watch ``route_col``/ledger metrics and opt out with
     ``plan_shape="kernel"`` if the live data hits it.
 
-    ``"union"`` forces the route: fast ∪ slow filters with the
-    residue rebalanced before its Python stage — fastest measured,
-    Python touches only residue rows; ``"masked"`` also forces the
-    route, one pass, kernel UDF input masked to NULL on routed rows —
-    reads the source once (half the scan IO on an uncached source) at
-    the cost of an all-rows Arrow projection; ``"kernel"`` forces the
-    kernel UDF on every row (skips the routing analysis entirely).
+    Routed plan shape (round 8: auto now resolves to ``"masked"``):
+    ``"masked"`` is one pass — kernel UDF input masked to NULL on
+    routed rows — no shuffle, single scan.  ``"union"`` (fast ∪ slow
+    filters, residue rebalanced before its Python stage) touches
+    Python only on residue rows, but its residue path costs 4-5× the
+    kernel plane per row (wasted parse + the full-residue rebalance
+    shuffle): the round-8 stream decomposition measured union 0.61×
+    vs the PURE KERNEL on the 80%-conforming mixed stream while
+    masked won 1.47×, and union ahead only on an all-canonical stream
+    (~1.1×, the per-partition Python handshake it avoids).  Robust
+    beats best-case at 100 TB, so auto = masked; ``"union"`` is the
+    opt-in for corpora known ~100% canonical (it also keeps healthy
+    partitions entirely JVM-side — no Python worker memory).
+    ``"kernel"`` forces the kernel UDF on every row (skips the
+    routing analysis entirely).
 
     Verdict-equivalent to ``kernel_validate_udf(schema)(json_col)`` on
     every row (differentially pinned in tests/test_json_plane.py)."""
@@ -1264,7 +1272,7 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
         df, json_col, schema, plan, format_assertion)
     doc = F.col(json_col)
 
-    shape = "union" if plan_shape == "auto" else plan_shape
+    shape = "masked" if plan_shape == "auto" else plan_shape
 
     if shape == "masked":
         out = b3.withColumn(col_name, F.when(
@@ -1312,7 +1320,7 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     :func:`with_valid_json` (verdicts) and :func:`json_violation_rows`
     (screening — which needs the route and the columnar verdict but NOT
     a kernel verdict pass)."""
-    reserved = {"__jp", "__jsc", "__jw", "__jv"} & set(df.columns)
+    reserved = {"__jp", "__jsc", "__jw", "__jv", "__jr"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"with_valid_json reserves working columns {sorted(reserved)}; "
@@ -1522,11 +1530,18 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
     # the kernel keeps them (see _SURROGATE_ESC_ANYWHERE)
     gates.append(~doc.rlike(_SURROGATE_ESC_ANYWHERE))
     full_gates = functools.reduce(lambda a, b: a & b, gates)
-    # shortcut hits skip the gate chain entirely; on misses every input
-    # (sc, v) is a generated attribute, so re-evaluating `route` per
-    # consumer costs only the gate expressions themselves
-    route = F.when(sc, F.lit(True)) \
+    # shortcut hits skip the gate chain entirely (CaseWhen-lazy).  The
+    # route verdict is then MATERIALIZED as a generated attribute
+    # (round 8): every plan shape references `route` twice (the two
+    # union filters / the masked CaseWhen + kernel-input mask), and
+    # Catalyst re-inlines the gate expression tree into each reference
+    # — on gate-path rows that re-ran schema_of_variant/_reprable
+    # trees per consumer (part of the measured 4-5× residue-stream
+    # overhead, BENCH/route_cost_calibration.json).
+    route_expr = F.when(sc, F.lit(True)) \
         .otherwise(F.coalesce(full_gates, F.lit(False)))
+    b4 = b3.select("*", F.explode(F.array(route_expr)).alias("__jr"))
+    route = F.coalesce(F.col("__jr"), F.lit(False))
 
     # root mode compiles the contract against the single extracted
     # value column — the schema root applies to p.v, not the wrapper
@@ -1536,7 +1551,7 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
             p["v"] if root_mode else p,
             struct_type["v"].dataType if root_mode else struct_type)
 
-    return b3, route, compiled, ["__jp", "__jsc", "__jw", "__jv"]
+    return b4, route, compiled, ["__jp", "__jsc", "__jw", "__jv", "__jr"]
 
 
 def json_violation_rows(df: DataFrame, json_col: str, schema: Any,

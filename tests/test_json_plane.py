@@ -612,14 +612,16 @@ def test_json_violation_rows_map_contract(spark):
 
 
 def test_union_shape_python_only_on_residue(spark):
-    """Physical-plan pin for the 100-TB architecture claim: the union
-    shape has exactly ONE Python node, and it sits below the residue's
-    rebalance Exchange — the fast branch validates with zero Python."""
+    """Physical-plan pin for the union opt-in (round 8: auto = masked;
+    union remains the zero-Python-on-healthy-data shape): exactly ONE
+    Python node, sitting below the residue's rebalance Exchange — the
+    fast branch validates with zero Python."""
     from jema_js_spark.bench_contracts import REPRESENTATIVE_KERNEL_CONTRACT
 
     df = spark.createDataFrame([('{"k":1,"name":"user1","xs":[1,2,3]}',)],
                                ["doc"])
-    out = with_valid_json(df, "doc", REPRESENTATIVE_KERNEL_CONTRACT)
+    out = with_valid_json(df, "doc", REPRESENTATIVE_KERNEL_CONTRACT,
+                          plan_shape="union")
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("simple"))
@@ -1573,8 +1575,12 @@ def test_root_and_map_fast_plans_stay_plane_a(spark):
         assert cov["plane_a_fraction"] == 1.0, (contract,
                                                 cov["plane_b_names"])
 
+    # zero-Python fast branch is the UNION shape's property (round 8:
+    # auto = masked, whose single pass carries one null-masked Python
+    # node by design)
     df = spark.createDataFrame([("[1.5]",)], "doc string")
-    out = with_valid_json(df, "doc", cases[0], route_col="route")
+    out = with_valid_json(df, "doc", cases[0], route_col="route",
+                          plan_shape="union")
     fast_plan = out.filter(F.col("route") == "columnar") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in fast_plan and "BatchEvalPython" not in fast_plan
@@ -1732,7 +1738,8 @@ def test_keys_only_fast_plan_stays_plane_a(spark):
     contract = {"required": ["a"], "minProperties": 1,
                 "propertyNames": {"maxLength": 8},
                 "dependentRequired": {"x": ["y"]}}
-    out = with_valid_json(df, "doc", contract, route_col="route")
+    out = with_valid_json(df, "doc", contract, route_col="route",
+                          plan_shape="union")   # zero-Python fast branch
     fast = out.filter(F.col("route") == "columnar") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in fast and "BatchEvalPython" not in fast, fast
@@ -2078,7 +2085,8 @@ def test_variant_slot_fast_plan_stays_plane_a(spark):
         assert cov["plane_a_fraction"] == 1.0, (contract,
                                                 cov["plane_b_names"])
         df = spark.createDataFrame([('{"x-a":"v"}',)], "doc string")
-        out = with_valid_json(df, "doc", contract, route_col="route")
+        out = with_valid_json(df, "doc", contract, route_col="route",
+                              plan_shape="union")
         fast = out.filter(F.col("route") == "columnar") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in fast and "BatchEvalPython" not in fast, \

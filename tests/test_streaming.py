@@ -246,7 +246,9 @@ def test_streaming_residue_partition_floor(spark):
     every microbatch pays the per-task Arrow handshake once per SOURCE
     partition.  Pinned in the analyzed plan: a Repartition node with
     exactly _STREAM_RESIDUE_PARTITIONS, and none on the batch plan
-    (which uses the AQE rebalance hint instead)."""
+    (which uses the AQE rebalance hint instead).  Round 8: union is
+    the opt-in shape (auto = masked, a stateless single pass with NO
+    shuffle — pinned below), so the floor pins force union."""
     from jema_js_spark.validation.json_plane import (
         _STREAM_RESIDUE_PARTITIONS, with_valid_json)
 
@@ -255,17 +257,25 @@ def test_streaming_residue_partition_floor(spark):
     stream = (spark.readStream.format("rate")
               .option("rowsPerSecond", "10").load()
               .withColumn("doc", F.lit('{"k": 1}')).select("value", "doc"))
-    out = with_valid_json(stream, "doc", contract)
+    out = with_valid_json(stream, "doc", contract, plan_shape="union")
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert f"Repartition {_STREAM_RESIDUE_PARTITIONS}, true" in analyzed, \
         analyzed
 
     batch = spark.createDataFrame([(1, '{"k": 1}')], "value long, doc string")
-    bout = with_valid_json(batch, "doc", contract)
+    bout = with_valid_json(batch, "doc", contract, plan_shape="union")
     banalyzed = bout._jdf.queryExecution().analyzed().toString()
     assert "Repartition " not in banalyzed, banalyzed
     assert "rebalance" in banalyzed.lower() or "RebalancePartitions" \
         in banalyzed, banalyzed
+
+    # the auto default (masked, round 8) is shuffle-free in BOTH
+    # modes — the property that makes it robust per-microbatch and on
+    # residue-heavy corpora (round-8 stream decomposition)
+    for df in (with_valid_json(stream, "doc", contract),
+               with_valid_json(batch, "doc", contract)):
+        a = df._jdf.queryExecution().analyzed().toString()
+        assert "Repartition " not in a and "rebalance" not in a.lower(), a
 
 
 def test_windowed_json_verdicts_route_counts(spark):
