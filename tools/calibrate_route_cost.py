@@ -162,8 +162,10 @@ def main():
                 F.sum(F.col("v").cast("long"))).collect()[0][0]
 
         def route():
-            out = with_valid_json(docs, "doc", contract,
-                                  plan_shape="union")
+            # the AUTO DEFAULT (no expected_docs hint → routes, shape
+            # masked since round 8) — the calibration must measure the
+            # plan users actually get, not an opt-in
+            out = with_valid_json(docs, "doc", contract)
             return out.agg(F.sum(F.col("valid").cast("long"))
                            ).collect()[0][0]
 
@@ -201,7 +203,7 @@ def main():
                                                mixed_json_docs,
                                                trivial_json_docs)
     batches = []
-    for n in (30_000, 100_000, 300_000, 1_000_000):
+    for n in (10_000, 30_000, 100_000, 300_000, 1_000_000):
         batches.append(pair(
             f"trivial@{n}", TRIVIAL_CONTRACT,
             trivial_json_docs(spark, n, num_partitions=CPUS * 3), n))
