@@ -275,12 +275,15 @@ def main() -> None:
     # suspected loss case.  Auto (which routes it — no expected_docs
     # hint) must hold ≥ parity with the forced kernel plane, else the
     # default plan choice is the measured-slower one.  Same interleaved
-    # MIN-of-3 protocol as 12c; 1M canonical docs (the calibrated
-    # large-batch regime).
+    # MIN-of-3 protocol and 4× scale as 12c: the default masked shape's
+    # fixed floor (the all-rows Python handshake) amortizes past
+    # ~5×10^5 docs (cost_model.SMALL_BATCH_DOCS), and the pair must
+    # measure the large-batch regime auto is designed for — hinted
+    # small batches take the kernel by construction.
     from jema_js_spark.bench_contracts import (TRIVIAL_CONTRACT,
                                                trivial_json_docs)
     tdocs = trivial_json_docs(
-        spark, N_KERNEL_DOCS, num_partitions=CPUS * 3).cache()
+        spark, n_pair, num_partitions=CPUS * 3).cache()
     tdocs.count()
     triv_udf = kernel_validate_udf(TRIVIAL_CONTRACT)
     triv_load_before = os.getloadavg()
@@ -305,7 +308,7 @@ def main() -> None:
         assert kv == av                    # cross-plane verdict parity
     extras["route_auto_trivial"] = round(min(tk) / min(ta), 2)
     extras["route_auto_trivial_pair"] = {
-        "n_docs": N_KERNEL_DOCS,
+        "n_docs": n_pair,
         "kernel_sec": round(min(tk), 3),
         "auto_sec": round(min(ta), 3),
         "timing": "interleaved_min_of_3",

@@ -20,21 +20,22 @@ route WINS on every graded contract whose documents take the
 round-trip shortcut.  The round-7 "0.7-0.9× trivial loss" decomposes
 into the two regimes the routed plan actually has:
 
-1. **Small batches** (fixed-floor regime): the routed plan carries
-   more stages (parse barrier, shortcut, residue rebalance + a Python
-   wave even on empty residue), so below ~10^5 docs per job its
-   fixed floors dominate and the kernel's single stage wins — the
-   round-8 probe measured the representative contract at 0.81× at
-   30k docs and par at 100k (and the round-6 bench pair 0.74× at
-   100k under loadavg 16-25), while the same contract wins 1.9-2.1×
-   at 1M+.  Notably the floor does NOT scale with contract weight:
-   an all-conforming trivial corpus wins from <30k (empty residue —
-   the route pays one parse), while the mixed representative corpus
-   (80% routable) pays BOTH planes' floors plus the residue shuffle.
-   Batch size and residue rate are not statically derivable from the
-   contract, so the decision takes an ``expected_docs`` hint
-   (streaming microbatches and small lookups pass it; the 100-TB
-   default is the large-batch regime) against ONE calibrated cutoff.
+1. **Small batches** (fixed-floor regime): the routed plan's fixed
+   floors dominate below roughly half a million docs per job and the
+   kernel's single stage wins.  Calibrated against the SHIPPED
+   default (auto = masked shape, round 8): the masked plan pays the
+   all-rows Python-wave handshake whatever the data, so the kernel
+   leads up to ~300k docs (trivial 0.78-0.85×, mixed representative
+   0.59-0.87×) and the route crosses over between 300k and 1M
+   (1.06×/1.32× at 1M, growing with scale).  The floor does NOT
+   scale with contract weight — batch size is the variable — and is
+   not statically derivable, so the decision takes an
+   ``expected_docs`` hint (streaming microbatches and small lookups
+   pass it; the 100-TB default is the large-batch regime) against
+   ONE calibrated cutoff.  (The union opt-in has a different profile
+   — near-zero floor on all-conforming data, catastrophic on
+   residue-heavy data — see the shape decomposition in
+   BENCH/route_cost_calibration.json.)
 2. **Shortcut-miss-heavy data**: documents that systematically fail
    the ``to_json`` round-trip equality pay parse + re-render + a
    second (variant) parse per row — measured 0.68× when EVERY doc
@@ -72,17 +73,17 @@ from jema_js_spark.schema.frontend import Schema
 __all__ = ["kernel_cost_score", "plan_choice", "SMALL_BATCH_DOCS"]
 
 # Batch size below which an ``expected_docs`` hint sends a routable
-# contract to the kernel: the routed plan's fixed floors (extra
-# stages + the residue shuffle + the per-wave Python handshake) are
-# not amortized.  Calibrated round 8 (tools/calibrate_route_cost.py +
-# the batch-size probes recorded in BENCH/BASELINE.md): the
-# representative mixed corpus crosses at ~100k docs on local[32]
-# (0.81× at 30k, 1.01× at 100k, 1.45× at 300k); an all-conforming
-# corpus wins from <30k; under heavy ambient load (round-6 pair,
-# loadavg 16-25) the 100k level measured 0.74×.  100k splits the
-# measured bracket: below it no measured case wins by more than the
-# trivial corpus' 1.26×, above it every case is a route win or wash.
-SMALL_BATCH_DOCS = 100_000
+# contract to the kernel: the default (masked) routed plan's fixed
+# floors — chiefly the all-rows Python-wave handshake — are not
+# amortized.  Calibrated round 8 against the shipped default
+# (tools/calibrate_route_cost.py batch sweep, recorded in
+# BENCH/route_cost_calibration.json): the kernel wins every measured
+# level up to 300k docs (trivial 0.78-0.85×, mixed representative
+# 0.59-0.87×) and the route wins at 1M (1.06×/1.32×); linear
+# interpolation puts the crossings at ~430k (mixed) and ~700k
+# (trivial).  500k splits the bracket — below it every measured case
+# is a kernel win, above it a route win or sub-10% wash.
+SMALL_BATCH_DOCS = 500_000
 
 # Expected per-element fan-out for subschemas the kernel applies to
 # EVERY member of a container (array items, contains, dynamic-key

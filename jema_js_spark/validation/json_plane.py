@@ -1203,12 +1203,11 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
     wins on EVERY graded contract class — 1.13-2.2× on light
     contracts, 2.7-4.3× on kernel-heavy ones — so auto routes every
     routable contract by default.  The kernel's winning regime is
-    SMALL BATCHES (the routed plan's fixed floors — extra stages +
-    the residue shuffle + Python wave — dominate below ~10^5
-    docs/job; the floor tracks the residue rate, not the contract
-    weight): pass ``expected_docs`` (e.g. a streaming microbatch's
-    typical size) and auto picks the kernel below
-    ``cost_model.SMALL_BATCH_DOCS``.  A second, data-dependent slow case the static
+    SMALL BATCHES: the default masked plan pays the all-rows
+    Python-wave handshake whatever the data, so below
+    ``cost_model.SMALL_BATCH_DOCS`` (calibrated ~5×10^5 on local[32])
+    the kernel's single stage wins — pass ``expected_docs`` (e.g. a
+    streaming microbatch's typical size) and auto picks it.  A second, data-dependent slow case the static
     model only flags (``plan_choice(...)["shortcut_sensitive"]``):
     documents that systematically miss the ``to_json`` round-trip
     proof (integer-form tokens in a ``number``-typed slot) pay the

@@ -1,12 +1,13 @@
 """Round 8 (VERDICT r7 #1): the auto route-vs-kernel plan choice.
 
-The calibration (tools/calibrate_route_cost.py + the batch-size
-probes, evidence in BENCH/BASELINE.md) found TWO regimes: at
-production batch sizes the route wins on every graded contract class
-(so auto routes routable contracts by default — no hint, no
-diversion), while below ``SMALL_BATCH_DOCS`` the routed plan's fixed
-floors lose to the kernel's single stage (auto picks the kernel under
-an ``expected_docs`` hint; the floor tracks residue rate, not
+The calibration (tools/calibrate_route_cost.py, evidence in
+BENCH/route_cost_calibration.json + BENCH/BASELINE.md) found TWO
+regimes: at production batch sizes the route wins on every graded
+contract class (so auto routes routable contracts by default — no
+hint, no diversion), while below ``SMALL_BATCH_DOCS`` the default
+masked plan's fixed floor (the all-rows Python-wave handshake) loses
+to the kernel's single stage whatever the contract (auto picks the
+kernel under an ``expected_docs`` hint; the floor does not track
 contract weight, so the cutoff is one constant).  These tests pin the
 knob, the score ordering, and the end-to-end decision on both sides
 of the boundary — a silent cutoff change or score drift that flips
@@ -20,19 +21,21 @@ from jema_js_spark.validation.cost_model import (
     SMALL_BATCH_DOCS, kernel_cost_score, plan_choice)
 from jema_js_spark.validation.json_plane import with_valid_json
 
-# the round-7 suspected-loss case — round 8 measured it WINNING 1.48×
-# at 1M docs; the kernel wins it only in the small-batch regime
+# the round-7 suspected-loss case — round 8 measured the route winning
+# it at 1M+ docs (union 1.48×, masked 1.06× and growing with scale);
+# the kernel wins it only in the small-batch regime
 TRIVIAL = {"type": "object", "required": ["k"],
            "properties": {"k": {"type": "integer", "minimum": 0},
                           "name": {"type": "string", "maxLength": 64}}}
 
 
 def test_cutoff_pinned():
-    # calibrated round 8 (tools/calibrate_route_cost.py + batch
-    # probes; evidence in BENCH/BASELINE.md): representative mixed
-    # corpus 0.81× at 30k docs, par at 100k, 1.45× at 300k.  Changing
-    # the knob requires re-measuring.
-    assert SMALL_BATCH_DOCS == 100_000
+    # calibrated round 8 against the shipped masked default
+    # (tools/calibrate_route_cost.py batch sweep, evidence in
+    # BENCH/route_cost_calibration.json + BENCH/BASELINE.md): kernel
+    # wins every level ≤300k docs, route wins at 1M; 500k splits the
+    # bracket.  Changing the knob requires re-measuring.
+    assert SMALL_BATCH_DOCS == 500_000
 
 
 def test_score_orders_contracts_by_kernel_weight():
@@ -113,7 +116,8 @@ def test_plan_choice_flags_shortcut_sensitive_layouts():
 
 def test_auto_routes_trivial_without_hint(spark):
     """Production default: no batch hint → the trivial contract routes
-    (measured 1.48× win at 1M docs), with verdicts unchanged."""
+    (the route wins it at production batch sizes), with verdicts
+    unchanged."""
     docs = ['{"k":1,"name":"a"}', '{"k":-1,"name":"a"}', '{"k":1}',
             '{"name":"a"}', 'junk', None]
     df = spark.createDataFrame([(d,) for d in docs], "doc string")
