@@ -387,10 +387,14 @@ The union shape's residue path costs 4-5× the pure kernel per row
 (the wasted parse + gate evaluation + the full-residue rebalance
 shuffle), so union LOSES on any residue-heavy or mixed stream while
 masked stays robust — the round-8 default flip: `plan_shape="auto"`
-resolves to masked; union is the opt-in for ~100%-canonical corpora
-(zero Python on healthy partitions, ~1.1× on all-canonical).  The
-route verdict is also materialized as a generated attribute so the
-gate tree evaluates once per row, not once per consumer.
+resolves to masked for pure-Plane-A compiled plans; Plane-B-carrying
+plans keep union (Catalyst extracts Python UDFs from CaseWhen
+branches and runs them per row — masked would pay the embedded
+kernel check on every row), and union stays the manual opt-in for
+~100%-canonical corpora (zero Python on healthy partitions, ~1.1× on
+all-canonical).  The route verdict is also materialized as a
+generated attribute so the gate tree evaluates once per row, not once
+per consumer.
 """
     except FileNotFoundError:
         pass

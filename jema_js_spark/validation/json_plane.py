@@ -1215,21 +1215,27 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
     doc misses; watch ``route_col``/ledger metrics and opt out with
     ``plan_shape="kernel"`` if the live data hits it.
 
-    Routed plan shape (round 8: auto now resolves to ``"masked"``):
-    ``"masked"`` is one pass — kernel UDF input masked to NULL on
-    routed rows — no shuffle, single scan.  ``"union"`` (fast ∪ slow
-    filters, residue rebalanced before its Python stage) touches
+    Routed plan shape (round 8: auto resolves to ``"masked"`` for
+    pure-Plane-A compiled plans, ``"union"`` for Plane-B-carrying
+    ones): ``"masked"`` is one pass — kernel UDF input masked to NULL
+    on routed rows — no shuffle, single scan.  ``"union"`` (fast ∪
+    slow filters, residue rebalanced before its Python stage) touches
     Python only on residue rows, but its residue path costs 4-5× the
     kernel plane per row (wasted parse + the full-residue rebalance
-    shuffle): the round-8 stream decomposition measured union 0.61×
+    shuffle): the round-8 stream decomposition measured union 0.51×
     vs the PURE KERNEL on the 80%-conforming mixed stream while
-    masked won 1.47×, and union ahead only on an all-canonical stream
-    (~1.1×, the per-partition Python handshake it avoids).  Robust
-    beats best-case at 100 TB, so auto = masked; ``"union"`` is the
-    opt-in for corpora known ~100% canonical (it also keeps healthy
-    partitions entirely JVM-side — no Python worker memory).
-    ``"kernel"`` forces the kernel UDF on every row (skips the
-    routing analysis entirely).
+    masked won 1.14-1.47×, and union ahead only on an all-canonical
+    stream (~1.1×, the per-partition Python handshake it avoids).
+    Robust beats best-case at 100 TB, so auto = masked — EXCEPT when
+    the compiled plan carries Plane-B checks (variant nets, whole-node
+    unevaluated gates, recursive-tail nets): Catalyst extracts Python
+    UDFs out of CaseWhen branches and runs them per ROW, so masked
+    would pay the embedded kernel check on every row where union's
+    fast filter isolates it to routed rows — those plans take union.
+    ``"union"`` is also the manual opt-in for corpora known ~100%
+    canonical (it keeps healthy partitions entirely JVM-side — no
+    Python worker memory).  ``"kernel"`` forces the kernel UDF on
+    every row (skips the routing analysis entirely).
 
     Verdict-equivalent to ``kernel_validate_udf(schema)(json_col)`` on
     every row (differentially pinned in tests/test_json_plane.py)."""
@@ -1271,7 +1277,18 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
         df, json_col, schema, plan, format_assertion)
     doc = F.col(json_col)
 
-    shape = "masked" if plan_shape == "auto" else plan_shape
+    # auto shape (round 8): masked for pure-Plane-A compiled plans —
+    # the robust default (see the docstring).  A plan CARRYING Plane-B
+    # checks must take the union shape: Catalyst extracts Python UDFs
+    # out of CaseWhen branches and evaluates them per ROW, so under
+    # masked a variant-net/whole-node kernel check would run on every
+    # row (routed or not) instead of only the routed rows the union's
+    # fast filter isolates.
+    if plan_shape == "auto":
+        shape = "masked" if all(c.plane == "A" for c in compiled.checks) \
+            else "union"
+    else:
+        shape = plan_shape
 
     if shape == "masked":
         out = b3.withColumn(col_name, F.when(

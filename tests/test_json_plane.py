@@ -2485,3 +2485,36 @@ def test_branching_recursion_verdict_parity(spark):
            for r in rows if r["valid"] != expected[r["doc"]]]
     assert not bad, bad[:3]
     assert {r["route"] for r in rows} == {"columnar", "kernel"}
+
+
+def test_auto_shape_rule(spark):
+    """Round 8: auto = masked for pure-Plane-A plans (no shuffle, one
+    scan), union for Plane-B-carrying plans — Catalyst extracts Python
+    UDFs from CaseWhen branches and runs them per row, so a masked
+    plan would pay an embedded variant-net/whole-node kernel check on
+    EVERY row where union's fast filter isolates it to routed rows."""
+    df = spark.createDataFrame([('{"a": 1}',)], "doc string")
+
+    # pure-A routable contract → masked: no shuffle anywhere
+    pure = {"type": "object", "required": ["a"],
+            "properties": {"a": {"type": "integer", "minimum": 0}}}
+    a = with_valid_json(df, "doc", pure) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "Repartition " not in a and "rebalance" not in a.lower(), a
+
+    # keys-only contract whose dependentSchemas body READS values →
+    # the variant net = a Plane-B check → auto must take union (the
+    # rebalance marks it), keeping the net off non-routed rows
+    netted = {"type": "object",
+              "dependentSchemas": {"a": {"properties":
+                                         {"b": {"minimum": 3}}}}}
+    plan = analyze_json_contract(netted)
+    assert plan.routable and plan.map_value == ("variant", None), plan
+    u = with_valid_json(df, "doc", netted) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "rebalance" in u.lower() or "RebalancePartitions" in u, u
+    # …and exactly ONE Python stage on the routed side of that plan
+    phys = with_valid_json(df, "doc", netted, route_col="r") \
+        .filter(F.col("r") == "columnar") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("ArrowEvalPython") <= 1, phys
