@@ -283,28 +283,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 F.col("event_id").cast("string"),
                                 F.lit("}")))
                  .otherwise(F.lit('{"myid":"s"}'))))
-        # plan_shape="union" FORCES the route (round 8): these columns
+        # plan_shape="masked" FORCES the route (round 8): these columns
         # are the routed plane's oracle surface, so no present or
         # future auto cost-model policy (expected_docs hints,
         # recalibrated cutoffs) may ever divert them to the kernel.
-        # Verdicts are plane-independent (differentially pinned), so
-        # the oracle twins are unchanged.
+        # masked, not union: each union shape references its whole
+        # input plan twice, so stacking seven would re-reference the
+        # base subtree 2^7 times (the exponential stacked-union hazard
+        # the full-corpus route test documents); masked stacks
+        # linearly.  Verdicts are plane-independent (differentially
+        # pinned), so the oracle twins are unchanged.
         routed = with_valid_json(ev, "props", schema,
                                  col_name="valid_columnar",
-                                 plan_shape="union")
+                                 plan_shape="masked")
         routed = with_valid_json(routed, "props", map_schema,
-                                 col_name="valid_map", plan_shape="union")
+                                 col_name="valid_map", plan_shape="masked")
         routed = with_valid_json(routed, "nested_doc", nested_schema,
                                  col_name="valid_nested",
-                                 plan_shape="union")
+                                 plan_shape="masked")
         routed = with_valid_json(routed, "root_doc", root_schema,
-                                 col_name="valid_root", plan_shape="union")
+                                 col_name="valid_root", plan_shape="masked")
         routed = with_valid_json(routed, "keys_doc", keys_schema,
-                                 col_name="valid_keys", plan_shape="union")
+                                 col_name="valid_keys", plan_shape="masked")
         routed = with_valid_json(routed, "union_doc", union_schema,
-                                 col_name="valid_union", plan_shape="union")
+                                 col_name="valid_union", plan_shape="masked")
         routed = with_valid_json(routed, "mixed_doc", mixed_schema,
-                                 col_name="valid_mixed", plan_shape="union")
+                                 col_name="valid_mixed", plan_shape="masked")
         return routed.select("event_id", udf(F.col("props")).alias("valid"),
                              "valid_columnar", "valid_map", "valid_nested",
                              "valid_root", "valid_keys", "valid_union",

@@ -78,6 +78,14 @@ def windowed_json_verdicts(stream_df: DataFrame, json_col: str, schema,
     choice itself is the visible signal."""
     from jema_js_spark.validation.json_plane import with_valid_json
 
+    # this wrapper picks the verdict/route column names on the
+    # caller's behalf — an input already carrying them would be
+    # silently overwritten by withColumn (round-8 review)
+    clash = {"valid", "__route"} & set(stream_df.columns)
+    if clash:
+        raise ValueError(
+            f"windowed_json_verdicts reserves columns {sorted(clash)}; "
+            "rename or drop them on the input stream")
     out = with_valid_json(stream_df, json_col, schema,
                           format_assertion=format_assertion,
                           remotes=remotes, route_col="__route",

@@ -11,14 +11,18 @@ short-circuiting (the reference's own perf stance — lazy first-error,
 
 The round-8 calibration (tools/calibrate_route_cost.py — graded
 contracts over 1M canonical docs, interleaved kernel/route pairs,
-MIN-of-3, local[32], quiet box) OVERTURNED the round-7 premise that
-trivial contracts lose on the route.  Measured route-over-kernel at
-1M docs: trivial 2-property 1.48×, five properties 1.51×, ten 1.13×,
-array+enum 1.66×, nested-object 1.43×, unevaluated* 1.66×, $ref-chain
-1.66×, representative Plane-B contract 2.13×, 1KB docs 2.21× — the
-route WINS on every graded contract whose documents take the
-round-trip shortcut.  The round-7 "0.7-0.9× trivial loss" decomposes
-into the two regimes the routed plan actually has:
+MIN-of-3, local[32]) OVERTURNED the round-7 premise that trivial
+contracts lose on the route.  The committed artifact
+(BENCH/route_cost_calibration.json, measuring the SHIPPED auto
+default under ambient load): trivial 2-property 1.0×, five
+properties 1.05×, ten 1.08×, array+enum 1.21×, nested 1.15×,
+unevaluated* 1.14×, $ref-chain 1.27×, representative Plane-B
+contract 1.74× — ≥ parity on every grade; the quiet-box union-shape
+sweep of the same grades read higher still (1.13-2.2× light incl.
+1KB docs 2.21×, representative 2.13×).  The route wins wherever
+documents take the round-trip shortcut.  The round-7 "0.7-0.9×
+trivial loss" decomposes into the two regimes the routed plan
+actually has:
 
 1. **Small batches** (fixed-floor regime): the routed plan's fixed
    floors dominate below roughly half a million docs per job and the
@@ -38,9 +42,10 @@ into the two regimes the routed plan actually has:
    BENCH/route_cost_calibration.json.)
 2. **Shortcut-miss-heavy data**: documents that systematically fail
    the ``to_json`` round-trip equality pay parse + re-render + a
-   second (variant) parse per row — measured 0.68× when EVERY doc
-   misses (a ``number``-typed slot fed integer-form tokens: the
-   double renders back ``5.0`` vs the doc's ``5``).  This is a DATA
+   second (variant) parse per row — measured 0.68-0.84× when EVERY
+   doc misses (a ``number``-typed slot fed integer-form tokens: the
+   double renders back ``5.0`` vs the doc's ``5`` — the pattern3 row
+   of the committed artifact).  This is a DATA
    property, not a schema property; :func:`plan_choice` surfaces the
    static risk marker (``shortcut_sensitive`` — number slots in the
    layout) and the ledger/route_col metrics expose the live rate.
@@ -198,11 +203,14 @@ def kernel_cost_score(schema: Any, format_assertion: bool = False) -> float:
                 # evaluated-set tracking across the whole in-place
                 # chain + per-member residue walk
                 s += 6.0 + _ELEM_FANOUT * walk(v, path)
-            elif kw in ("$ref", "$dynamicRef"):
+            elif kw == "$ref":
+                # ($dynamicRef is consumed by _FLAT_W above — its
+                # target is runtime-scoped, so a static walk cannot
+                # price it; the flat weight stands alone)
                 target = schema.registry.ref_targets.get(id(node))
                 if target is not None:
                     s += 1.0 + walk(target, path)
-                elif kw == "$ref":
+                else:
                     s += 5.0           # unresolved statically: assume work
             # $defs/annotations/unknown keywords: one dict-skip, free
         return s
@@ -261,12 +269,13 @@ def plan_choice(schema: Any, format_assertion: bool = False,
                 "unroutable_reasons": [], **base}
     return {"shape": "route", "routable": True,
             "why": f"large-batch regime (score {score}): the routed "
-                   "plane wins on every calibrated contract class at "
-                   "≥300k docs (1.13-2.2× measured round 8; 2.7-4.3× "
-                   "on kernel-heavy contracts)"
+                   "plane holds ≥ parity on every calibrated contract "
+                   "grade and wins most (1.0-1.74× in the committed "
+                   "artifact; 2.7-4.3× quiet-box on kernel-heavy "
+                   "contracts)"
                    + (" — NOTE: number-typed slots make the round-trip "
                       "shortcut sensitive to integer-form tokens in "
-                      "the data (measured 0.68× when every doc "
+                      "the data (measured 0.68-0.84× when every doc "
                       "misses); watch route_col/ledger metrics"
                       if sensitive else ""),
             "unroutable_reasons": [], **base}

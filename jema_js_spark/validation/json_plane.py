@@ -244,14 +244,19 @@ _DECIMAL_RE = r"DECIMAL\(([0-9]+),([0-9]+)\)"
 # variant's exact rendering (the compiler's variant net).
 _MAX_NEST = 12
 
-# Total-slot budget per contract: BRANCHING recursion (a binary-tree
-# schema with two self-refs per node) would unroll 2^_MAX_NEST leaves
-# — an 8k-field struct type and a plan Catalyst chews minutes on.
-# Past the budget the walk truncates to variant leaves exactly like
-# the depth cap (sound anywhere; only the Plane-A share of very deep
-# documents is affected).  256 ≈ a wide flat production contract —
-# plans this size are routinely compiled.
+# Deep-expansion budget per contract: BRANCHING recursion (a
+# binary-tree schema with two self-refs per node) would unroll
+# 2^_MAX_NEST leaves — an 8k-field struct type and a plan Catalyst
+# chews minutes on.  Past the budget the walk truncates to variant
+# leaves exactly like the depth cap (sound anywhere — only the
+# Plane-A share of the affected subtrees changes).  The budget is
+# charged ONLY to nodes deeper than _BUDGET_FREE_DEPTH: exponential
+# growth needs depth, while wide-but-shallow production contracts
+# (hundreds of flat properties) live at depth 1-2 and must keep their
+# full typed layout (round-8 review: charging breadth truncated a
+# 300-property flat contract's tail fields to variant leaves).
 _MAX_UNROLL_SLOTS = 256
+_BUDGET_FREE_DEPTH = 3
 
 # streaming residue floor (round 7): the union shape's kernel branch is
 # repartitioned to this many partitions per microbatch — enough to keep
@@ -723,7 +728,8 @@ def _build_node(schema: Schema, sub: Any, label: str,
     review)."""
     if slots is None:
         slots = [0]
-    slots[0] += 1
+    if depth > _BUDGET_FREE_DEPTH:
+        slots[0] += 1
     if depth > _MAX_NEST or slots[0] > _MAX_UNROLL_SLOTS:
         # round 8 (VERDICT r7 #4): bounded unroll.  Past the unroll
         # horizon the slot stores the remaining subtree as an OPAQUE
@@ -1573,7 +1579,8 @@ def _routing_pieces(df: DataFrame, json_col: str, schema: Schema,
 def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
                         id_cols: Optional[List[str]] = None,
                         format_assertion: bool = False,
-                        remotes: Optional[dict] = None) -> DataFrame:
+                        remotes: Optional[dict] = None,
+                        expected_docs: Optional[int] = None) -> DataFrame:
     """``errors()`` over a JSON string column — the errors-path twin of
     :func:`with_valid_json`, completing the reference API triple
     (validate / errors) for dynamic JSON.  One output row per kernel
@@ -1617,6 +1624,14 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     plan = analyze_json_contract(schema, format_assertion=format_assertion)
+    if expected_docs is not None:
+        # small-batch regime (round 8, same rule as with_valid_json):
+        # the routed screen's fixed floors aren't amortized — skip
+        # screening and let iter_errors self-screen, exactly the
+        # unroutable-contract path
+        from jema_js_spark.validation import cost_model
+        if expected_docs < cost_model.SMALL_BATCH_DOCS:
+            plan = JsonColumnPlan(schema=schema)    # not routable
     screened = False
     if plan.routable:
         b3, route, compiled, work = _routing_pieces(

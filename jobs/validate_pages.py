@@ -123,7 +123,8 @@ def main() -> None:
                                     route_col="route",
                                     expected_docs=args.expected_docs)
             viol = json_violation_rows(part_df, args.json_col, schema,
-                                       id_cols=[args.id_col])
+                                       id_cols=[args.id_col],
+                                       expected_docs=args.expected_docs)
             aggs.append(F.coalesce(
                 F.sum((F.col("route") == "columnar").cast("long")),
                 F.lit(0)).alias("n_routed"))

@@ -2518,3 +2518,18 @@ def test_auto_shape_rule(spark):
         .filter(F.col("r") == "columnar") \
         ._jdf.queryExecution().executedPlan().toString()
     assert phys.count("ArrowEvalPython") <= 1, phys
+
+
+def test_wide_flat_contract_keeps_full_typed_layout():
+    """Round-8 review fix: the unroll budget is charged only past
+    _BUDGET_FREE_DEPTH — a wide-but-shallow contract (hundreds of flat
+    properties) must keep every field typed, exactly as round 7 did;
+    only deep (recursion-driven) expansion truncates to variant
+    leaves."""
+    wide = {"type": "object",
+            "properties": {f"f{i}": {"type": "integer", "minimum": 0}
+                           for i in range(300)}}
+    plan = analyze_json_contract(wide)
+    assert plan.routable, plan.reasons
+    assert len(plan.fields) == 300
+    assert all(node == ("integer", None) for node in plan.fields.values())

@@ -27,9 +27,15 @@ side, verdict parity asserted per pair:
    round-8 default flip (auto plan shape = masked).
 
 Writes BENCH/route_cost_calibration.json (the machine-readable
-evidence twin — tests/test_bench_evidence.py pins the shipped knob to
-the value recorded here, so re-calibrating without updating the knob,
-or editing the knob without re-measuring, fails CI loudly).
+evidence twin).  The shipped cost_model.SMALL_BATCH_DOCS constant is
+DERIVED from this artifact's batch sweep; tests/test_bench_evidence.py
+pins the constant inside the sweep's measured bracket (above every
+level where both calibrated streams lost to the kernel, at or below
+the smallest level where both won), so editing the knob without
+re-measuring — or re-measuring into a different bracket without
+moving the knob — fails CI loudly.  ``small_batch_docs_knob_at_run``
+records the constant as it stood when the artifact was written
+(provenance only).
 
 Usage: PYTHONPATH=/root/repo python tools/calibrate_route_cost.py
 """
@@ -281,7 +287,7 @@ def main():
            "contracts": contracts,
            "batch_sweep": batches,
            "shape_decomposition": shapes,
-           "small_batch_docs_knob": SMALL_BATCH_DOCS,
+           "small_batch_docs_knob_at_run": SMALL_BATCH_DOCS,
            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
            "cpus": CPUS}
     os.makedirs("BENCH", exist_ok=True)
