@@ -2533,3 +2533,29 @@ def test_wide_flat_contract_keeps_full_typed_layout():
     assert plan.routable, plan.reasons
     assert len(plan.fields) == 300
     assert all(node == ("integer", None) for node in plan.fields.values())
+
+
+def test_violation_rows_small_batch_hint_output_identical(spark):
+    """json_violation_rows under a small-batch hint skips the routed
+    screen (iter_errors self-screens — the unroutable-contract path)
+    with byte-identical output rows."""
+    from jema_js_spark.validation.json_plane import json_violation_rows
+
+    contract = {"type": "object", "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 0},
+                               "name": {"type": "string"}}}
+    docs = ['{"k": 1}', '{"k": -2}', '{"name": 7}', '{}', 'junk',
+            '{"k": 1, "name": "x"}']
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i long, doc string")
+
+    def rows(**kw):
+        out = json_violation_rows(df, "doc", contract, id_cols=["i"], **kw)
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows(expected_docs=10) == rows()
+    # and the hinted plan carries NO routing stages (no from_json)
+    phys = json_violation_rows(df, "doc", contract, id_cols=["i"],
+                               expected_docs=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FromJson" not in phys and "from_json" not in phys, phys
