@@ -255,7 +255,13 @@ _MAX_NEST = 12
 # (hundreds of flat properties) live at depth 1-2 and must keep their
 # full typed layout (round-8 review: charging breadth truncated a
 # 300-property flat contract's tail fields to variant leaves).
-_MAX_UNROLL_SLOTS = 256
+# 64 deep slots fully unroll every non-branching shape (a linked list
+# consumes ~2-4 slots per level × _MAX_NEST levels) while bounding
+# the GATE expression tree: the round-8 recursive fuzz OOMed the JVM
+# at 256 deep slots when branching recursion mixed arrays-of-self
+# (nested forall/_reprable lambdas multiply per array level — the
+# budget bounds compiled-plan size, not just analysis time).
+_MAX_UNROLL_SLOTS = 64
 _BUDGET_FREE_DEPTH = 3
 
 # streaming residue floor (round 7): the union shape's kernel branch is

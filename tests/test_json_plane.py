@@ -2457,7 +2457,8 @@ def test_branching_recursion_bounded_by_slot_budget():
         return 1
 
     n = count(("object", plan.fields))
-    assert n <= _MAX_UNROLL_SLOTS + 64, n     # budget + in-flight nodes
+    # budget + the free shallow levels + in-flight nodes
+    assert n <= _MAX_UNROLL_SLOTS + 48, n
     assert len(plan.struct_type().simpleString()) < 20_000
 
 
@@ -2559,3 +2560,93 @@ def test_violation_rows_small_batch_hint_output_identical(spark):
                                expected_docs=10) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "FromJson" not in phys and "from_json" not in phys, phys
+
+
+def test_recursive_contract_fuzz_matches_kernel(spark):
+    """Seeded randomized recursive contracts (linked/tree shapes,
+    arrays-of-self, random scalar constraints) × randomized documents
+    (depths straddling the unroll horizon, hostile roots, trailing
+    garbage) — route vs kernel verdict parity.  This fuzz found the
+    round-8 gate-expression OOM (branching recursion × arrays-of-self
+    at a 256-slot budget) that set _MAX_UNROLL_SLOTS = 64."""
+    import random
+
+    def gen_schema(rng):
+        scalar_pool = [
+            {"type": "integer", "minimum": rng.randint(-5, 5)},
+            {"type": "string", "maxLength": rng.randint(2, 12)},
+            {"type": "number"},
+            {"type": "boolean"},
+            {"enum": ["a", "b", None]},
+        ]
+        props = {f"s{i}": rng.choice(scalar_pool)
+                 for i in range(rng.randint(1, 3))}
+        for i in range(rng.randint(1, 2)):
+            if rng.random() < 0.5:
+                props[f"r{i}"] = {"$ref": "#"}
+            else:
+                props[f"r{i}"] = {"type": "array", "items": {"$ref": "#"},
+                                  "maxItems": 3}
+        s = {"type": "object", "properties": props}
+        if rng.random() < 0.5:
+            s["required"] = [rng.choice(list(props))]
+        return s
+
+    def gen_doc(rng, schema, depth):
+        if depth <= 0 or rng.random() < 0.25:
+            return rng.choice([{}, {"s0": rng.randint(-9, 9)}, 5, "x",
+                               None, [1, 2], {"s0": "str"}, {"zzz": 1}])
+        d = {}
+        for k, sub in schema["properties"].items():
+            if rng.random() < 0.35:
+                continue
+            if k.startswith("r"):
+                if isinstance(sub, dict) and sub.get("type") == "array":
+                    d[k] = [gen_doc(rng, schema, depth - 1)
+                            for _ in range(rng.randint(0, 2))]
+                else:
+                    d[k] = gen_doc(rng, schema, depth - 1)
+            else:
+                t = sub.get("type")
+                if t == "integer":
+                    d[k] = rng.choice([rng.randint(-9, 9), 2**54, "s", 1.5])
+                elif t == "string":
+                    d[k] = rng.choice(["ab", "x" * 15, 7])
+                elif t == "number":
+                    d[k] = rng.choice([1.5, 3, -2.25, "n"])
+                elif t == "boolean":
+                    d[k] = rng.choice([True, False, 0])
+                else:
+                    d[k] = rng.choice(["a", "b", None, "z", 1])
+        return d
+
+    from jema_js_spark.kernel.kernel import Validator
+
+    bad, n_contracts = [], 0
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        for case in range(5):
+            schema = gen_schema(rng)
+            if not analyze_json_contract(schema).routable:
+                continue
+            n_contracts += 1
+            docs = [json.dumps(gen_doc(rng, schema,
+                                       rng.choice([1, 3, 8, 13, 16])))
+                    for _ in range(25)]
+            docs += ['not json', 'null', '[]',
+                     json.dumps(gen_doc(rng, schema, 14)) + " junk"]
+            v = Validator(Schema(json.loads(json.dumps(schema))))
+            want = []
+            for d in docs:
+                try:
+                    want.append(v.validate(json.loads(d)))
+                except Exception:
+                    want.append(False)
+            df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                                       "i long, doc string")
+            got = {r["i"]: r["valid"]
+                   for r in with_valid_json(df, "doc", schema).collect()}
+            bad += [(seed, case, docs[i][:80], got[i], want[i])
+                    for i in range(len(docs)) if got[i] != want[i]]
+    assert n_contracts >= 6, n_contracts
+    assert not bad, bad[:3]
