@@ -2394,13 +2394,25 @@ _HANDLERS: Dict[str, Callable] = {
 
 @dataclass
 class CompiledPlan:
-    """The compiled constraint DAG over one DataFrame shape."""
+    """The compiled constraint DAG over one DataFrame shape.
+
+    The derived Columns (``valid_column``/``plane_a_column``/
+    ``violations_struct``) are memoized per instance (round 9): Column
+    construction is driver-side py4j round-trips — one JVM call per
+    expression node — and rebuilding a 30-conjunct AND chain (or the
+    per-check violation structs) on every query added measurable
+    driver latency per call.  Column objects are immutable expression
+    trees, safely shared across any number of queries in a session."""
 
     checks: List[CheckSpec]
     compiler: SchemaCompiler
 
     def valid_column(self) -> Column:
-        return _and_all([c.predicate for c in self.checks])
+        col = getattr(self, "_valid_col", None)
+        if col is None:
+            col = _and_all([c.predicate for c in self.checks])
+            object.__setattr__(self, "_valid_col", col)
+        return col
 
     def plane_a_column(self) -> Column:
         """AND of the Plane-A (pure Catalyst) checks only — a sound
@@ -2409,8 +2421,12 @@ class CompiledPlan:
         Python.  ``lit(True)`` when every check is Plane B.  Used by
         the errors-path masked screen (round 7): rows failing any
         Plane-A check are invalid without consulting the kernel."""
-        return _and_all([c.predicate for c in self.checks
-                         if c.plane == "A"])
+        col = getattr(self, "_plane_a_col", None)
+        if col is None:
+            col = _and_all([c.predicate for c in self.checks
+                            if c.plane == "A"])
+            object.__setattr__(self, "_plane_a_col", col)
+        return col
 
     def coverage(self) -> Dict[str, Any]:
         """Plane-A share — regressions to Plane B must be visible
@@ -2438,6 +2454,9 @@ class CompiledPlan:
     def violations_struct(self) -> Column:
         """array<struct> of failed checks for a row — explode downstream
         (mirror of the reference's error stream, §2.10)."""
+        col = getattr(self, "_violations_col", None)
+        if col is not None:
+            return col
         elems = []
         for c in self.checks:
             value_str = (F.coalesce(c.value_col, F.lit("object"))
@@ -2452,4 +2471,7 @@ class CompiledPlan:
                 # <keyword>:<schemaValue>` (schema.js:665-674)
                 F.concat(value_str, F.lit(" " + c.message)).alias("message"),
             )))
-        return F.filter(F.array(*elems), lambda x: x.isNotNull()) if elems else F.array()
+        col = (F.filter(F.array(*elems), lambda x: x.isNotNull())
+               if elems else F.array())
+        object.__setattr__(self, "_violations_col", col)
+        return col

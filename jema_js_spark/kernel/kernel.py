@@ -42,6 +42,7 @@ from typing import Any, Dict, Iterator, List, Tuple
 
 from jema_js_spark.kernel import formats as _formats
 from jema_js_spark.kernel.jstypes import (
+    _TYPE_DISPATCH,
     deep_equal,
     get_type,
     is_js_integer,
@@ -141,15 +142,17 @@ class Validator:
         self._reset()
         self._boolean_mode = True
         old = sys.getrecursionlimit()
+        raised = old < _RECURSION_LIMIT
+        if raised:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
         try:
-            if old < _RECURSION_LIMIT:
-                sys.setrecursionlimit(_RECURSION_LIMIT)
-            return self._probe(value, self.root.schema, (self.root,))
+            return self._fast(value, self.root.schema, (self.root,))
         except RecursionError:
             raise DepthLimitExceeded(
                 "document/schema nesting exceeds kernel depth limit") from None
         finally:
-            sys.setrecursionlimit(old)
+            if raised:  # batch loops pre-raise the limit (kernel_udf)
+                sys.setrecursionlimit(old)
             # restore: a still-pending iter_errors() generator resumed
             # after this call must keep formatting full errors (review
             # finding: a sticky flag blanked its remaining messages)
@@ -187,17 +190,14 @@ class Validator:
         """First-error probe: True iff no errors — the
         ``errors(...).next().done`` idiom (schema.js:60,386,400,410,419).
 
-        Probe errors are discarded by construction, so the probe runs
-        in boolean mode even inside an ``iter_errors`` traversal — the
-        surfaced (non-probe) errors still format fully."""
-        prev = self._boolean_mode
-        self._boolean_mode = True
-        try:
-            for _ in self._errors(value, schema, scope):
-                return False
-            return True
-        finally:
-            self._boolean_mode = prev
+        Probe errors are discarded by construction, so probes run the
+        generator-free boolean evaluator ``_fast`` (round 9): identical
+        side effects (evaluated sets, stop_collecting, the quirky
+        abandonment residue on the schema/data stacks), no generator
+        machinery — the surfaced (non-probe) errors of a surrounding
+        ``iter_errors`` still format fully, over the same stack state
+        the generator probes left behind."""
+        return self._fast(value, schema, scope)
 
     def _error(self, value: Any, schema_value: Any,
                message: str = "does not match") -> ValidationError:
@@ -223,6 +223,40 @@ class Validator:
     def _ref_target(self, node: dict) -> Any:
         return self.root.registry.ref_targets.get(id(node))
 
+    def _node_plan(self, schema: dict) -> tuple:
+        """Per-node keyword plan (round 4), shared by the generator and
+        fast paths: keyword dispatch (with the fast twin resolved per
+        entry — round 9) PLUS the node's resource (the _enter_scope
+        lookup) and the presence of unevaluated* keywords — all constant
+        per schema node, so the per-visit cost drops to one dict lookup
+        (profiled: 19 _enter_scope + 2 `in schema` probes per doc became
+        plan reads)."""
+        plan = self._node_plans.get(id(schema))
+        if plan is None:
+            entries = tuple(
+                (prop, vocal[0], vocal[1], vocal[2], schema[prop],
+                 _FAST_TWINS[vocal[1]] if vocal[2] else vocal[1])
+                for prop in schema.keys()
+                if (vocal := _VOCABULARY.get(prop)) is not None
+                and vocal[1] is not None)
+            # pass-skip flags (round 9): an object/array pass over a node
+            # with no matching sub-schemas only pushes and pops the data
+            # stack (balanced, yields nothing) — skip it outright
+            obj_pass = ("properties" in schema
+                        or "patternProperties" in schema
+                        or "additionalProperties" in schema)
+            arr_pass = (isinstance(schema.get("prefixItems"), list)
+                        or ("items" in schema
+                            and schema.get("items") is not None)
+                        or ("contains" in schema
+                            and schema.get("contains") is not None))
+            plan = (entries,
+                    self.root.registry.node_resource.get(id(schema)),
+                    "unevaluatedProperties" in schema,
+                    "unevaluatedItems" in schema,
+                    obj_pass, arr_pass)
+            self._node_plans[id(schema)] = plan
+        return plan
 
     # -- the evaluation loop (schema.js:185-228) --------------------------
     def _errors(self, value: Any, schema: Any,
@@ -235,24 +269,8 @@ class Validator:
             # has no keywords → vacuously valid
             return
 
-        # richer per-node plan (round 4): keyword dispatch PLUS the
-        # node's resource (the _enter_scope lookup) and the presence of
-        # unevaluated* keywords — all constant per schema node, so the
-        # per-visit cost drops to one dict lookup (profiled: 19
-        # _enter_scope + 2 `in schema` probes per doc became plan reads)
-        plan = self._node_plans.get(id(schema))
-        if plan is None:
-            entries = tuple(
-                (prop, vocal[0], vocal[1], vocal[2], schema[prop])
-                for prop in schema.keys()
-                if (vocal := _VOCABULARY.get(prop)) is not None
-                and vocal[1] is not None)
-            plan = (entries,
-                    self.root.registry.node_resource.get(id(schema)),
-                    "unevaluatedProperties" in schema,
-                    "unevaluatedItems" in schema)
-            self._node_plans[id(schema)] = plan
-        entries, resource, has_uneval_props, has_uneval_items = plan
+        entries, resource, has_uneval_props, has_uneval_items, \
+            obj_pass, arr_pass = self._node_plan(schema)
 
         if resource is not None and (not scope or scope[-1] is not resource):
             scope = scope + (resource,)
@@ -273,7 +291,7 @@ class Validator:
         # to a local — iter_errors() rebinds the stack list, and a
         # paused generator resumed afterwards must see the new list
         # (the interleaving pin in test_kernel_pins.py)
-        for prop, affects, validator, is_gen, keyword_value in entries:
+        for prop, affects, validator, is_gen, keyword_value, _fv in entries:
             if affects is not None and affects != vtype:
                 continue  # type-gated: vacuously valid (schema.js:199)
             self.schema_stack.append(prop)
@@ -286,9 +304,11 @@ class Validator:
                 self.schema_stack.pop()
 
         if vtype == "object":
-            yield from self._object_pass(schema, value, scope)
+            if obj_pass:
+                yield from self._object_pass(schema, value, scope)
         elif vtype == "array":
-            yield from self._array_pass(schema, value, scope)
+            if arr_pass:
+                yield from self._array_pass(schema, value, scope)
 
         if unevaluated_name is not None and unevaluated_name in schema:
             evaluated = self.evaluated.get(id(value))
@@ -410,6 +430,209 @@ class Validator:
                     value, max_contains,
                     'Array contains too many items that match "contains"')
 
+    # -- generator-free boolean evaluation (round 9) ----------------------
+    # ``validate()`` and every probe only ever ask "is there an error":
+    # the generator machinery (one generator object per schema node
+    # visited, created and torn down ~20× per typical document) was
+    # ~35% of kernel wall time under cProfile.  ``_fast`` is a 1:1
+    # control-flow mirror of ``_errors`` where the FIRST error point
+    # returns False — exactly where a boolean consumer abandons the
+    # generator chain — with IDENTICAL side effects along the way:
+    # evaluated-set updates, stop_collecting, scope threading, and the
+    # schema/data stack pushes/pops *including the abandonment residue*
+    # (a failed generator probe leaves its path-to-first-error frames
+    # un-popped, which the reference's quirky pops in not/if depend on —
+    # schema.js:411,420 — and which surfaced iter_errors() messages
+    # observe).  Verdict parity with the generator path is pinned by
+    # the conformance suite, the differential batteries, and
+    # tests/test_kernel_pins.py::test_fast_path_matches_generator_path.
+    def _fast(self, value: Any, schema: Any, scope: _Scope) -> bool:
+        if schema is False:
+            return False
+        if not isinstance(schema, dict):
+            # boolean true schema (schema.js:187) or a non-dict node with
+            # no keywords → vacuously valid
+            return True
+
+        plan = self._node_plans.get(id(schema))
+        if plan is None:
+            plan = self._node_plan(schema)
+        entries, resource, has_uneval_props, has_uneval_items, \
+            obj_pass, arr_pass = plan
+
+        if resource is not None and (not scope or scope[-1] is not resource):
+            scope = scope + (resource,)
+        vtype = _TYPE_DISPATCH.get(value.__class__) or get_type(value)
+        if vtype == "object":
+            unevaluated_name = "unevaluatedProperties" if has_uneval_props \
+                else None
+        elif vtype == "array":
+            unevaluated_name = "unevaluatedItems" if has_uneval_items else None
+        else:
+            unevaluated_name = None
+
+        if unevaluated_name is not None:
+            vid = id(value)
+            if vid not in self.evaluated:
+                self.evaluated[vid] = set()
+
+        stack = self.schema_stack
+        for prop, affects, _validator, _is_gen, keyword_value, fast in entries:
+            if affects is not None and affects != vtype:
+                continue  # type-gated: vacuously valid (schema.js:199)
+            stack.append(prop)
+            if not fast(self, keyword_value, value, schema, scope):
+                return False  # first error: frame stays pushed (abandonment)
+            if stack:  # inlined _safe_pop (hot path)
+                stack.pop()
+
+        if vtype == "object":
+            if obj_pass and not self._object_fast(schema, value, scope):
+                return False
+        elif vtype == "array":
+            if arr_pass and not self._array_fast(schema, value, scope):
+                return False
+
+        if unevaluated_name is not None:
+            evaluated = self.evaluated.get(vid)
+            if evaluated is not None:
+                keys = value.keys() if vtype == "object" else range(len(value))
+                sub = schema[unevaluated_name]
+                for key in keys:
+                    if key in evaluated:
+                        continue
+                    if not self._fast(value[key], sub, scope):
+                        return False
+                self.evaluated.pop(vid, None)
+        return True
+
+    def _object_fast(self, schema: dict, value: dict, scope: _Scope) -> bool:
+        """Boolean mirror of :meth:`_object_pass` (first error → False,
+        identical stack/evaluated-set side effects)."""
+        cached = self._node_plans.get(("obj", id(schema)))
+        if cached is None:
+            cached = (
+                schema.get("properties"),
+                (list(schema["patternProperties"].items())
+                 if isinstance(schema.get("patternProperties"), dict) else None),
+                (schema.get("additionalProperties")
+                 if "additionalProperties" in schema else None),
+            )
+            self._node_plans[("obj", id(schema))] = cached
+        properties, pattern_properties, additional_properties = cached
+        has_props = isinstance(properties, dict)
+        sstack = self.schema_stack
+        dstack = self.data_stack
+        # the evaluated-set binding for `value` cannot change while this
+        # pass runs (only code evaluating `value` itself creates/pops it,
+        # and the pass recurses on item values only) — fetch once
+        ev = self.evaluated.get(id(value))
+
+        for prop, item in value.items():
+            dstack.append(prop)
+            additional = True
+
+            prop_schema = properties.get(prop) if has_props else None
+            if prop_schema is not None:
+                sstack.append("properties")
+                sstack.append(prop)
+                if not self._fast(item, prop_schema, scope):
+                    return False
+                _safe_pop(sstack)
+                _safe_pop(sstack)
+                additional = False
+
+            if pattern_properties:
+                sstack.append("patternProperties")
+                sstack.append(prop)
+                for pattern, sub in pattern_properties:
+                    if js_regex_search(pattern, prop):
+                        if not self._fast(item, sub, scope):
+                            return False
+                        additional = False
+                _safe_pop(sstack)
+                _safe_pop(sstack)
+
+            if additional_properties is not None and additional:
+                sstack.append("additionalProperties")
+                if not self._fast(item, additional_properties, scope):
+                    return False
+                _safe_pop(sstack)
+                additional = False
+
+            if not additional and ev is not None \
+                    and not self.stop_collecting:
+                ev.add(prop)
+
+            if dstack:  # inlined _safe_pop (hot path)
+                dstack.pop()
+        return True
+
+    def _array_fast(self, schema: dict, value: list, scope: _Scope) -> bool:
+        """Boolean mirror of :meth:`_array_pass` (first error → False,
+        incl. the items-failure evaluated-set clear quirk, which in the
+        generator runs *before* the error is yielded — schema.js:306)."""
+        cached = self._node_plans.get(("arr", id(schema)))
+        if cached is None:
+            cached = (
+                schema.get("prefixItems"),
+                "items" in schema and schema.get("items") is not None,
+                schema.get("items"),
+                "contains" in schema and schema.get("contains") is not None,
+                schema.get("contains"),
+                schema.get("minContains", 1),
+                schema.get("maxContains"),
+            )
+            self._node_plans[("arr", id(schema))] = cached
+        (prefix_items, has_items, items, has_contains, contains,
+         min_contains, max_contains) = cached
+        num_contains = 0
+        dstack = self.data_stack
+        n_prefix = len(prefix_items) if isinstance(prefix_items, list) else 0
+        # stable for the whole pass — same argument as _object_fast
+        ev = self.evaluated.get(id(value))
+
+        for i, item in enumerate(value):
+            dstack.append(i)
+            additional = True
+
+            prefix = (
+                prefix_items[i]
+                if i < n_prefix and prefix_items[i] is not None
+                else None
+            )
+            if prefix is not None:
+                if not self._fast(item, prefix, scope):
+                    return False
+                additional = False
+            elif has_items:
+                if not self._fast(item, items, scope):
+                    # "if items fail, all items are unevaluated" quirk
+                    # (schema.js:306) — the clear precedes the error
+                    if ev is not None:
+                        ev.clear()
+                    return False
+                additional = False
+
+            if has_contains:
+                if self._fast(item, contains, scope):
+                    num_contains += 1
+                    additional = False
+
+            if not additional and ev is not None \
+                    and not self.stop_collecting:
+                ev.add(i)
+
+            if dstack:  # inlined _safe_pop (hot path)
+                dstack.pop()
+
+        if has_contains:
+            if num_contains < min_contains:
+                return False
+            if max_contains is not None and num_contains > max_contains:
+                return False
+        return True
+
 
 # ---------------------------------------------------------------------------
 # Vocabulary (schema.js:342-663).  Each entry: (affects, validator, is_gen).
@@ -460,7 +683,7 @@ def _v_any_of(v: Validator, any_of: list, value: Any, schema: dict,
     collecting = id(value) in v.evaluated
     any_ok = False
     for sub in any_of:
-        if v._probe(value, sub, scope):
+        if v._fast(value, sub, scope):
             if not collecting:
                 return True
             any_ok = True
@@ -471,7 +694,7 @@ def _v_one_of(v: Validator, one_of: list, value: Any, schema: dict,
               scope: _Scope) -> bool:
     passed = 0
     for sub in one_of:
-        passed += 1 if v._probe(value, sub, scope) else 0
+        passed += 1 if v._fast(value, sub, scope) else 0
         if passed > 1:
             return False
     return passed == 1
@@ -479,7 +702,7 @@ def _v_one_of(v: Validator, one_of: list, value: Any, schema: dict,
 
 def _v_not(v: Validator, sub: Any, value: Any, schema: dict, scope: _Scope) -> bool:
     v.stop_collecting = True
-    ok = v._probe(value, sub, scope)
+    ok = v._fast(value, sub, scope)
     _safe_pop(v.schema_stack)  # quirky extra pop, mirror of schema.js:411
     v.stop_collecting = False  # plain reset, not restore (schema.js:412)
     return not ok
@@ -502,7 +725,7 @@ def _v_if(v: Validator, if_schema: Any, value: Any, schema: dict, scope: _Scope)
 def _v_type(v: Validator, type_: Any, value: Any, schema: dict, scope: _Scope) -> bool:
     if isinstance(type_, list):
         return any(_v_type(v, t, value, schema, scope) for t in type_)
-    vtype = get_type(value)
+    vtype = _TYPE_DISPATCH.get(value.__class__) or get_type(value)
     if vtype == type_:
         return True
     if type_ == "integer" and vtype == "number" and is_js_integer(value):
@@ -590,6 +813,113 @@ def _v_property_names(v: Validator, sub: Any, value: dict, schema: dict,
         yield from v._errors(prop, sub, scope)
 
 
+# ---------------------------------------------------------------------------
+# Fast (generator-free) twins of the generator validators — used by the
+# boolean evaluator ``Validator._fast`` (round 9).  Each is the 1:1
+# first-error-returns-False mirror of its generator twin above, with
+# identical stack side effects including abandonment residue.
+# ---------------------------------------------------------------------------
+
+def _fv_ref(v: Validator, url: str, value: Any, schema: dict,
+            scope: _Scope) -> bool:
+    target = v._ref_target(schema)
+    if target is None:
+        raise RefResolutionError(f"$ref-schema not found: {url}")
+    return v._fast(value, target, scope)
+
+
+def _fv_dynamic_ref(v: Validator, url: str, value: Any, schema: dict,
+                    scope: _Scope) -> bool:
+    target = v._ref_target(schema)
+    frag = url.split("#", 1)[1] if "#" in url else ""
+    name = frag if frag and "/" not in frag else None
+    if (
+        name is not None
+        and isinstance(target, dict)
+        and target.get("$dynamicAnchor") == name
+    ):
+        for res in scope:
+            cand = res.dyn_anchors.get(name)
+            if cand is not None:
+                target = cand
+                break
+    if target is None:
+        raise RefResolutionError(f"$dynamicRef-schema not found: {url}")
+    return v._fast(value, target, scope)
+
+
+def _fv_all_of(v: Validator, all_of: list, value: Any, schema: dict,
+               scope: _Scope) -> bool:
+    for i, sub in enumerate(all_of):
+        v.schema_stack.append(i)
+        if not v._fast(value, sub, scope):
+            return False  # abandonment: frame stays pushed
+        _safe_pop(v.schema_stack)
+    return True
+
+
+def _fv_if(v: Validator, if_schema: Any, value: Any, schema: dict,
+           scope: _Scope) -> bool:
+    ok = v._fast(value, if_schema, scope)
+    _safe_pop(v.schema_stack)  # mirror of schema.js:420
+    if ok:
+        v.schema_stack.append("then")
+        if "then" in schema and schema["then"] is not None:
+            if not v._fast(value, schema["then"], scope):
+                return False
+    else:
+        v.schema_stack.append("else")
+        if "else" in schema and schema["else"] is not None:
+            if not v._fast(value, schema["else"], scope):
+                return False
+    _safe_pop(v.schema_stack)
+    return True
+
+
+def _fv_required(v: Validator, required: list, value: dict, schema: dict,
+                 scope: _Scope) -> bool:
+    for i, prop in enumerate(required):
+        if prop not in value:
+            # generator: push i, yield, pop — a boolean consumer stops
+            # at the yield, so the frame stays pushed
+            v.schema_stack.append(i)
+            return False
+    return True
+
+
+def _fv_dependent_schemas(v: Validator, deps: dict, value: dict, schema: dict,
+                          scope: _Scope) -> bool:
+    for prop, sub in deps.items():
+        if prop in value:
+            if not v._fast(value, sub, scope):
+                return False
+    return True
+
+
+def _fv_dependencies(v: Validator, deps: dict, value: Any, schema: dict,
+                     scope: _Scope) -> bool:
+    if not isinstance(value, dict):
+        return True
+    for prop, dep in deps.items():
+        if prop in value:
+            if isinstance(dep, list):
+                for req in dep:
+                    if req not in value:
+                        return False
+            else:
+                if not v._fast(value, dep, scope):
+                    return False
+    return True
+
+
+def _fv_property_names(v: Validator, sub: Any, value: dict, schema: dict,
+                       scope: _Scope) -> bool:
+    for prop in value.keys():
+        if not v._fast(prop, sub, scope):
+            return False
+    return True
+
+
 # (affects, validator, is_generator) — registration mirror of the
 # vocabulary table (schema.js:342-663).  Keywords with no validator are
 # traversal-only (subSchema markers live in schema/frontend.py).
@@ -640,6 +970,19 @@ _VOCABULARY: Dict[str, tuple] = {
     "dependentSchemas": ("object", _v_dependent_schemas, True),
     "dependencies": (None, _v_dependencies, True),
     "propertyNames": ("object", _v_property_names, True),
+}
+
+# generator validator → its boolean fast twin (round 9); resolved once
+# per node into the node plan by Validator._node_plan
+_FAST_TWINS: Dict[Any, Any] = {
+    _v_ref: _fv_ref,
+    _v_dynamic_ref: _fv_dynamic_ref,
+    _v_all_of: _fv_all_of,
+    _v_if: _fv_if,
+    _v_required: _fv_required,
+    _v_dependent_schemas: _fv_dependent_schemas,
+    _v_dependencies: _fv_dependencies,
+    _v_property_names: _fv_property_names,
 }
 
 

@@ -136,20 +136,26 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     knob, not a silent drop (count them from the returned plan if
     needed)."""
     rows_per_band = k // bands
-    # staged with EAGER materialization barriers: (1) string pass →
-    # stored shingle hashes (otherwise the k-permutation transform
-    # re-runs substring+hash k times per row — measured ~100×);
-    # (2) stored signatures (otherwise every element_at(sig, j) in the
-    # band hashes and both join sides re-inlines the signature).  At
-    # cluster scale these are the natural write-signatures-to-storage
-    # points.
+    # staged behind GENERATE barriers (round 9; previously two EAGER
+    # localCheckpoints): (1) string pass → stored shingle hashes
+    # (otherwise the k-permutation transform re-runs substring+hash k
+    # times per row — measured ~100×); (2) stored signatures (otherwise
+    # every element_at(sig, j) in the band hashes and both join sides
+    # re-inlines the signature).  An explode of a 1-element array
+    # materializes the expression ONCE per row as a real generated
+    # attribute (the round-5 json_plane barrier), with none of the
+    # eager checkpoint's costs: no extra job per stage, no executor
+    # block-manager pinning, one streamed pipeline — and the self-join
+    # reads the heavy subtree once via exchange reuse (the window's
+    # shuffle on (band, bh) is the common subtree both sides share).
+    # At cluster scale the equivalent is writing signatures to storage.
     hashed = _ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    ).select("id", shingle_hashes(F.col("__t"), shingle_n).alias("hv"))
-    hashed = hashed.localCheckpoint(eager=True)
+    ).select("id", F.explode(F.array(
+        shingle_hashes(F.col("__t"), shingle_n))).alias("hv"))
     sigs = hashed.select(
-        "id", minhash_sig_from_hashes(F.col("hv"), k).alias("sig"))
-    sigs = sigs.localCheckpoint(eager=True)
+        "id", F.explode(F.array(
+            minhash_sig_from_hashes(F.col("hv"), k))).alias("sig"))
     banded = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -246,12 +252,14 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     mask = (1 << width) - 1
     sh = _ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    ).select("id", simhash64(F.col("__t")).alias("sh")).filter(
+    ).select("id", F.explode(F.array(
+        simhash64(F.col("__t")))).alias("sh")).filter(
         F.col("sh").isNotNull())
-    # eager barrier — same expression-duplication hazard as MinHash:
-    # each block projection and both join sides re-inline the 63-vote
-    # simhash expression otherwise
-    sh = sh.localCheckpoint(eager=True)
+    # Generate barrier (round 9; previously an eager localCheckpoint) —
+    # same expression-duplication hazard as MinHash: each block
+    # projection and both join sides would re-inline the 63-vote
+    # simhash expression otherwise; the generated attribute is
+    # computed once per row with no eager job
     exploded = sh.select(
         "id", "sh",
         F.explode(F.array(*[

@@ -40,34 +40,39 @@ def categorical_drift(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
 
     TVD = 0.5 * Σ|p_group(c) − p_global(c)|; chi2 uses the global
     distribution as expectation.
-    """
+
+    Round 9 (guide §2.4): ONE full pass over the input.  The previous
+    shape scanned the table three times per call — the (group, cat)
+    histogram for the main plan, the same histogram again under the
+    ``totals`` subtree, and a third full aggregation for a driver-side
+    ``collect`` of the grand total (an eager job inside plan
+    construction).  All three marginals (per-category, per-group,
+    grand) are now window sums over the aggregated histogram itself —
+    O(groups × categories) rows, thousands at most where the input is
+    billions — so the heavy input is scanned once and shuffled once
+    (map-side-combined partial counts), and everything downstream is
+    small-table algebra with no driver round-trip."""
     counts = df.groupBy(group_col, cat_col).count()
-    # global shares (second small agg over the grouped result)
-    totals = counts.groupBy(cat_col).agg(F.sum("count").alias("g_cnt"))
-    grand = counts.agg(F.sum("count")).collect()[0][0] or 1
-    joined = counts.join(F.broadcast(totals), cat_col)
-    per_group = joined.groupBy(group_col).agg(
-        F.sum("count").alias("n_rows"),
-        F.collect_list(F.struct(cat_col, "count", "g_cnt")).alias("cats"),
-    )
-
-    def tvd_chi2(cats_col):
-        # executed as Spark higher-order functions over the small
-        # per-group category array — stays JVM-side
-        n = F.aggregate(cats_col, F.lit(0.0),
-                        lambda acc, x: acc + x["count"])
-        tvd = F.aggregate(
-            cats_col, F.lit(0.0),
-            lambda acc, x: acc + F.abs(x["count"] / n - x["g_cnt"] / F.lit(float(grand)))) / 2
-        chi2 = F.aggregate(
-            cats_col, F.lit(0.0),
-            lambda acc, x: acc + F.pow(x["count"] - n * x["g_cnt"] / F.lit(float(grand)), 2)
-            / (n * x["g_cnt"] / F.lit(float(grand))))
-        return tvd, chi2
-
-    tvd, chi2 = tvd_chi2(F.col("cats"))
-    return per_group.select(group_col, "n_rows", tvd.alias("tvd"),
-                            chi2.alias("chi2"))
+    w_cat = Window.partitionBy(cat_col)
+    w_grp = Window.partitionBy(group_col)
+    w_all = Window.partitionBy()
+    enriched = counts.select(
+        group_col, cat_col, "count",
+        F.sum("count").over(w_cat).alias("__g_cnt"),
+        F.sum("count").over(w_grp).alias("__n"),
+        F.sum("count").over(w_all).alias("__grand"))
+    # per-(group, cat) drift terms — integer counts divided once into
+    # doubles, same arithmetic as the previous array-aggregate form
+    n = F.col("__n").cast("double")
+    grand = F.col("__grand").cast("double")
+    share = F.col("count") / n
+    g_share = F.col("__g_cnt") / grand
+    expected = n * g_share
+    return (enriched.groupBy(group_col)
+            .agg(F.sum("count").alias("n_rows"),
+                 (F.sum(F.abs(share - g_share)) / 2).alias("tvd"),
+                 F.sum(F.pow(F.col("count") - expected, 2) / expected)
+                 .alias("chi2")))
 
 
 def _cdf_at(quantiles: List[float], x: float) -> float:

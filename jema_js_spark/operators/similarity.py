@@ -41,6 +41,27 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine_sim` with the two L2 norms supplied as columns —
+    bit-identical arithmetic (same sqrt-per-side product, same guard,
+    same division), used where a norm would otherwise be recomputed
+    per scored PAIR instead of once per row (round 9, guide §1.2: a
+    corpus row joined against q queries paid q × l2_norm(corpus_vec)
+    array passes; materialized behind a Generate barrier it pays one)."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _with_norm(df: DataFrame, vec_col: str, norm_col: str) -> DataFrame:
+    """Materialize ``l2_norm(vec_col)`` as a real generated attribute
+    (explode of a 1-element array — the documented Generate barrier):
+    Catalyst re-inlines a plain projected expression into every
+    downstream reference, which is exactly the per-pair recomputation
+    this exists to avoid."""
+    return df.select(
+        "*", F.explode(F.array(l2_norm(F.col(vec_col)))).alias(norm_col))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
@@ -58,10 +79,14 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     The union of per-bucket top-ks is a superset of the global top-k,
     so the result is exact; ties break on ``id_col`` in both phases."""
     q = F.broadcast(queries.select(F.col(query_id_col),
-                                   F.col(vec_col).alias("__qvec")))
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q) \
+                                   F.col(vec_col).alias("__qvec"),
+                                   l2_norm(F.col(vec_col)).alias("__qn")))
+    scored = _with_norm(corpus.select(F.col(id_col), F.col(vec_col)),
+                        vec_col, "__cn").crossJoin(q) \
         .select(query_id_col, id_col,
-                cosine_sim(F.col(vec_col), F.col("__qvec")).alias("cosine"))
+                _cosine_with_norms(F.col(vec_col), F.col("__qvec"),
+                                   F.col("__cn"), F.col("__qn"))
+                .alias("cosine"))
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(partial_buckets))
     w1 = Window.partitionBy(query_id_col, "__b") \
         .orderBy(F.desc("cosine"), F.col(id_col))
@@ -180,10 +205,16 @@ def ivf_topk(corpus_assigned: DataFrame, queries: DataFrame,
          .withColumn("centroid_id",
                      F.explode(_best_centroids(F.col(vec_col), centroids, nprobe)))
          .select(F.col(query_id_col), F.col("centroid_id"),
-                 F.col(vec_col).alias("__qvec")))
-    scored = (corpus_assigned.join(F.broadcast(q), "centroid_id")
+                 F.col(vec_col).alias("__qvec"),
+                 l2_norm(F.col(vec_col)).alias("__qn")))
+    corpus_n = _with_norm(
+        corpus_assigned.select("centroid_id", F.col(id_col), F.col(vec_col)),
+        vec_col, "__cn")
+    scored = (corpus_n.join(F.broadcast(q), "centroid_id")
               .select(query_id_col, F.col("centroid_id").alias("__b"), id_col,
-                      cosine_sim(F.col(vec_col), F.col("__qvec")).alias("cosine")))
+                      _cosine_with_norms(F.col(vec_col), F.col("__qvec"),
+                                         F.col("__cn"), F.col("__qn"))
+                      .alias("cosine")))
     w1 = Window.partitionBy(query_id_col, "__b") \
         .orderBy(F.desc("cosine"), F.col(id_col))
     partial = (scored.withColumn("__rn", F.row_number().over(w1))
@@ -201,16 +232,19 @@ def embedding_near_dups(corpus: DataFrame, centroids: List[List[float]],
     centroid, compare within buckets only (misses only cross-bucket
     pairs near boundaries — the standard IVF-dedup recall trade, made
     explicit by the nlist knob)."""
-    assigned = ivf_assign(corpus, centroids, vec_col)
+    assigned = _with_norm(ivf_assign(corpus, centroids, vec_col),
+                          vec_col, "__n")
     w = Window.partitionBy("centroid_id").orderBy(id_col)
     capped = (assigned.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= max_bucket))
     a = capped.select("centroid_id", F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("__va"))
+                      F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
     b = capped.select("centroid_id", F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("__vb"))
+                      F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     return (a.join(b, "centroid_id")
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cosine_sim(F.col("__va"), F.col("__vb")))
+            .withColumn("cosine",
+                        _cosine_with_norms(F.col("__va"), F.col("__vb"),
+                                           F.col("__na"), F.col("__nb")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -21,7 +21,8 @@ map-side-combinable aggregation keyed by ``spark_partition_id()``.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+import json
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -32,10 +33,48 @@ from jema_js_spark.schema.frontend import Schema
 __all__ = ["compile_for", "with_valid", "violation_rows",
            "partition_verdicts", "validation_report"]
 
+# Round 9: session-scoped compiled-plan memo.  Compiling a contract is
+# driver-side py4j expression construction — hundreds of JVM round
+# trips — and was paid on EVERY with_valid/violation_rows call even
+# for an unchanged (schema, input-shape) pair.  A CompiledPlan is a
+# bundle of immutable Column expression trees addressed by field name,
+# so it is reusable across any DataFrame with the same schema in the
+# same Spark application (the applicationId in the key retires handles
+# from stopped sessions).  This caches plan CONSTRUCTION only — every
+# query still builds a fresh DataFrame lineage and recomputes from its
+# inputs.  Bounded: cleared wholesale when it outgrows _CACHE_CAP
+# (corpus sweeps compile thousands of distinct schemas; the steady
+# state of a real deployment is a handful).
+_COMPILE_CACHE: Dict[tuple, CompiledPlan] = {}
+_CACHE_CAP = 64
+
+
+def _compile_key(df: DataFrame, schema, format_assertion: bool):
+    if not isinstance(schema, (dict, bool)):
+        return None        # Schema instances may carry registries; skip
+    try:
+        return (df.sparkSession.sparkContext.applicationId,
+                json.dumps(schema, sort_keys=True),
+                format_assertion,
+                df.schema.json())
+    except (TypeError, ValueError):
+        return None
+
 
 def compile_for(df: DataFrame, schema, format_assertion: bool = False
                 ) -> CompiledPlan:
-    return SchemaCompiler(schema, format_assertion=format_assertion).compile_plan(df)
+    key = _compile_key(df, schema, format_assertion)
+    if key is not None:
+        plan = _COMPILE_CACHE.get(key)
+        if plan is not None:
+            return plan
+    plan = SchemaCompiler(schema,
+                          format_assertion=format_assertion).compile_plan(df)
+    if key is not None:
+        if len(_COMPILE_CACHE) >= _CACHE_CAP:
+            _COMPILE_CACHE.clear()
+        _COMPILE_CACHE[key] = plan
+    return plan
 
 
 def with_valid(df: DataFrame, schema, col_name: str = "valid",
@@ -55,10 +94,26 @@ def violation_rows(df: DataFrame, schema, id_cols: Sequence[str],
 
     Valid rows produce an empty array pre-explode, so the shuffle/write
     volume is proportional to violations, not to table size.
+
+    Round 9 (guide §1.2 "don't compute things you throw away"): for a
+    pure-Plane-A plan the valid rows are pre-filtered with the cheap
+    AND-of-predicates BEFORE the violation structs are built, so the
+    message-formatting expressions (struct + concat + array + filter
+    per check) run only on violating rows instead of every row.
+    Output-identical: a row passes the ``~valid`` filter iff at least
+    one predicate is false, which is exactly "emits ≥1 violation" (a
+    NULL predicate emits nothing and NULLs the conjunction — dropped
+    by the filter, empty after explode before).  Plane-B-carrying
+    plans keep the single-pass shape: their predicates embed pandas
+    UDFs, and a filter + re-projection would run the Python stage
+    twice per row.
     """
     plan = compile_for(df, schema, format_assertion)
-    out = df.select(*[F.col(c) for c in id_cols],
-                    F.explode(plan.violations_struct()).alias("violation"))
+    src = df
+    if all(c.plane == "A" for c in plan.checks):
+        src = df.filter(~plan.valid_column())
+    out = src.select(*[F.col(c) for c in id_cols],
+                     F.explode(plan.violations_struct()).alias("violation"))
     return out.select(
         *id_cols,
         F.col("violation.check").alias("check"),

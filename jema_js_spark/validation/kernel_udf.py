@@ -61,7 +61,12 @@ def loads_doc(x: Optional[str]):
     to 25k frames on 8 MB stacks), and a document still deeper than
     the budget surfaces as ``ValueError`` so every existing
     "unparseable" path handles it: verdict False / __parse__ row,
-    never a dead executor."""
+    never a dead executor.
+
+    Round 9: when the limit is already at/above the budget (the batch
+    loops in this module raise it once per Arrow batch), the per-call
+    set/restore syscall pair is skipped — same budget, same failure
+    surface."""
     import sys
 
     from jema_js_spark.kernel.kernel import _RECURSION_LIMIT
@@ -69,15 +74,45 @@ def loads_doc(x: Optional[str]):
     if x is None:
         return None
     old = sys.getrecursionlimit()
+    if old >= _RECURSION_LIMIT:
+        try:
+            return json.loads(x)
+        except RecursionError:
+            raise ValueError(
+                "document nesting exceeds the kernel depth budget") from None
     try:
-        if old < _RECURSION_LIMIT:
-            sys.setrecursionlimit(_RECURSION_LIMIT)
+        sys.setrecursionlimit(_RECURSION_LIMIT)
         return json.loads(x)
     except RecursionError:
         raise ValueError(
             "document nesting exceeds the kernel depth budget") from None
     finally:
         sys.setrecursionlimit(old)
+
+
+class _raised_recursion_limit:
+    """Context manager: raise the recursion limit to the kernel budget
+    for a whole Arrow batch, so the per-row guards in ``loads_doc`` and
+    ``Validator.validate`` become no-ops (one syscall pair per batch
+    instead of two per row)."""
+
+    __slots__ = ("_old",)
+
+    def __enter__(self):
+        import sys
+
+        from jema_js_spark.kernel.kernel import _RECURSION_LIMIT
+
+        self._old = sys.getrecursionlimit()
+        if self._old < _RECURSION_LIMIT:
+            sys.setrecursionlimit(_RECURSION_LIMIT)
+        return self
+
+    def __exit__(self, *exc):
+        import sys
+
+        sys.setrecursionlimit(self._old)
+        return False
 
 
 def _restore_nonfinite(value: Any, paths) -> Any:
@@ -148,13 +183,14 @@ def kernel_validate_udf(schema: Any, remotes: Optional[dict] = None,
         # null) — so compute it once and vector-fill instead of walking
         # the kernel per row.  Semantics unchanged: SQL NULL still
         # validates as JSON null (schema.js:678).
-        notna = s.notna()
-        if notna.all():
-            return s.map(one).astype("boolean")
-        out = pd.Series(one(None), index=s.index, dtype="boolean")
-        if notna.any():
-            out[notna] = s[notna].map(one).astype("boolean")
-        return out
+        with _raised_recursion_limit():
+            notna = s.notna()
+            if notna.all():
+                return s.map(one).astype("boolean")
+            out = pd.Series(one(None), index=s.index, dtype="boolean")
+            if notna.any():
+                out[notna] = s[notna].map(one).astype("boolean")
+            return out
 
     return _validate
 
@@ -170,13 +206,15 @@ def kernel_validate_pair_udf(remotes: Optional[dict] = None,
     @pandas_udf("boolean")
     def _validate(schemas: pd.Series, datas: pd.Series) -> pd.Series:
         out = []
-        for schema_json, data_json in zip(schemas, datas):
-            try:
-                v = _get_validator(schema_json, remotes_json, format_assertion)
-                value = loads_doc(data_json)
-                out.append(v.validate(value))
-            except Exception:
-                out.append(False)
+        with _raised_recursion_limit():
+            for schema_json, data_json in zip(schemas, datas):
+                try:
+                    v = _get_validator(schema_json, remotes_json,
+                                       format_assertion)
+                    value = loads_doc(data_json)
+                    out.append(v.validate(value))
+                except Exception:
+                    out.append(False)
         return pd.Series(out, dtype="boolean")
 
     return _validate
@@ -200,6 +238,7 @@ def kernel_error_count_udf(schema: Any, remotes: Optional[dict] = None,
             except Exception:
                 return -1
 
-        return s.map(one).astype("int32")
+        with _raised_recursion_limit():
+            return s.map(one).astype("int32")
 
     return _count

@@ -31,3 +31,33 @@ def test_suite_case(i: int) -> None:
         f"expected={expected} got={got}"
         + (f"\n(pinned: {case.pin_why})" if case.pinned is not None else "")
     )
+
+
+def test_fast_path_matches_generator_path():
+    """Round 9: ``validate()`` runs the generator-free boolean evaluator
+    (``Validator._fast``); ``iter_errors()`` keeps the reference's lazy
+    generator.  The two must agree on EVERY corpus case — verdict ==
+    (iter_errors emitted nothing) — so a divergence in the fast mirror
+    (side-effect ordering, evaluated-set handling, abandonment residue)
+    fails here before it can split a Spark verdict from the error
+    surface."""
+    reg = load_remote_registry()
+
+    def outcome(fn):
+        # loud raises (missing $ref targets, depth) must match too
+        try:
+            return fn()
+        except Exception as e:
+            return f"raise:{type(e).__name__}"
+
+    mismatches = []
+    for case in CASES:
+        schema = Schema(copy.deepcopy(case.schema), registry=reg)
+        fast = outcome(
+            lambda: Validator(schema).validate(copy.deepcopy(case.data)))
+        gen = outcome(
+            lambda: next(iter(Validator(schema).iter_errors(
+                copy.deepcopy(case.data))), None) is None)
+        if fast != gen:
+            mismatches.append((case.file, case.desc, fast, gen))
+    assert not mismatches, mismatches
