@@ -250,11 +250,20 @@ class Validator:
                             and schema.get("items") is not None)
                         or ("contains" in schema
                             and schema.get("contains") is not None))
+            # per-vtype pre-split for the fast path: the affects gate
+            # (schema.js:199) is constant per (keyword, value-type), so
+            # resolve it once per node instead of per visit
+            by_type = {
+                vt: tuple((e[0], e[4], e[5]) for e in entries
+                          if e[1] is None or e[1] == vt)
+                for vt in ("object", "array", "string", "number",
+                           "boolean", "null", "not supported")
+            }
             plan = (entries,
                     self.root.registry.node_resource.get(id(schema)),
                     "unevaluatedProperties" in schema,
                     "unevaluatedItems" in schema,
-                    obj_pass, arr_pass)
+                    obj_pass, arr_pass, by_type)
             self._node_plans[id(schema)] = plan
         return plan
 
@@ -270,7 +279,7 @@ class Validator:
             return
 
         entries, resource, has_uneval_props, has_uneval_items, \
-            obj_pass, arr_pass = self._node_plan(schema)
+            obj_pass, arr_pass, _by_type = self._node_plan(schema)
 
         if resource is not None and (not scope or scope[-1] is not resource):
             scope = scope + (resource,)
@@ -457,8 +466,8 @@ class Validator:
         plan = self._node_plans.get(id(schema))
         if plan is None:
             plan = self._node_plan(schema)
-        entries, resource, has_uneval_props, has_uneval_items, \
-            obj_pass, arr_pass = plan
+        _entries, resource, has_uneval_props, has_uneval_items, \
+            obj_pass, arr_pass, by_type = plan
 
         if resource is not None and (not scope or scope[-1] is not resource):
             scope = scope + (resource,)
@@ -477,9 +486,7 @@ class Validator:
                 self.evaluated[vid] = set()
 
         stack = self.schema_stack
-        for prop, affects, _validator, _is_gen, keyword_value, fast in entries:
-            if affects is not None and affects != vtype:
-                continue  # type-gated: vacuously valid (schema.js:199)
+        for prop, keyword_value, fast in by_type[vtype]:
             stack.append(prop)
             if not fast(self, keyword_value, value, schema, scope):
                 return False  # first error: frame stays pushed (abandonment)

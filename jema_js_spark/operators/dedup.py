@@ -136,35 +136,49 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     knob, not a silent drop (count them from the returned plan if
     needed)."""
     rows_per_band = k // bands
-    # staged behind GENERATE barriers (round 9; previously two EAGER
-    # localCheckpoints): (1) string pass → stored shingle hashes
-    # (otherwise the k-permutation transform re-runs substring+hash k
-    # times per row — measured ~100×); (2) stored signatures (otherwise
-    # every element_at(sig, j) in the band hashes and both join sides
-    # re-inlines the signature).  An explode of a 1-element array
-    # materializes the expression ONCE per row as a real generated
-    # attribute (the round-5 json_plane barrier), with none of the
-    # eager checkpoint's costs: no extra job per stage, no executor
-    # block-manager pinning, one streamed pipeline — and the self-join
-    # reads the heavy subtree once via exchange reuse (the window's
-    # shuffle on (band, bh) is the common subtree both sides share).
-    # At cluster scale the equivalent is writing signatures to storage.
-    hashed = _ensure_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    ).select("id", F.explode(F.array(
-        shingle_hashes(F.col("__t"), shingle_n))).alias("hv"))
-    sigs = hashed.select(
-        "id", F.explode(F.array(
-            minhash_sig_from_hashes(F.col("hv"), k))).alias("sig"))
-    banded = sigs.select(
-        "id", "sig",
-        F.explode(F.array(*[
+    # Staging (round 9 re-measured; guide §2.4 + the Catalyst
+    # re-inlining hazard): the string pass flows into the signature
+    # computation behind a lazy GENERATE barrier (explode of a
+    # 1-element array makes the shingle-hash array a real generated
+    # attribute — otherwise the k-permutation transform re-runs
+    # substring+hash k times per row, measured ~100×), and the whole
+    # hash+signature pipeline runs as ONE job into a single EAGER
+    # localCheckpoint.  The checkpoint is load-bearing: the band-bucket
+    # self-join reads `sigs` on BOTH sides, the planner broadcasts one
+    # side, and neither broadcast-building nor exchange reuse shares
+    # the un-checkpointed subtree — the lazy-only variant recomputed
+    # the string pass twice and measured 1.45× SLOWER (interleaved
+    # min-of-3 A/B at bench scale).  Versus the round-8 shape this
+    # drops one eager job and the hv materialization.  At cluster
+    # scale this checkpoint is the natural write-signatures-to-storage
+    # point.
+    from jema_js_spark.runtime.colcache import cached_column
+
+    # constant expression fragments memoized per session (round 9):
+    # the signature transform, band-hash bank and slot-match estimator
+    # together measured ~0.5 s of driver build time per call
+    hv_expr = cached_column(
+        ("minhash_hv", shingle_n),
+        lambda: F.explode(F.array(
+            shingle_hashes(F.col("__t"), shingle_n))).alias("hv"))
+    sig_expr = cached_column(
+        ("minhash_sig", k),
+        lambda: minhash_sig_from_hashes(F.col("hv"), k).alias("sig"))
+    band_expr = cached_column(
+        ("minhash_bands", k, bands),
+        lambda: F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      _band_hash(F.col("sig"), b, rows_per_band).alias("bh"))
             for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"),
-             F.col("bb.bh").alias("bh"))
+        ])).alias("bb"))
+
+    sigs = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", hv_expr).select("id", sig_expr)
+    sigs = sigs.localCheckpoint(eager=True)
+    banded = sigs.select("id", "sig", band_expr) \
+        .select("id", "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bh").alias("bh"))
 
     # cap pathological buckets (boilerplate): deterministic top-N by id
     w = Window.partitionBy("band", "bh").orderBy("id")
@@ -179,9 +193,11 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
              .filter(F.col("id_a") < F.col("id_b")))
 
     # zip_with + filter: count equal signature slots
-    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                      lambda x, y: x.eqNullSafe(y)),
-                           lambda eq: eq)) / F.lit(float(k)))
+    est = cached_column(
+        ("minhash_est", k),
+        lambda: (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                            lambda x, y: x.eqNullSafe(y)),
+                                 lambda eq: eq)) / F.lit(float(k))))
 
     return (pairs.withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= jaccard_threshold)
@@ -255,11 +271,13 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str = "text",
     ).select("id", F.explode(F.array(
         simhash64(F.col("__t")))).alias("sh")).filter(
         F.col("sh").isNotNull())
-    # Generate barrier (round 9; previously an eager localCheckpoint) —
-    # same expression-duplication hazard as MinHash: each block
-    # projection and both join sides would re-inline the 63-vote
-    # simhash expression otherwise; the generated attribute is
-    # computed once per row with no eager job
+    # Generate barrier + ONE eager checkpoint (round 9): the barrier
+    # stops the pushed-down isNotNull filter re-inlining the 63-vote
+    # simhash expression within this pipeline; the checkpoint is still
+    # required because the block self-join reads `sh` on both sides
+    # (same measured hazard as MinHash — lazy-only recomputes the
+    # vote pass twice)
+    sh = sh.localCheckpoint(eager=True)
     exploded = sh.select(
         "id", "sh",
         F.explode(F.array(*[

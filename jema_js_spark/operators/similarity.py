@@ -157,7 +157,38 @@ def fit_centroids(corpus: DataFrame, nlist: int = 16, vec_col: str = "embedding"
     return centroids.tolist()
 
 
-def _best_centroids(vec: Column, centroids: List[List[float]], n: int) -> Column:
+# Round 9: session-scoped memo of the centroid-scoring Column.  The
+# expression embeds nlist array literals (one per unit centroid) and
+# 2·nlist lambda builders; constructing it measured ~0.9 s of pure
+# driver time PER CALL for 16×64 centroids — dominating ivf_topk's
+# wall at bench scale.  The Column is an immutable expression tree
+# addressed by the vector column name, reusable across queries; the
+# applicationId in the key retires handles from stopped sessions.
+_BEST_CENT_CACHE: dict = {}
+_BEST_CENT_CAP = 32
+
+
+def _best_centroids(vec: Column, centroids: List[List[float]], n: int,
+                    vec_name: Optional[str] = None) -> Column:
+    if vec_name is not None:
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        app = sess.sparkContext.applicationId if sess is not None else None
+        key = (app, vec_name, n,
+               tuple(tuple(float(x) for x in c) for c in centroids))
+        hit = _BEST_CENT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        col = _best_centroids_build(vec, centroids, n)
+        if len(_BEST_CENT_CACHE) >= _BEST_CENT_CAP:
+            _BEST_CENT_CACHE.clear()
+        _BEST_CENT_CACHE[key] = col
+        return col
+    return _best_centroids_build(vec, centroids, n)
+
+
+def _best_centroids_build(vec: Column, centroids: List[List[float]],
+                          n: int) -> Column:
     """Array of the ``n`` nearest centroid ids for a vector — pure
     expression: score each centroid, sort the (score, id) structs.
 
@@ -170,9 +201,14 @@ def _best_centroids(vec: Column, centroids: List[List[float]], n: int) -> Column
     for c in centroids:
         nrm = float(np.linalg.norm(c)) or 1.0
         units.append([float(x) / nrm for x in c])
+    # one ARRAY literal per centroid (round 9): the previous
+    # per-element F.lit built nlist × dim literal Columns — ~1,000
+    # driver py4j round-trips per call for 16×64 centroids, a
+    # measurable constant cost on every query that plans a probe or
+    # an assignment.  Same expression semantics: F.lit(list) is an
+    # array<double> literal, exactly what F.array(double lits) built.
     scored = F.array(*[
-        F.struct(dot(vec, F.array(*[F.lit(x) for x in u])).alias("s"),
-                 F.lit(i).alias("c"))
+        F.struct(dot(vec, F.lit(u)).alias("s"), F.lit(i).alias("c"))
         for i, u in enumerate(units)
     ])
     top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
@@ -186,7 +222,8 @@ def ivf_assign(corpus: DataFrame, centroids: List[List[float]],
     id so probes prune file groups."""
     return corpus.withColumn(
         "centroid_id",
-        F.element_at(_best_centroids(F.col(vec_col), centroids, 1), 1))
+        F.element_at(_best_centroids(F.col(vec_col), centroids, 1,
+                                     vec_name=vec_col), 1))
 
 
 def ivf_topk(corpus_assigned: DataFrame, queries: DataFrame,
@@ -203,7 +240,8 @@ def ivf_topk(corpus_assigned: DataFrame, queries: DataFrame,
     window — no single-task funnel."""
     q = (queries
          .withColumn("centroid_id",
-                     F.explode(_best_centroids(F.col(vec_col), centroids, nprobe)))
+                     F.explode(_best_centroids(F.col(vec_col), centroids,
+                                               nprobe, vec_name=vec_col)))
          .select(F.col(query_id_col), F.col("centroid_id"),
                  F.col(vec_col).alias("__qvec"),
                  l2_norm(F.col(vec_col)).alias("__qn")))

@@ -136,12 +136,23 @@ def fingerprint64(text: Column, normalize: bool = True) -> Column:
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection: adds token counts, quality score,
-    detected language, and fingerprint in one pass."""
-    t = F.col(text_col)
-    return df.withColumns({
-        "n_tokens": token_count(t),
-        "n_bpe_tokens": token_count(t, "bpe"),
-        "quality": quality_score(t),
-        "lang_pred": lang_id_expr(t),
-        "fingerprint": fingerprint64(t),
-    })
+    detected language, and fingerprint in one pass.
+
+    The feature Columns are constant expression trees over
+    ``text_col`` — memoized per session (round 9): rebuilding them
+    (stopword-marker array banks + a dozen higher-order lambdas)
+    measured ~290 ms of driver time per call."""
+    from jema_js_spark.runtime.colcache import cached_column
+
+    def build():
+        t = F.col(text_col)
+        return {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": token_count(t, "bpe"),
+            "quality": quality_score(t),
+            "lang_pred": lang_id_expr(t),
+            "fingerprint": fingerprint64(t),
+        }
+
+    return df.withColumns(
+        cached_column(("text_features", text_col), build))
