@@ -251,14 +251,27 @@ class Validator:
                         or ("contains" in schema
                             and schema.get("contains") is not None))
             # per-vtype pre-split for the fast path: the affects gate
-            # (schema.js:199) is constant per (keyword, value-type), so
-            # resolve it once per node instead of per visit
-            by_type = {
-                vt: tuple((e[0], e[4], e[5]) for e in entries
-                          if e[1] is None or e[1] == vt)
-                for vt in ("object", "array", "string", "number",
-                           "boolean", "null", "not supported")
-            }
+            # (schema.js:199), the unevaluated* keyword name and the
+            # object/array pass applicability are all constant per
+            # (node, value-type) — resolve them once per node so a
+            # visit costs ONE dict lookup instead of a branch ladder
+            by_type = {}
+            for vt in ("object", "array", "string", "number",
+                       "boolean", "null", "not supported"):
+                vt_entries = tuple((e[0], e[4], e[5]) for e in entries
+                                   if e[1] is None or e[1] == vt)
+                if vt == "object":
+                    uneval = "unevaluatedProperties" \
+                        if "unevaluatedProperties" in schema else None
+                    passes = (obj_pass, False)
+                elif vt == "array":
+                    uneval = "unevaluatedItems" \
+                        if "unevaluatedItems" in schema else None
+                    passes = (False, arr_pass)
+                else:
+                    uneval = None
+                    passes = (False, False)
+                by_type[vt] = (vt_entries, uneval) + passes
             plan = (entries,
                     self.root.registry.node_resource.get(id(schema)),
                     "unevaluatedProperties" in schema,
@@ -466,19 +479,12 @@ class Validator:
         plan = self._node_plans.get(id(schema))
         if plan is None:
             plan = self._node_plan(schema)
-        _entries, resource, has_uneval_props, has_uneval_items, \
-            obj_pass, arr_pass, by_type = plan
+        resource = plan[1]
 
         if resource is not None and (not scope or scope[-1] is not resource):
             scope = scope + (resource,)
         vtype = _TYPE_DISPATCH.get(value.__class__) or get_type(value)
-        if vtype == "object":
-            unevaluated_name = "unevaluatedProperties" if has_uneval_props \
-                else None
-        elif vtype == "array":
-            unevaluated_name = "unevaluatedItems" if has_uneval_items else None
-        else:
-            unevaluated_name = None
+        entries_t, unevaluated_name, obj_pass, arr_pass = plan[6][vtype]
 
         if unevaluated_name is not None:
             vid = id(value)
@@ -486,18 +492,18 @@ class Validator:
                 self.evaluated[vid] = set()
 
         stack = self.schema_stack
-        for prop, keyword_value, fast in by_type[vtype]:
+        for prop, keyword_value, fast in entries_t:
             stack.append(prop)
             if not fast(self, keyword_value, value, schema, scope):
                 return False  # first error: frame stays pushed (abandonment)
             if stack:  # inlined _safe_pop (hot path)
                 stack.pop()
 
-        if vtype == "object":
-            if obj_pass and not self._object_fast(schema, value, scope):
+        if obj_pass:
+            if not self._object_fast(schema, value, scope):
                 return False
-        elif vtype == "array":
-            if arr_pass and not self._array_fast(schema, value, scope):
+        elif arr_pass:
+            if not self._array_fast(schema, value, scope):
                 return False
 
         if unevaluated_name is not None:
