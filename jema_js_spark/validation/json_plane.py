@@ -1255,6 +1255,7 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
 
     if plan_shape not in ("auto", "masked", "union", "kernel"):
         raise ValueError(f"unknown plan_shape {plan_shape!r}")
+    df = _maybe_consolidate(df)
     raw_schema = schema
     if plan_shape == "kernel":
         # the kernel opt-out exists for hot paths: skip the routing
@@ -1370,6 +1371,37 @@ def with_valid_json(df: DataFrame, json_col: str, schema: Any,
 # whose remote documents the compiled Plane-B fallbacks embed).
 _ROUTE_BUNDLE_CACHE: Dict[tuple, dict] = {}
 _ROUTE_CACHE_CAP = 64
+
+# Small-partition consolidation for Python-stage plans (round 9).  An
+# ArrowEvalPython task costs ~8 ms of fixed per-task overhead
+# regardless of rows (measured on this class of box), so a plan whose
+# partitions hold only a few thousand documents pays a pure per-task
+# tax: 1M cached docs in 96 partitions ran the masked plan in 1.51 s
+# vs 0.95 s after a narrow (no-shuffle) coalesce to the core count.
+# This is the no-shuffle analog of AQE's post-shuffle small-partition
+# coalescing, decided from the optimizer's size estimate: it fires
+# ONLY when the whole input is small (< _CONSOLIDATE_MAX_INPUT), so
+# production-scale scans — guide §6 partitions of 128 MB-1 GB, inputs
+# of TBs — are never touched and keep their retry/straggler
+# granularity.  Streaming plans are left alone (microbatch sizing is
+# the expected_docs hint's job).
+_CONSOLIDATE_MAX_INPUT = 8 << 30
+_CONSOLIDATE_TARGET_BYTES = 64 << 20
+
+
+def _maybe_consolidate(df: DataFrame) -> DataFrame:
+    if df.isStreaming:
+        return df
+    try:
+        size = int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return df
+    if size <= 0 or size >= _CONSOLIDATE_MAX_INPUT:
+        return df
+    target = max(df.sparkSession.sparkContext.defaultParallelism,
+                 size // _CONSOLIDATE_TARGET_BYTES + 1)
+    return df.coalesce(target)   # no-op when target >= current partitions
 
 # (schema-json, format_assertion) → (Schema, JsonColumnPlan): the pure-
 # Python contract analysis is deterministic in its inputs; one shared
@@ -1724,7 +1756,7 @@ def json_violation_rows(df: DataFrame, json_col: str, schema: Any,
     from jema_js_spark.kernel.jstypes import js_to_string
 
     id_cols = list(id_cols or [])
-    base = df.select(*id_cols, json_col)
+    base = _maybe_consolidate(df.select(*id_cols, json_col))
     raw_schema = schema
     if not isinstance(schema, Schema):
         schema, plan = _cached_analysis(schema, format_assertion)
