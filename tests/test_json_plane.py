@@ -2650,3 +2650,26 @@ def test_recursive_contract_fuzz_matches_kernel(spark):
                     for i in range(len(docs)) if got[i] != want[i]]
     assert n_contracts >= 6, n_contracts
     assert not bad, bad[:3]
+
+
+def test_small_partition_consolidation(spark):
+    """Round 9: Python-stage plans coalesce SMALL inputs down to the
+    core count (per-task ArrowEvalPython overhead is flat in rows), and
+    must leave large inputs' partitioning untouched (retry/straggler
+    granularity at scale)."""
+    from jema_js_spark.validation import json_plane as jp
+
+    df = spark.range(1000, numPartitions=96) \
+        .selectExpr("cast(id as string) as doc").cache()
+    df.count()
+    out = jp._maybe_consolidate(df)
+    assert out.rdd.getNumPartitions() \
+        <= max(spark.sparkContext.defaultParallelism, 1)
+    # past the size ceiling the input partitioning is preserved
+    old = jp._CONSOLIDATE_MAX_INPUT
+    jp._CONSOLIDATE_MAX_INPUT = 1
+    try:
+        assert jp._maybe_consolidate(df).rdd.getNumPartitions() == 96
+    finally:
+        jp._CONSOLIDATE_MAX_INPUT = old
+    df.unpersist()
