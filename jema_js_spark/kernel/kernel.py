@@ -258,8 +258,10 @@ class Validator:
             by_type = {}
             for vt in ("object", "array", "string", "number",
                        "boolean", "null", "not supported"):
-                vt_entries = tuple((e[0], e[4], e[5]) for e in entries
-                                   if e[1] is None or e[1] == vt)
+                vt_entries = tuple(
+                    (e[0], e[4], e[5], e[0] in _STACK_OBLIVIOUS)
+                    for e in entries
+                    if e[1] is None or e[1] == vt)
                 if vt == "object":
                     uneval = "unevaluatedProperties" \
                         if "unevaluatedProperties" in schema else None
@@ -492,7 +494,15 @@ class Validator:
                 self.evaluated[vid] = set()
 
         stack = self.schema_stack
-        for prop, keyword_value, fast in entries_t:
+        for prop, keyword_value, fast, oblivious in entries_t:
+            if oblivious:
+                # the validator neither reads the stacks nor recurses,
+                # so the push/pop pair is observable only through the
+                # abandonment residue — push lazily, on failure only
+                if not fast(self, keyword_value, value, schema, scope):
+                    stack.append(prop)
+                    return False
+                continue
             stack.append(prop)
             if not fast(self, keyword_value, value, schema, scope):
                 return False  # first error: frame stays pushed (abandonment)
@@ -984,6 +994,21 @@ _VOCABULARY: Dict[str, tuple] = {
     "dependencies": (None, _v_dependencies, True),
     "propertyNames": ("object", _v_property_names, True),
 }
+
+# Boolean keywords whose validators neither read the schema/data
+# stacks nor recurse into sub-schemas (no probes, no _fast/_errors
+# calls): for these the fast path defers the schema-stack push to the
+# failure branch — the push/pop pair is observable only through the
+# abandonment residue, which is preserved exactly.  anyOf/oneOf/not
+# are NOT here (their probes run nested evaluations that mutate and
+# observe the stacks).
+_STACK_OBLIVIOUS = frozenset({
+    "type", "enum", "const", "multipleOf",
+    "maximum", "exclusiveMaximum", "minimum", "exclusiveMinimum",
+    "maxLength", "minLength", "pattern", "format",
+    "maxItems", "minItems", "uniqueItems",
+    "maxProperties", "minProperties", "dependentRequired",
+})
 
 # generator validator → its boolean fast twin (round 9); resolved once
 # per node into the node plan by Validator._node_plan
