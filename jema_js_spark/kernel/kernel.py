@@ -259,9 +259,10 @@ class Validator:
             for vt in ("object", "array", "string", "number",
                        "boolean", "null", "not supported"):
                 vt_entries = tuple(
-                    (e[0], e[4], e[5], e[0] in _STACK_OBLIVIOUS)
+                    folded
                     for e in entries
-                    if e[1] is None or e[1] == vt)
+                    if e[1] is None or e[1] == vt
+                    if (folded := self._fold_fast_entry(e, vt)) is not None)
                 if vt == "object":
                     uneval = "unevaluatedProperties" \
                         if "unevaluatedProperties" in schema else None
@@ -281,6 +282,39 @@ class Validator:
                     obj_pass, arr_pass, by_type)
             self._node_plans[id(schema)] = plan
         return plan
+
+    def _fold_fast_entry(self, e: tuple, vt: str):
+        """Constant-fold one fast-path plan entry for value type ``vt``
+        (round 9).  ``e`` = (prop, affects, validator, is_gen,
+        keyword_value, fast_twin); returns the (prop, keyword_value,
+        fast, oblivious) tuple the fast loop consumes, or ``None`` to
+        drop the entry.  Only verdicts that are CONSTANT per (node,
+        value-type) fold, and only for keywords in _STACK_OBLIVIOUS
+        (success there has zero observable side effects — the push is
+        deferred to the failure branch, so dropping an always-true
+        entry changes nothing):
+
+        - ``type``: the verdict depends only on the value's type,
+          except the integer/number case which reduces to a bare
+          ``is_js_integer`` probe (mirror of _v_type, schema.js:424-435)
+        - ``format`` with assertion off: the reference's shipped build
+          hard-returns true (schema.js:499) — the entry is a no-op
+
+        The generator path (_errors) keeps the unfolded entries, so
+        surfaced errors and their stack residue are untouched; parity
+        is pinned by test_fast_path_matches_generator_path."""
+        prop, _affects, _validator, _is_gen, keyword_value, fast = e
+        if prop == "type":
+            members = keyword_value if isinstance(keyword_value, list) \
+                else [keyword_value]
+            if any(m == vt for m in members):
+                return None                      # constant true → drop
+            if "integer" in members and vt == "number":
+                return (prop, keyword_value, _fv_type_integer, True)
+            return (prop, keyword_value, _always_false, True)
+        if prop == "format" and not self.format_assertion:
+            return None                          # hard true (schema.js:499)
+        return (prop, keyword_value, fast, prop in _STACK_OBLIVIOUS)
 
     # -- the evaluation loop (schema.js:185-228) --------------------------
     def _errors(self, value: Any, schema: Any,
@@ -561,8 +595,10 @@ class Validator:
                 sstack.append(prop)
                 if not self._fast(item, prop_schema, scope):
                     return False
-                _safe_pop(sstack)
-                _safe_pop(sstack)
+                if sstack:  # inlined _safe_pop (hot path)
+                    sstack.pop()
+                if sstack:
+                    sstack.pop()
                 additional = False
 
             if pattern_properties:
@@ -573,14 +609,17 @@ class Validator:
                         if not self._fast(item, sub, scope):
                             return False
                         additional = False
-                _safe_pop(sstack)
-                _safe_pop(sstack)
+                if sstack:  # inlined _safe_pop (hot path)
+                    sstack.pop()
+                if sstack:
+                    sstack.pop()
 
             if additional_properties is not None and additional:
                 sstack.append("additionalProperties")
                 if not self._fast(item, additional_properties, scope):
                     return False
-                _safe_pop(sstack)
+                if sstack:  # inlined _safe_pop (hot path)
+                    sstack.pop()
                 additional = False
 
             if not additional and ev is not None \
@@ -726,7 +765,9 @@ def _v_one_of(v: Validator, one_of: list, value: Any, schema: dict,
 def _v_not(v: Validator, sub: Any, value: Any, schema: dict, scope: _Scope) -> bool:
     v.stop_collecting = True
     ok = v._fast(value, sub, scope)
-    _safe_pop(v.schema_stack)  # quirky extra pop, mirror of schema.js:411
+    stack = v.schema_stack
+    if stack:  # quirky extra pop, mirror of schema.js:411 (inlined _safe_pop)
+        stack.pop()
     v.stop_collecting = False  # plain reset, not restore (schema.js:412)
     return not ok
 
@@ -843,6 +884,21 @@ def _v_property_names(v: Validator, sub: Any, value: dict, schema: dict,
 # identical stack side effects including abandonment residue.
 # ---------------------------------------------------------------------------
 
+def _fv_type_integer(v: Validator, t: Any, value: Any, schema: dict,
+                     scope: _Scope) -> bool:
+    # plan-time residue of a ``type`` check containing "integer" visited
+    # with a number: the only data-dependent branch of _v_type
+    return is_js_integer(value)
+
+
+def _always_false(v: Validator, t: Any, value: Any, schema: dict,
+                  scope: _Scope) -> bool:
+    # plan-time constant-false ``type`` check (wrong value type): the
+    # entry stays in the plan so the failure push/abandonment residue
+    # lands at the same position as the unfolded validator's
+    return False
+
+
 def _fv_ref(v: Validator, url: str, value: Any, schema: dict,
             scope: _Scope) -> bool:
     target = v._ref_target(schema)
@@ -873,29 +929,34 @@ def _fv_dynamic_ref(v: Validator, url: str, value: Any, schema: dict,
 
 def _fv_all_of(v: Validator, all_of: list, value: Any, schema: dict,
                scope: _Scope) -> bool:
+    stack = v.schema_stack
     for i, sub in enumerate(all_of):
-        v.schema_stack.append(i)
+        stack.append(i)
         if not v._fast(value, sub, scope):
             return False  # abandonment: frame stays pushed
-        _safe_pop(v.schema_stack)
+        if stack:  # inlined _safe_pop (hot path)
+            stack.pop()
     return True
 
 
 def _fv_if(v: Validator, if_schema: Any, value: Any, schema: dict,
            scope: _Scope) -> bool:
     ok = v._fast(value, if_schema, scope)
-    _safe_pop(v.schema_stack)  # mirror of schema.js:420
+    stack = v.schema_stack
+    if stack:  # mirror of schema.js:420 (inlined _safe_pop)
+        stack.pop()
     if ok:
-        v.schema_stack.append("then")
+        stack.append("then")
         if "then" in schema and schema["then"] is not None:
             if not v._fast(value, schema["then"], scope):
                 return False
     else:
-        v.schema_stack.append("else")
+        stack.append("else")
         if "else" in schema and schema["else"] is not None:
             if not v._fast(value, schema["else"], scope):
                 return False
-    _safe_pop(v.schema_stack)
+    if stack:  # inlined _safe_pop (hot path)
+        stack.pop()
     return True
 
 

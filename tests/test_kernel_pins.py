@@ -219,3 +219,57 @@ def test_depth_limits_are_clean_on_both_axes():
         sys.setrecursionlimit(old)
     with pytest.raises(DepthLimitExceeded):
         rec.validate(deep_v)
+
+
+class TestFastPlanConstantFolds:
+    """Round 9: the fast-path per-vtype plans constant-fold ``type``
+    checks (and ``format`` with assertion off) at plan time
+    (Validator._fold_fast_entry).  These pins walk the fold's decision
+    boundaries — especially the one data-dependent branch
+    (integer-member type vs a number value) — and assert the
+    abandonment residue a folded failure leaves is identical to the
+    generator path's, so surfaced iter_errors() messages can never
+    observe the fold."""
+
+    def _both(self, schema, doc):
+        """(fast verdict, generator verdict, fast residue, gen residue)."""
+        vf = Validator(Schema(schema))
+        fast = vf.validate(doc)
+        f_res = list(vf.schema_stack)
+        vg = Validator(Schema(schema))
+        first = next(iter(vg.iter_errors(doc)), None)
+        gen = first is None
+        g_res = list(vg.schema_stack)
+        return fast, gen, f_res, g_res
+
+    @pytest.mark.parametrize("schema,doc", [
+        ({"type": "integer"}, 3),
+        ({"type": "integer"}, 3.0),          # runtime is_js_integer branch
+        ({"type": "integer"}, 3.5),
+        ({"type": "integer"}, float(2**53)),
+        ({"type": "integer"}, "3"),          # constant-false fold
+        ({"type": "number"}, 3),
+        ({"type": ["string", "integer"]}, "x"),   # direct-member fold
+        ({"type": ["string", "integer"]}, 4.0),   # integer member, number value
+        ({"type": ["string", "integer"]}, 4.5),
+        ({"type": ["number"]}, True),        # bool is not number
+        ({"type": 5}, 5),                    # hostile non-string type value
+        ({"type": {"a": 1}}, {"a": 1}),
+        ({"properties": {"a": {"type": "string"}}}, {"a": 1}),
+        ({"items": {"type": "integer"}}, [1, "x", 3]),
+        ({"format": "email"}, "not an email"),   # annotation-only: folded true
+    ])
+    def test_fold_verdict_and_residue_match_generator(self, schema, doc):
+        fast, gen, f_res, g_res = self._both(schema, doc)
+        assert fast == gen
+        assert f_res == g_res   # abandonment residue byte-identical
+
+    def test_format_assertion_mode_is_not_folded(self):
+        # the fold drops format entries ONLY when assertion is off; an
+        # asserting validator must still run the real check
+        s = Schema({"format": "email"})
+        assert Validator(s).validate("not an email") is True
+        assert Validator(s, format_assertion=True).validate("not an email") \
+            is False
+        assert Validator(s, format_assertion=True).validate("a@b.example") \
+            is True
