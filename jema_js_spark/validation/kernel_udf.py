@@ -15,11 +15,14 @@ process, not per batch.
 from __future__ import annotations
 
 import json
+import sys
 from typing import Any, Dict, Optional
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+from jema_js_spark.kernel.kernel import _RECURSION_LIMIT
 
 __all__ = ["kernel_validate_udf", "kernel_error_count_udf", "loads_doc"]
 
@@ -66,11 +69,8 @@ def loads_doc(x: Optional[str]):
     Round 9: when the limit is already at/above the budget (the batch
     loops in this module raise it once per Arrow batch), the per-call
     set/restore syscall pair is skipped — same budget, same failure
-    surface."""
-    import sys
-
-    from jema_js_spark.kernel.kernel import _RECURSION_LIMIT
-
+    surface (and the imports live at module level: two per-call IMPORT
+    statements measured ~1.4 µs/doc on the UDF hot loop)."""
     if x is None:
         return None
     old = sys.getrecursionlimit()
@@ -99,18 +99,12 @@ class _raised_recursion_limit:
     __slots__ = ("_old",)
 
     def __enter__(self):
-        import sys
-
-        from jema_js_spark.kernel.kernel import _RECURSION_LIMIT
-
         self._old = sys.getrecursionlimit()
         if self._old < _RECURSION_LIMIT:
             sys.setrecursionlimit(_RECURSION_LIMIT)
         return self
 
     def __exit__(self, *exc):
-        import sys
-
         sys.setrecursionlimit(self._old)
         return False
 
